@@ -1,0 +1,107 @@
+"""Convolutional ISTA / FISTA sparse inference, TPU-native.
+
+Capability parity with vision_transform_codes/analysis_transforms/
+convolutional/ista_fista.py:18-197: strided convolutional synthesis with a
+padding mask that ignores reconstruction error in the padded border,
+stepsize from the Gram of the flattened kernels, the same threshold
+variants, FISTA momentum, warm starts, and early stopping.
+
+The iteration runs inside one jitted ``lax.while_loop``; synthesis /
+analysis lower to XLA conv ops on the MXU (see vtc_tpu.ops.convolutions).
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vtc_tpu.ops import conv_shapes
+from vtc_tpu.ops import convolutions as conv_ops
+from vtc_tpu.ops import lipschitz as lipschitz_ops
+from vtc_tpu.ops import thresholds
+from vtc_tpu.ops.precision import matmul_precision
+from vtc_tpu.ops.solver import proximal_gradient_loop
+
+
+def code_spatial_dims(padded_shape, kernel_shape, kernel_stride):
+  """(sh, sw) implied by padded image dims, kernel dims, and strides."""
+  sh = conv_shapes.code_dim_from_padded_img_dim(
+      padded_shape[2], kernel_shape[2], kernel_stride[0])
+  sw = conv_shapes.code_dim_from_padded_img_dim(
+      padded_shape[3], kernel_shape[3], kernel_stride[1])
+  return sh, sw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_stride", "variant", "nonnegative_only",
+                     "hard_threshold", "early_stopping_epsilon"))
+def _solve(images_padded, dictionary, mask, sparsity_weight, num_iters,
+           stepsize, initial_codes, kernel_stride, variant,
+           nonnegative_only, hard_threshold, early_stopping_epsilon):
+  threshold_fn = thresholds.select(nonnegative_only, hard_threshold)
+
+  def grad_fn(z):
+    return conv_ops.inference_gradient(
+        images_padded, z, dictionary, kernel_stride, mask)
+
+  def prox_fn(x, ss):
+    return threshold_fn(x, sparsity_weight * ss)
+
+  with matmul_precision():
+    return proximal_gradient_loop(
+        grad_fn, prox_fn, initial_codes, stepsize, num_iters,
+        variant=variant, early_stopping_epsilon=early_stopping_epsilon)
+
+
+def run(images_padded, dictionary, kernel_stride, padding_dims,
+        sparsity_weight, num_iters, variant="fista", initial_codes=None,
+        early_stopping_epsilon=None, nonnegative_only=False,
+        hard_threshold=False, *,
+        stepsize: Optional[jnp.ndarray] = None,
+        lipschitz_method: str = "eigvalsh"):
+  """Infer convolutional sparse codes for a batch of padded images.
+
+  Args:
+    images_padded: (b, c, h, w) float32, already padded (see
+      vtc_tpu.ops.conv_shapes.get_padding_amt).
+    dictionary: (s, c, kh, kw) float32 kernels.
+    kernel_stride: (stride_v, stride_h).
+    padding_dims: ((lead_v, trail_v), (lead_h, trail_h)) or None; the
+      reconstruction error inside this border is masked out.
+    sparsity_weight, num_iters, variant, initial_codes,
+    early_stopping_epsilon, nonnegative_only, hard_threshold: as in the
+      fully-connected solver.
+    stepsize / lipschitz_method: TPU extensions (precomputed 1/L; exact vs
+      power-iteration eigenvalue).
+
+  Returns:
+    (b, s, sh, sw) float32 codes.
+  """
+  assert variant in ("ista", "fista")
+  images_padded = jnp.asarray(images_padded, jnp.float32)
+  dictionary = jnp.asarray(dictionary, jnp.float32)
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  if stepsize is None:
+    flat_kernels = dictionary.reshape(dictionary.shape[0], -1)
+    stepsize = lipschitz_ops.fista_stepsize(flat_kernels, lipschitz_method)
+  sh, sw = code_spatial_dims(
+      images_padded.shape, dictionary.shape, kernel_stride)
+  if initial_codes is None:
+    initial_codes = jnp.zeros(
+        (images_padded.shape[0], dictionary.shape[0], sh, sw),
+        images_padded.dtype)
+  else:
+    initial_codes = jnp.asarray(initial_codes, jnp.float32)
+    assert initial_codes.shape == (
+        images_padded.shape[0], dictionary.shape[0], sh, sw)
+  mask = conv_shapes.create_mask(
+      images_padded.shape, padding_dims, images_padded.dtype)
+  return _solve(images_padded, dictionary, mask,
+                jnp.asarray(sparsity_weight, jnp.float32),
+                jnp.asarray(num_iters, jnp.int32),
+                jnp.asarray(stepsize, jnp.float32), initial_codes,
+                kernel_stride, variant, bool(nonnegative_only),
+                bool(hard_threshold),
+                None if early_stopping_epsilon is None
+                else float(early_stopping_epsilon))

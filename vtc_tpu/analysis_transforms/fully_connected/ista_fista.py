@@ -1,0 +1,110 @@
+"""Fully-connected ISTA / FISTA sparse inference, TPU-native.
+
+Capability parity with the reference solver
+(vision_transform_codes/analysis_transforms/fully_connected/
+ista_fista.py:14-148): constant stepsize 1/L from the top Gram eigenvalue,
+zero or warm-start initialization, soft/hard/nonnegative thresholds, FISTA
+momentum, optional early stopping on the mean per-component code delta.
+
+TPU-native differences (same math, better mapping to the hardware):
+* The whole solve is one jitted program built on ``lax.while_loop`` --
+  no per-iteration dispatch from Python.
+* Default "gram" formulation: with G = D D^T (s x s) and c = X D^T (b x s)
+  precomputed once, each iteration needs ONE (b,s)x(s,s) MXU matmul,
+    z - eta * (z G - c)  ==  z - eta * ((z D - X) D^T),
+  half the FLOPs of the reference's two-matmul iteration and a fraction of
+  the HBM traffic (G and the code block stay VMEM-resident).  Set
+  ``formulation='direct'`` for the literal two-matmul iteration.
+* The Lipschitz eigenvalue can come from ``eigvalsh`` (exact, reference
+  semantics) or power iteration, and a precomputed ``stepsize`` can be
+  passed to amortize it across batches of a training epoch.
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vtc_tpu.ops import lipschitz as lipschitz_ops
+from vtc_tpu.ops import thresholds
+from vtc_tpu.ops.precision import matmul_precision
+from vtc_tpu.ops.solver import proximal_gradient_loop
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "variant", "nonnegative_only", "hard_threshold",
+        "early_stopping_epsilon", "formulation"))
+def _solve(images, dictionary, sparsity_weight, num_iters, stepsize,
+           initial_codes, variant, nonnegative_only, hard_threshold,
+           early_stopping_epsilon, formulation):
+  threshold_fn = thresholds.select(nonnegative_only, hard_threshold)
+
+  with matmul_precision():
+    if formulation == "gram":
+      gram = dictionary @ dictionary.T
+      corr = images @ dictionary.T
+
+      def grad_fn(z):
+        return z @ gram - corr
+    else:
+
+      def grad_fn(z):
+        return (z @ dictionary - images) @ dictionary.T
+
+    def prox_fn(x, ss):
+      return threshold_fn(x, sparsity_weight * ss)
+
+    return proximal_gradient_loop(
+        grad_fn, prox_fn, initial_codes, stepsize, num_iters,
+        variant=variant, early_stopping_epsilon=early_stopping_epsilon)
+
+
+def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
+        initial_codes=None, early_stopping_epsilon=None,
+        nonnegative_only=False, hard_threshold=False, *,
+        stepsize: Optional[jnp.ndarray] = None,
+        lipschitz_method: str = "eigvalsh",
+        formulation: str = "gram"):
+  """Infer sparse codes for a batch of images.
+
+  Args:
+    images: (b, n) float32 batch of (flattened) image patches.
+    dictionary: (s, n) float32 dictionary, rows are basis elements.
+    sparsity_weight: scalar lambda weighting the sparsity penalty.
+    num_iters: max number of ISTA/FISTA steps.
+    variant: 'ista' or 'fista'.
+    initial_codes: optional (b, s) warm start (not mutated).
+    early_stopping_epsilon: optional float; stop when the mean absolute
+      code change per component, normalized by the stepsize, drops below
+      this (after the first iteration).
+    nonnegative_only: clamp codes to be nonnegative (shifted ReLU prox).
+    hard_threshold: use hard instead of soft thresholding.
+    stepsize: optional precomputed 1/L; skips the Gram eigenvalue solve.
+    lipschitz_method: 'eigvalsh' (exact, reference semantics) or 'power'.
+    formulation: 'gram' (one-matmul iteration, default) or 'direct'
+      (literal two-matmul iteration of the reference).
+
+  Returns:
+    (b, s) float32 codes.
+  """
+  assert variant in ("ista", "fista")
+  assert formulation in ("gram", "direct")
+  images = jnp.asarray(images, jnp.float32)
+  dictionary = jnp.asarray(dictionary, jnp.float32)
+  if stepsize is None:
+    stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
+  if initial_codes is None:
+    initial_codes = jnp.zeros(
+        (images.shape[0], dictionary.shape[0]), images.dtype)
+  else:
+    initial_codes = jnp.asarray(initial_codes, jnp.float32)
+  sparsity_weight = jnp.asarray(sparsity_weight, jnp.float32)
+  return _solve(images, dictionary, sparsity_weight,
+                jnp.asarray(num_iters, jnp.int32),
+                jnp.asarray(stepsize, jnp.float32), initial_codes, variant,
+                bool(nonnegative_only), bool(hard_threshold),
+                None if early_stopping_epsilon is None
+                else float(early_stopping_epsilon),
+                formulation)

@@ -1,0 +1,68 @@
+"""Steepest-descent dictionary update for convolutional sparse coding.
+
+Parity with vision_transform_codes/dict_update_rules/convolutional/
+sc_steepest_descent.py:12-73: the kernel gradient of the masked
+reconstruction error (batch-averaged), rescaled to the dictionary's
+Frobenius norm so the stepsize is dimensionless, then per-kernel
+renormalization.  The reference's transposed conv2d-with-dilation trick is
+produced here by autodiff through the synthesis operator
+(vtc_tpu.ops.convolutions.dictionary_gradient).  Pure: returns the new
+dictionary.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vtc_tpu.ops import conv_shapes
+from vtc_tpu.ops import convolutions as conv_ops
+from vtc_tpu.ops.precision import matmul_precision
+
+
+def _renormalize_kernels(dictionary):
+  norms = jnp.sqrt(jnp.sum(dictionary**2, axis=(1, 2, 3), keepdims=True))
+  return dictionary / norms
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_stride", "num_iters",
+                                             "normalize_dictionary"))
+def _update(images_padded, dictionary, codes, mask, kernel_stride, stepsize,
+            num_iters, normalize_dictionary):
+
+  def body(_, d):
+    grad = conv_ops.dictionary_gradient(
+        images_padded, codes, d, kernel_stride, mask)
+    # dimensionless stepsize: scale gradient to the dictionary's F-norm
+    # (reference line 68)
+    grad = grad * (jnp.linalg.norm(d.ravel()) /
+                   jnp.linalg.norm(grad.ravel()))
+    d = d - stepsize * grad
+    if normalize_dictionary:
+      d = _renormalize_kernels(d)
+    return d
+
+  with matmul_precision():
+    return jax.lax.fori_loop(0, num_iters, body, dictionary)
+
+
+def run(images_padded, dictionary, codes, kernel_stride, padding_dims,
+        stepsize=0.001, num_iters=1, normalize_dictionary=True):
+  """Steepest-descent steps on the convolutional dictionary.
+
+  Args:
+    images_padded: (b, c, h, w); dictionary: (s, c, kh, kw);
+    codes: (b, s, sh, sw).
+    kernel_stride: (stride_v, stride_h).
+    padding_dims: ((lead_v, trail_v), (lead_h, trail_h)) or None.
+
+  Returns:
+    (s, c, kh, kw) updated dictionary.
+  """
+  images_padded = jnp.asarray(images_padded, jnp.float32)
+  mask = conv_shapes.create_mask(
+      images_padded.shape, padding_dims, images_padded.dtype)
+  return _update(images_padded, jnp.asarray(dictionary, jnp.float32),
+                 jnp.asarray(codes, jnp.float32), mask,
+                 tuple(int(x) for x in kernel_stride),
+                 jnp.asarray(stepsize, jnp.float32), int(num_iters),
+                 bool(normalize_dictionary))
