@@ -1,0 +1,138 @@
+"""ICA dictionary learning trainer.
+
+API parity with reference training/ica.py:12-240: fully-connected only,
+square (critically sampled) dictionary, ``ica_natural_gradient`` updates,
+iteration-indexed update schedule with a mandatory 0 entry, optional
+checkpoint / visualization schedules with pSNR logging.
+
+TPU-native: the per-batch work (exact linear inference + natural-gradient
+update) is one fused jitted step.  Inference uses a linear solve of the
+current dictionary (the reference explicitly inverts it every batch,
+training/ica.py:217 -> invertible_linear.py:26).  Unlike the reference,
+``all_params`` is never mutated (the reference pops
+'reshaped_kernel_size', training/ica.py:169).
+"""
+import functools
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtc_tpu.analysis_transforms.fully_connected import invertible_linear
+from vtc_tpu.dict_update_rules.fully_connected import ica_natural_gradient
+from vtc_tpu.training.sparse_coding import iterate_batches
+from vtc_tpu.utils import checkpoint as ckpt_util
+from vtc_tpu.utils import plotting as plot_utils
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _fused_step(dictionary, batch, stepsize, num_iters):
+  codes = invertible_linear._solve_nonortho(batch, dictionary)
+  new_dict = ica_natural_gradient._update(
+      dictionary, codes, stepsize, num_iters)
+  return new_dict, codes
+
+
+def train_dictionary(image_dataset, init_dictionary, all_params):
+  """Train an ICA dictionary; returns the final dictionary.
+
+  all_params: 'num_epochs', 'dictionary_update_algorithm'
+  ('ica_natural_gradient'), 'dict_update_param_schedule' (0 mandatory,
+  values {'stepsize', 'num_iters'}), optional 'checkpoint_schedule',
+  'training_visualization_schedule', 'logging_folder_fullpath',
+  'stdout_print_interval', 'reshaped_kernel_size'.
+  """
+  assert 0 in all_params["dict_update_param_schedule"]
+  init_dictionary = jnp.asarray(np.asarray(init_dictionary), jnp.float32)
+  assert init_dictionary.shape[0] == init_dictionary.shape[1], (
+      "ICA requires a square (critically sampled) dictionary")
+  num_epochs = all_params["num_epochs"]
+  assert all_params["dictionary_update_algorithm"] == (
+      "ica_natural_gradient")
+  schedule = all_params["dict_update_param_schedule"]
+
+  logging_path = all_params.get("logging_folder_fullpath")
+  ckpt_sched = all_params.get("checkpoint_schedule")
+  vis_sched = all_params.get("training_visualization_schedule")
+  print_interval = all_params.get("stdout_print_interval", 1000)
+  kernel_reshaping = all_params.get("reshaped_kernel_size")
+  tb_writer = None
+  if ckpt_sched is not None or vis_sched is not None:
+    assert logging_path is not None
+    logging_path = Path(logging_path)
+    logging_path.mkdir(parents=True, exist_ok=True)
+    import yaml
+    with open(logging_path / "training_params.yaml", "w") as f:
+      yaml.dump({k: (sorted(v) if isinstance(v, set) else v)
+                 for k, v in all_params.items()
+                 if k not in ("checkpoint_schedule",
+                              "training_visualization_schedule")},
+                f)
+  if vis_sched is not None:
+    from torch.utils.tensorboard import SummaryWriter
+    tb_writer = SummaryWriter(str(logging_path))
+
+  dictionary = init_dictionary
+  stepsize = num_iters = None
+  start_time = time.time()
+  total_iter = 0
+  for epoch_idx in range(num_epochs):
+    for batch in iterate_batches(image_dataset):
+      if total_iter % print_interval == 0:
+        print("Iteration", total_iter, "complete")
+        print("Time elapsed: {:.1f} seconds".format(
+            time.time() - start_time))
+        print("-----")
+      if total_iter in schedule:
+        stepsize = float(schedule[total_iter]["stepsize"])
+        num_iters = int(schedule[total_iter]["num_iters"])
+
+      if ckpt_sched is not None and total_iter in ckpt_sched:
+        ckpt_util.save_dictionary_checkpoint(
+            logging_path, total_iter, np.asarray(dictionary))
+      if vis_sched is not None and total_iter in vis_sched:
+        codes = invertible_linear.run(batch, dictionary)
+        _log_progress(tb_writer, batch, codes, dictionary,
+                      kernel_reshaping, total_iter)
+
+      dictionary, _ = _fused_step(dictionary, batch,
+                                  jnp.float32(stepsize), num_iters)
+      total_iter += 1
+    print("Epoch", epoch_idx, "finished")
+  if tb_writer is not None:
+    tb_writer.flush()
+  return dictionary
+
+
+def _log_progress(tb_writer, batch, codes, dictionary, reshaping, step):
+  """pSNR scalar + dictionary tile images (reference ica.py:75-114)."""
+  import io
+
+  from PIL import Image
+  from matplotlib import pyplot as plt
+
+  batch_np = np.asarray(batch)
+  recons = np.asarray(codes) @ np.asarray(dictionary)
+  sig_mag = np.max(batch_np) - np.min(batch_np)
+  psnrs = [plot_utils.compute_pSNR(batch_np[i], recons[i],
+                                   manual_sig_mag=sig_mag)
+           for i in range(recons.shape[0])]
+  psnrs = [p for p in psnrs if p != np.inf]
+  tb_writer.add_scalar("Average pSNR of reconstructions",
+                       float(np.mean(psnrs)), step)
+  for renorm, tag in ((True, "renormalized"), (False, "no renorm")):
+    figs = plot_utils.display_dictionary(
+        np.asarray(dictionary), renormalize=renorm, reshaping=reshaping,
+        plot_title="Current dictionary ({}), iter {}".format(tag, step))
+    for fig_idx, fig in enumerate(figs):
+      buf = io.BytesIO()
+      fig.savefig(buf, format="png")
+      plt.close(fig)
+      buf.seek(0)
+      tb_writer.add_image(
+          "Current dictionary ({}), fig {} of {}".format(
+              tag, fig_idx + 1, len(figs)),
+          np.array(Image.open(buf))[:, :, :3], global_step=step,
+          dataformats="HWC")

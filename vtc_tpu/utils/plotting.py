@@ -1,0 +1,351 @@
+"""Metrics and visualization for transform codes.
+
+Functional parity with the reference's utils/plotting.py (compute_pSNR:17,
+compute_ssim:42, standardize_for_imshow:67, display_dictionary:126,
+display_codes:486, display_code_marginal_densities:643,
+display_2d_code_densities:801), re-written around a single vectorized
+tiling engine instead of per-element Python loops.  All functions are
+host-side NumPy/matplotlib; device arrays are converted on entry.
+
+matplotlib uses the Agg backend unless one is already selected, so these
+work in headless training jobs (TensorBoard image logging).
+"""
+import math
+
+import numpy as np
+
+import matplotlib
+if matplotlib.get_backend().lower() not in ("agg",):  # headless-safe
+  try:
+    matplotlib.use("Agg")
+  except Exception:  # pragma: no cover - backend already in use
+    pass
+from matplotlib import pyplot as plt
+
+
+def compute_pSNR(target, reconstruction, manual_sig_mag=None):
+  """Peak signal-to-noise ratio, 10*log10(range^2 / MSE).
+
+  ``manual_sig_mag`` optionally fixes the signal range (max - min) used as
+  the peak reference; otherwise it is estimated from ``target``.
+  Returns np.inf for an exact reconstruction.
+  """
+  target = np.asarray(target)
+  reconstruction = np.asarray(reconstruction)
+  if manual_sig_mag is None:
+    signal_magnitude = np.max(target) - np.min(target)
+  else:
+    signal_magnitude = manual_sig_mag
+  mse = np.mean(np.square(target - reconstruction))
+  if mse == 0:
+    return np.inf
+  return 10.0 * np.log10(signal_magnitude**2 / mse)
+
+
+def compute_ssim(target, reconstruction, manual_sig_mag=None):
+  """Structural similarity with the Wang-2004 settings (gaussian weights,
+  sigma 1.5, no sample covariance)."""
+  from skimage.metrics import structural_similarity
+  target = np.asarray(target)
+  reconstruction = np.asarray(reconstruction)
+  if manual_sig_mag is None:
+    signal_magnitude = np.max(target) - np.min(target)
+  else:
+    signal_magnitude = manual_sig_mag
+  return structural_similarity(
+      target, reconstruction, data_range=signal_magnitude,
+      gaussian_weights=True, sigma=1.5, use_sample_covariance=False)
+
+
+def standardize_for_imshow(image):
+  """Map an arbitrary-range image into [0, 1] with a transparent rule.
+
+  Nonnegative images are scaled so max -> 1; nonpositive so min -> 0 (after
+  shifting); sign-straddling images map 0 -> 0.5 symmetrically around the
+  largest absolute value.  Returns (standardized_image, raw_val_mapping)
+  where raw_val_mapping gives the raw values displayed as [black, mid,
+  white].
+  """
+  image = np.asarray(image)
+  max_val = float(np.max(image))
+  min_val = float(np.min(image))
+  if max_val == min_val:
+    std_img = np.full(image.shape, 0.5)
+    if max_val > 0:
+      mapping = [0.0, max_val, 2 * max_val]
+    elif max_val < 0:
+      mapping = [2 * max_val, max_val, 0.0]
+    else:
+      mapping = [-1.0, 0.0, 1.0]
+    return std_img, mapping
+  if min_val >= 0:
+    return image / max_val, [0.0, 0.5 * max_val, max_val]
+  if max_val <= 0:
+    return image / (-min_val) + 1.0, [min_val, 0.5 * min_val, 0.0]
+  bound = max(abs(min_val), abs(max_val))
+  std_img = image / (2 * bound) + 0.5
+  if abs(max_val) >= abs(min_val):
+    mapping = [-max_val, 0.0, max_val]
+  else:
+    mapping = [min_val, 0.0, -min_val]
+  return std_img, mapping
+
+
+def _elements_as_patches(dictionary, reshaping=None):
+  """(s, ph, pw[, c]) array of displayable patches from either dictionary
+  format ((s, n) fully-connected or (s, c, kh, kw) convolutional)."""
+  dictionary = np.asarray(dictionary)
+  if dictionary.ndim == 2:
+    s, n = dictionary.shape
+    if reshaping is None:
+      side = int(math.sqrt(n))
+      if side * side == n:
+        reshaping = (side, side)
+      else:
+        reshaping = (1, n)  # 1-d data: show as a row
+    return dictionary.reshape((s,) + tuple(reshaping))
+  # convolutional (s, c, kh, kw) -> (s, kh, kw) or (s, kh, kw, c)
+  s, c, kh, kw = dictionary.shape
+  if c == 1:
+    return dictionary[:, 0]
+  return np.moveaxis(dictionary, 1, 3)
+
+
+def _tile_grid(patches, grid_hw, border=1, fill=0.35):
+  """Compose (k, ph, pw[,c]) patches into one bordered mosaic image."""
+  k = patches.shape[0]
+  gh, gw = grid_hw
+  ph, pw = patches.shape[1], patches.shape[2]
+  color = patches.ndim == 4
+  shape = (gh * (ph + border) + border, gw * (pw + border) + border) + (
+      (patches.shape[3],) if color else ())
+  canvas = np.full(shape, fill, dtype=np.float32)
+  for idx in range(min(k, gh * gw)):
+    r, c = divmod(idx, gw)
+    y = border + r * (ph + border)
+    x = border + c * (pw + border)
+    canvas[y:y + ph, x:x + pw] = patches[idx]
+  return canvas
+
+
+_MAX_TILES_PER_FIG = 400
+
+
+def get_dictionary_tile_imgs(dictionary, indv_renorm=False,
+                             reshape_to_these_dims=None, highlights=None,
+                             max_tiles_per_fig=_MAX_TILES_PER_FIG):
+  """Tile dictionary elements into mosaic images (multiple if s is large).
+
+  Returns (tile_images, raw_val_mapping, label_coords) where label_coords
+  gives, per figure, (index_label, y_pixel, x_pixel) tuples for optional
+  index annotation.
+  """
+  patches = _elements_as_patches(dictionary, reshape_to_these_dims)
+  order = np.arange(patches.shape[0])
+  weights = None
+  if highlights is not None:
+    weights = np.asarray(highlights["weights"])
+    if highlights.get("reorder", False):
+      order = np.argsort(weights)[::-1]
+      patches = patches[order]
+      weights = weights[order]
+
+  if indv_renorm:
+    shown = np.stack([standardize_for_imshow(p)[0] for p in patches])
+    mapping = [0.0, 0.5, 1.0]
+  else:
+    shown, mapping = standardize_for_imshow(patches)
+
+  if weights is not None:
+    shown = _colorize_by_weight(shown, weights,
+                                highlights.get("color_range", (-1.0, 1.0)))
+
+  imgs, labels = [], []
+  for start in range(0, shown.shape[0], max_tiles_per_fig):
+    chunk = shown[start:start + max_tiles_per_fig]
+    gw = int(math.ceil(math.sqrt(chunk.shape[0])))
+    gh = int(math.ceil(chunk.shape[0] / gw))
+    imgs.append(_tile_grid(chunk, (gh, gw)))
+    ph, pw = chunk.shape[1], chunk.shape[2]
+    labels.append([
+        (str(order[start + i]),
+         1 + (i // gw) * (ph + 1), 1 + (i % gw) * (pw + 1))
+        for i in range(chunk.shape[0])])
+  return imgs, mapping, labels
+
+
+def _colorize_by_weight(gray_tiles, weights, color_range):
+  """Tint grayscale tiles blue-to-red by per-element scalar weights."""
+  lo, hi = color_range
+  t = np.clip((weights - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+  cmap = plt.get_cmap("RdBu_r")
+  if gray_tiles.ndim == 3:
+    gray_tiles = np.repeat(gray_tiles[..., None], 3, axis=3)
+  tinted = gray_tiles.copy()
+  for idx in range(gray_tiles.shape[0]):
+    tint = np.asarray(cmap(t[idx]))[:3]
+    tinted[idx] = 0.7 * gray_tiles[idx] + 0.3 * tint[None, None, :]
+  return tinted
+
+
+def get_dictionary_tile_imgs_arr_by_group(dictionary, groups,
+                                          indv_renorm=False,
+                                          reshape_to_these_dims=None,
+                                          highlights=None):
+  """Group-aware tiling: each group occupies one row (groups are small)."""
+  patches = _elements_as_patches(dictionary, reshape_to_these_dims)
+  if indv_renorm:
+    shown = np.stack([standardize_for_imshow(p)[0] for p in patches])
+  else:
+    shown, _ = standardize_for_imshow(patches)
+  max_gs = max(len(g) for g in groups)
+  rows = []
+  for members in groups:
+    sel = shown[np.asarray(list(members), dtype=int)]
+    if sel.shape[0] < max_gs:  # pad the row
+      pad = np.full((max_gs - sel.shape[0],) + sel.shape[1:], 0.35,
+                    sel.dtype)
+      sel = np.concatenate([sel, pad], axis=0)
+    rows.append(_tile_grid(sel, (1, max_gs)))
+  # stack group-rows vertically into figures of at most 50 rows
+  imgs = []
+  for start in range(0, len(rows), 50):
+    imgs.append(np.concatenate(rows[start:start + 50], axis=0))
+  return imgs
+
+
+def display_dictionary(dictionary, renormalize=False, reshaping=None,
+                       groupings=None, label_inds=False, highlighting=None,
+                       plot_title=""):
+  """Render the dictionary as one or more matplotlib figures.
+
+  Mirrors the reference API (utils/plotting.py:126-212): renormalize for
+  per-element color scales, reshaping for fully-connected elements,
+  groupings for one-group-per-row layout, label_inds for index overlays,
+  highlighting={'weights', 'color_range', 'reorder'} for scalar tinting.
+  Returns a list of figures.
+  """
+  if groupings is None:
+    tiles, mapping, labels = get_dictionary_tile_imgs(
+        dictionary, indv_renorm=renormalize,
+        reshape_to_these_dims=reshaping, highlights=highlighting)
+  else:
+    tiles = get_dictionary_tile_imgs_arr_by_group(
+        dictionary, groupings, indv_renorm=renormalize,
+        reshape_to_these_dims=reshaping, highlights=highlighting)
+    mapping, labels = [0.0, 0.5, 1.0], None
+
+  figs = []
+  for fig_idx, tile_img in enumerate(tiles):
+    fig = plt.figure(figsize=(10, 10))
+    ax = plt.axes((0.075, 0.075, 0.85, 0.85))
+    fig.suptitle("{}, fig {} of {}".format(plot_title, fig_idx + 1,
+                                           len(tiles)), fontsize=16)
+    ax.imshow(tile_img, cmap="gray", vmin=0.0, vmax=1.0,
+              interpolation="none")
+    if label_inds and labels is not None:
+      for text, y, x in labels[fig_idx]:
+        ax.text(x, y, text, fontsize=6, va="top", ha="left", color="w")
+    ax.axis("off")
+    if not renormalize and groupings is None:
+      cbar_ax = plt.axes((0.945, 0.4, 0.01, 0.2))
+      cbar_ax.imshow(np.linspace(1.0, 0.0, 256)[:, None], cmap="gray",
+                     aspect="auto")
+      cbar_ax.yaxis.tick_right()
+      cbar_ax.xaxis.set_ticks([])
+      cbar_ax.yaxis.set_ticks([0, 128, 255])
+      cbar_ax.yaxis.set_ticklabels(
+          ["{:.2f}".format(v) for v in mapping[::-1]], fontsize=8)
+    figs.append(fig)
+  return figs
+
+
+def display_codes(codes, indv_stem_plots=True, plot_title=""):
+  """Stem plots of a handful of code vectors (reference plotting.py:486).
+
+  Args:
+    codes: (b, s) array; each sample gets its own stem plot (at most 16
+      per figure).
+  """
+  codes = np.asarray(codes)
+  num = codes.shape[0]
+  per_fig = 16
+  figs = []
+  for start in range(0, num, per_fig):
+    chunk = codes[start:start + per_fig]
+    rows = int(math.ceil(chunk.shape[0] / 4))
+    fig, axes = plt.subplots(rows, min(4, chunk.shape[0]),
+                             figsize=(14, 3 * rows), squeeze=False)
+    fig.suptitle(plot_title)
+    for i in range(rows * min(4, chunk.shape[0])):
+      ax = axes[i // 4][i % 4]
+      if i < chunk.shape[0]:
+        ax.stem(np.arange(codes.shape[1]), chunk[i], markerfmt=" ")
+        ax.set_title("sample {}".format(start + i), fontsize=8)
+      else:
+        ax.axis("off")
+    figs.append(fig)
+  return figs
+
+
+def display_code_marginal_densities(codes, num_hist_bins, log_prob=False,
+                                    ignore_zeros=False, overlaid=False,
+                                    plot_title=""):
+  """Histograms of each code component's marginal distribution
+  (reference plotting.py:643).  Returns a list with one figure."""
+  codes = np.asarray(codes)
+  s = codes.shape[1]
+  fig = plt.figure(figsize=(12, 8))
+  fig.suptitle(plot_title)
+  if overlaid:
+    ax = plt.subplot(111)
+    for comp in range(min(s, 64)):
+      vals = codes[:, comp]
+      if ignore_zeros:
+        vals = vals[vals != 0]
+      if vals.size == 0:
+        continue
+      counts, edges = np.histogram(vals, num_hist_bins, density=True)
+      centers = 0.5 * (edges[:-1] + edges[1:])
+      if log_prob:
+        with np.errstate(divide="ignore"):
+          counts = np.log10(counts)
+      ax.plot(centers, counts, alpha=0.4)
+    ax.set_xlabel("code value")
+    ax.set_ylabel("log10 density" if log_prob else "density")
+  else:
+    show = min(s, 25)
+    grid = int(math.ceil(math.sqrt(show)))
+    for comp in range(show):
+      ax = plt.subplot(grid, grid, comp + 1)
+      vals = codes[:, comp]
+      if ignore_zeros:
+        vals = vals[vals != 0]
+      if vals.size:
+        ax.hist(vals, num_hist_bins, density=True, log=log_prob)
+      ax.set_title(str(comp), fontsize=6)
+      ax.tick_params(labelsize=5)
+  return [fig]
+
+
+def display_2d_code_densities(two_codes, num_hist_bins, log_prob=False,
+                              plot_title=""):
+  """Joint histogram + contour of two code components
+  (reference plotting.py:801)."""
+  two_codes = np.asarray(two_codes)
+  assert two_codes.shape[1] == 2
+  counts, xedges, yedges = np.histogram2d(
+      two_codes[:, 0], two_codes[:, 1], bins=num_hist_bins, density=True)
+  if log_prob:
+    with np.errstate(divide="ignore"):
+      counts = np.log10(counts + 1e-12)
+  fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(12, 5))
+  fig.suptitle(plot_title)
+  ax0.imshow(counts.T, origin="lower", aspect="auto",
+             extent=(xedges[0], xedges[-1], yedges[0], yedges[-1]))
+  ax0.set_title("joint histogram")
+  xc = 0.5 * (xedges[:-1] + xedges[1:])
+  yc = 0.5 * (yedges[:-1] + yedges[1:])
+  ax1.contour(xc, yc, counts.T)
+  ax1.set_title("density contours")
+  return [fig]
