@@ -1,0 +1,141 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The key invariant: the data-parallel fused step produces the SAME
+dictionary/Hessian update as the single-device fused step on the
+identical global batch (psum of per-shard statistics == full-batch
+statistics), to float tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtc_tpu import parallel
+from vtc_tpu.training import sparse_coding as sc
+
+
+def _fc_problem(rng, b=32, s=24, n=16):
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  batch = rng.randn(b, n).astype(np.float32)
+  return d, batch
+
+
+def test_mesh_shapes():
+  mesh = parallel.make_mesh(data=4, code=2)
+  assert mesh.shape["data"] == 4 and mesh.shape["code"] == 2
+  mesh = parallel.make_mesh()
+  assert mesh.shape["data"] == 8 and mesh.shape["code"] == 1
+
+
+@pytest.mark.parametrize("update_alg", [
+    "sc_steepest_descent", "sc_cheap_quadratic_descent"])
+def test_shard_map_dp_matches_single_device_fc(rng, update_alg):
+  d0, batch = _fc_problem(rng)
+  hess0 = np.abs(rng.rand(24)).astype(np.float32) * 0.01
+  mesh = parallel.make_mesh(data=8)
+
+  single = sc.build_train_step("fully-connected", "fista", update_alg)
+  d1, h1, c1 = single(jnp.asarray(d0), jnp.asarray(hess0),
+                      jnp.asarray(batch), jnp.float32(0.05),
+                      jnp.int32(10), jnp.float32(0.1), 1,
+                      jnp.float32(0.0))
+
+  sharded = parallel.build_shard_map_train_step(
+      mesh, "fully-connected", "fista", update_alg)
+  d2, h2, c2 = sharded(jnp.asarray(d0), jnp.asarray(hess0),
+                       jnp.asarray(batch), jnp.float32(0.05),
+                       jnp.int32(10), jnp.float32(0.1))
+
+  np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+
+
+def test_shard_map_dp_matches_single_device_subspace(rng):
+  d0, batch = _fc_problem(rng, b=16, s=16, n=16)
+  groups = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]]
+  hess0 = np.zeros(16, np.float32)
+  mesh = parallel.make_mesh(data=4)
+
+  kw = dict(group_assignments=groups, alignment_penalty=0.2)
+  single = sc.build_train_step(
+      "fully-connected", "subspace_fista",
+      "subspace_sc_cheap_quadratic_descent", **kw)
+  d1, h1, _ = single(jnp.asarray(d0), jnp.asarray(hess0),
+                     jnp.asarray(batch), jnp.float32(0.05), jnp.int32(8),
+                     jnp.float32(0.1), 1, jnp.float32(0.0))
+  sharded = parallel.build_shard_map_train_step(
+      mesh, "fully-connected", "subspace_fista",
+      "subspace_sc_cheap_quadratic_descent", **kw)
+  d2, h2, _ = sharded(jnp.asarray(d0), jnp.asarray(hess0),
+                      jnp.asarray(batch), jnp.float32(0.05),
+                      jnp.int32(8), jnp.float32(0.1))
+  np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+
+
+def test_shard_map_dp_matches_single_device_conv(rng):
+  k, stride, img = 4, (2, 2), 8
+  pad = ((2, 2), (2, 2))
+  h = img + 4
+  batch = np.zeros((8, 1, h, h), np.float32)
+  batch[:, :, 2:-2, 2:-2] = rng.randn(8, 1, img, img)
+  d0 = rng.randn(6, 1, k, k).astype(np.float32)
+  d0 /= np.sqrt((d0**2).sum(axis=(1, 2, 3), keepdims=True))
+  hess0 = np.zeros(6, np.float32)
+  mesh = parallel.make_mesh(data=8)
+
+  kw = dict(kernel_stride=stride, padding=pad)
+  single = sc.build_train_step(
+      "convolutional", "ista", "sc_cheap_quadratic_descent", **kw)
+  d1, h1, _ = single(jnp.asarray(d0), jnp.asarray(hess0),
+                     jnp.asarray(batch), jnp.float32(0.02), jnp.int32(5),
+                     jnp.float32(0.05), 1, jnp.float32(0.0))
+  sharded = parallel.build_shard_map_train_step(
+      mesh, "convolutional", "ista", "sc_cheap_quadratic_descent", **kw)
+  d2, h2, _ = sharded(jnp.asarray(d0), jnp.asarray(hess0),
+                      jnp.asarray(batch), jnp.float32(0.02),
+                      jnp.int32(5), jnp.float32(0.05))
+  np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+
+
+@pytest.mark.parametrize("shard_code", [False, True])
+def test_pjit_dp_tp_step(rng, shard_code):
+  """GSPMD path: DP over 'data', optional dictionary-row sharding over
+  'code'; result must match the single-device step."""
+  d0, batch = _fc_problem(rng, b=16, s=32, n=16)
+  hess0 = np.zeros(32, np.float32)
+  mesh = parallel.make_mesh(data=4, code=2)
+
+  single = sc.build_train_step(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent")
+  d1, h1, c1 = single(jnp.asarray(d0), jnp.asarray(hess0),
+                      jnp.asarray(batch), jnp.float32(0.05),
+                      jnp.int32(10), jnp.float32(0.1), 1,
+                      jnp.float32(0.0))
+  sharded = parallel.build_pjit_train_step(
+      mesh, "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      shard_code_axis=shard_code)
+  d2, h2, c2 = sharded(jnp.asarray(d0), jnp.asarray(hess0),
+                       jnp.asarray(batch), jnp.float32(0.05),
+                       jnp.int32(10), jnp.float32(0.1))
+  np.testing.assert_allclose(np.asarray(c2), c1, atol=1e-4)
+  np.testing.assert_allclose(np.asarray(d2), d1, atol=1e-4)
+  np.testing.assert_allclose(np.asarray(h2), h1, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+  """The driver's multi-chip dry run must work with 8 virtual devices."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "__graft_entry__", "/root/repo/__graft_entry__.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  fn, args = mod.entry()
+  out = jax.jit(fn)(*args)
+  assert np.isfinite(np.asarray(out)).all()
+  mod.dryrun_multichip(8)
+  mod.dryrun_multichip(4)

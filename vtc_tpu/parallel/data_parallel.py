@@ -1,0 +1,203 @@
+"""Sharded fused train steps: explicit shard_map DP and GSPMD pjit DP+TP.
+
+Two interchangeable builders (both return compiled callables with the
+same signature as the single-device fused step minus the static tail):
+
+  build_shard_map_train_step -- explicit SPMD: the batch is sharded over
+    the mesh's 'data' axis, the dictionary and Hessian EMA are
+    replicated, and the dictionary gradient + Hessian statistics are
+    ``psum``-reduced across the axis each update iteration.  Covers every
+    algorithm combination (fc / conv x steepest / cheap-quadratic /
+    subspace rules).  Produces the SAME update as the single-device step
+    on the identical global batch (up to float reduction order) -- the
+    invariant tested on the virtual 8-device mesh.
+
+  build_pjit_train_step -- GSPMD: the same raw step is jitted with
+    NamedShardings (batch over 'data', dictionary rows optionally over
+    'code' for very large dictionaries); XLA inserts the collectives.
+
+Design notes: the dictionary is small (s x n floats) relative to patch
+batches, so DP-with-replicated-dictionary is the right default; 'code'
+sharding exists for heavily overcomplete dictionaries where s >> n and
+the s x s Gram dominates HBM.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vtc_tpu.analysis_transforms.convolutional import (
+    ista_fista as conv_ista_fista)
+from vtc_tpu.analysis_transforms.fully_connected import (
+    ista_fista as fc_ista_fista)
+from vtc_tpu.analysis_transforms.fully_connected import subspace_ista_fista
+from vtc_tpu.dict_update_rules.fully_connected._subspace_common import (
+    alignment_regularization_gradients)
+from vtc_tpu.ops import conv_shapes
+from vtc_tpu.ops import convolutions as conv_ops
+from vtc_tpu.ops import lipschitz as lipschitz_ops
+from vtc_tpu.ops.precision import matmul_precision
+from vtc_tpu.training.sparse_coding import build_raw_step_fn
+
+
+def build_pjit_train_step(mesh, mode, inference_alg, update_alg, *,
+                          upd_num_iters=1, shard_code_axis=False,
+                          **config):
+  """GSPMD-sharded fused step.  Batch sharded over 'data'; dictionary
+  rows optionally sharded over 'code'.  Signature:
+    step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
+         upd_stepsize) -> (new_dictionary, new_hessian, codes)
+  """
+  raw = build_raw_step_fn(mode, inference_alg, update_alg, **config)
+
+  def step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
+           upd_stepsize):
+    return raw(dictionary, hessian, batch, sparsity_weight,
+               inf_num_iters, upd_stepsize, upd_num_iters,
+               jnp.float32(0.0))
+
+  code = "code" if shard_code_axis else None
+  if mode == "fully-connected":
+    dict_spec = P(code, None)
+    codes_spec = P("data", code)
+  else:
+    dict_spec = P(code, None, None, None)
+    codes_spec = P("data", code, None, None)
+  batch_spec = P("data") if mode == "fully-connected" else (
+      P("data", None, None, None))
+
+  def sh(spec):
+    return NamedSharding(mesh, spec)
+
+  return jax.jit(
+      step,
+      in_shardings=(sh(dict_spec), sh(P(code)), sh(batch_spec),
+                    sh(P()), sh(P()), sh(P())),
+      out_shardings=(sh(dict_spec), sh(P(code)), sh(codes_spec)))
+
+
+def build_shard_map_train_step(mesh, mode, inference_alg, update_alg, *,
+                               nonneg=False, hard_threshold=False,
+                               kernel_stride=None, padding=None,
+                               group_assignments=None,
+                               alignment_penalty=0.0, renormalize=True,
+                               fc_formulation="gram",
+                               lipschitz_method="eigvalsh",
+                               upd_num_iters=1, lowest_code_val=0.001):
+  """Explicit shard_map data-parallel fused step (see module docstring).
+
+  Signature of the returned compiled callable:
+    step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
+         upd_stepsize) -> (new_dictionary, new_hessian, codes)
+  ``batch`` is the GLOBAL batch; it gets sharded over the 'data' axis
+  (the leading dim must be divisible by the axis size).  Outputs:
+  dictionary/hessian replicated, codes sharded like the batch.
+  """
+  is_subspace_inf = inference_alg.startswith("subspace")
+  is_subspace_upd = update_alg.startswith("subspace")
+  variant = inference_alg[9:] if is_subspace_inf else inference_alg
+  uses_hessian = update_alg in ("sc_cheap_quadratic_descent",
+                                "subspace_sc_cheap_quadratic_descent")
+  data_size = mesh.shape["data"]
+
+  if group_assignments is not None:
+    code_size_hint = max(max(g) for g in group_assignments) + 1
+    gather_inds, valid_mask = subspace_ista_fista.pack_group_indices(
+        group_assignments, code_size_hint)
+
+  def infer(dictionary, batch_shard, sw, n_it):
+    if mode == "fully-connected":
+      if is_subspace_inf:
+        grouped = subspace_ista_fista.build_grouped_dictionary(
+            dictionary, gather_inds, valid_mask)
+        stepsize = lipschitz_ops.fista_stepsize(grouped, lipschitz_method)
+        init = jnp.zeros((batch_shard.shape[0],) + gather_inds.shape,
+                         batch_shard.dtype)
+        return subspace_ista_fista._solve(
+            batch_shard, grouped, gather_inds, valid_mask, sw, n_it,
+            stepsize, init, variant, False, None, fc_formulation,
+            dictionary.shape[0], True)
+      stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
+      init = jnp.zeros((batch_shard.shape[0], dictionary.shape[0]),
+                       batch_shard.dtype)
+      return fc_ista_fista._solve(
+          batch_shard, dictionary, sw, n_it, stepsize, init, variant,
+          nonneg, hard_threshold, None, fc_formulation)
+    flat = dictionary.reshape(dictionary.shape[0], -1)
+    stepsize = lipschitz_ops.fista_stepsize(flat, lipschitz_method)
+    sh_, sw_ = conv_ista_fista.code_spatial_dims(
+        batch_shard.shape, dictionary.shape, kernel_stride)
+    init = jnp.zeros(
+        (batch_shard.shape[0], dictionary.shape[0], sh_, sw_),
+        batch_shard.dtype)
+    mask = conv_shapes.create_mask(batch_shard.shape, padding,
+                                   batch_shard.dtype)
+    return conv_ista_fista._solve(
+        batch_shard, dictionary, mask, sw, n_it, stepsize, init,
+        tuple(kernel_stride), variant, nonneg, hard_threshold, None)
+
+  def local_step(dictionary, hessian, batch_shard, sw, n_it, upd_step):
+    with matmul_precision():
+      codes = infer(dictionary, batch_shard, sw, n_it)
+      local_b = batch_shard.shape[0]
+      global_b = local_b * data_size
+      if uses_hessian:
+        if mode == "fully-connected":
+          stat = jax.lax.psum(jnp.sum(codes**2, axis=0), "data")
+        else:
+          stat = jax.lax.psum(
+              jnp.sum(codes**2, axis=(0, 2, 3)), "data")
+        hessian = 0.99 * hessian + (stat / global_b) / 100.0
+
+      if mode == "convolutional":
+        mask = conv_shapes.create_mask(batch_shard.shape, padding,
+                                       batch_shard.dtype)
+
+      def body(_, d):
+        if mode == "fully-connected":
+          local_grad = codes.T @ (codes @ d - batch_shard)
+          grad = jax.lax.psum(local_grad, "data") / global_b
+          if is_subspace_upd and alignment_penalty != 0:
+            grad = grad + alignment_penalty * (
+                alignment_regularization_gradients(
+                    d, gather_inds, valid_mask, renormalize))
+          if uses_hessian:
+            grad = grad / (hessian + lowest_code_val)[:, None]
+          d = d - upd_step * grad
+          if renormalize:
+            d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+          return d
+        # convolutional: psum the batch-summed kernel gradient, then
+        # apply the single-device epilogue (hessian scale, norm
+        # rescale, renorm) on the GLOBAL gradient
+        local_grad = conv_ops.dictionary_gradient(
+            batch_shard, codes, d, kernel_stride, mask) * local_b
+        grad = jax.lax.psum(local_grad, "data") / global_b
+        if uses_hessian:
+          grad = grad / (hessian + lowest_code_val)[:, None, None, None]
+        grad = grad * (jnp.linalg.norm(d.ravel()) /
+                       jnp.linalg.norm(grad.ravel()))
+        d = d - upd_step * grad
+        if renormalize:
+          norms = jnp.sqrt(jnp.sum(d**2, axis=(1, 2, 3), keepdims=True))
+          d = d / norms
+        return d
+
+      new_dict = jax.lax.fori_loop(0, upd_num_iters, body, dictionary)
+      return new_dict, hessian, codes
+
+  if mode == "fully-connected":
+    batch_spec, codes_spec = P("data", None), P("data", None)
+    dict_spec = P(None, None)
+  else:
+    batch_spec = P("data", None, None, None)
+    codes_spec = P("data", None, None, None)
+    dict_spec = P(None, None, None, None)
+
+  sharded = jax.shard_map(
+      local_step, mesh=mesh,
+      in_specs=(dict_spec, P(None), batch_spec, P(), P(), P()),
+      out_specs=(dict_spec, P(None), codes_spec),
+      check_vma=False)
+  return jax.jit(sharded)

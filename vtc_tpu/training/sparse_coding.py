@@ -84,24 +84,25 @@ def iterate_batches(dataset):
 # ---------------------------------------------------------------------------
 # the fused train step
 # ---------------------------------------------------------------------------
-def build_train_step(mode, inference_alg, update_alg, *, nonneg=False,
-                     hard_threshold=False, kernel_stride=None, padding=None,
-                     group_assignments=None, alignment_penalty=0.0,
-                     renormalize=True, fc_formulation="gram",
-                     lipschitz_method="eigvalsh",
-                     compute_stepsize_in_step=True,
-                     lowest_code_val=0.001):
-  """Compile one fused (inference + EMA + update) step for a static
-  algorithm configuration.
+def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
+                      hard_threshold=False, kernel_stride=None,
+                      padding=None, group_assignments=None,
+                      alignment_penalty=0.0, renormalize=True,
+                      fc_formulation="gram", lipschitz_method="eigvalsh",
+                      compute_stepsize_in_step=True,
+                      lowest_code_val=0.001):
+  """Build the raw (unjitted) fused step for a static algorithm config.
 
-  Returned callable signature:
+  Signature of the returned python callable:
     step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
-         upd_stepsize, upd_num_iters(static), inf_stepsize)
+         upd_stepsize, upd_num_iters, inf_stepsize)
       -> (new_dictionary, new_hessian, codes)
 
   ``inf_stepsize`` is ignored when compute_stepsize_in_step (the 1/L is
   computed from the current dictionary inside the program); otherwise it
-  must hold a precomputed 1/L.
+  must hold a precomputed 1/L.  Used directly by jit (build_train_step),
+  by sharded pjit variants (vtc_tpu.parallel), and inside lax.scan epoch
+  programs (vtc_tpu.training.compiled_epoch / bench.py).
   """
   is_subspace_inf = inference_alg.startswith("subspace")
   variant = inference_alg[9:] if is_subspace_inf else inference_alg
@@ -208,9 +209,17 @@ def build_train_step(mode, inference_alg, update_alg, *, nonneg=False,
                       upd_num_iters)
     return new_dict, hessian, codes
 
-  # NOTE: dictionary/hessian are NOT donated: the trainer keeps the
-  # previous dictionary alive for the |delta D| metric, and both arrays
-  # are tiny compared to the batch compute.
+  return step
+
+
+def build_train_step(*args, **kwargs):
+  """Jit-compile the fused train step (see build_raw_step_fn).
+
+  NOTE: dictionary/hessian are NOT donated: the trainer keeps the
+  previous dictionary alive for the |delta D| metric, and both arrays
+  are tiny compared to the batch compute.
+  """
+  step = build_raw_step_fn(*args, **kwargs)
   return jax.jit(step, static_argnames=("upd_num_iters",))
 
 
