@@ -53,11 +53,16 @@ def build_epoch_fn(raw_step):
   return jax.jit(epoch)
 
 
-def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None):
+def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
+            formulation="pallas"):
   """Time `timed_calls` executions of a compiled scan over `scan_steps`
   fused train steps.  The per-call host<->device round trip through the
   runtime costs ~30 ms here, so throughput is measured with large scans
-  that amortize it (the same way production training would run)."""
+  that amortize it (the same way production training would run).
+
+  formulation: 'pallas' (fused VMEM-resident FISTA kernel, full-f32
+  parity grade), 'gram' (XLA while_loop), 'direct' (reference's literal
+  two-matmul iteration)."""
   import jax
   import jax.numpy as jnp
 
@@ -65,7 +70,7 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None):
 
   raw = build_raw_step_fn(
       "fully-connected", "fista", "sc_cheap_quadratic_descent",
-      lipschitz_method="power")
+      lipschitz_method="power", fc_formulation=formulation)
   epoch_fn = build_epoch_fn(raw)
 
   rng = np.random.RandomState(0)
@@ -107,11 +112,13 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     global FISTA_ITERS
     FISTA_ITERS = 5
-    pps_ref, epoch_seconds = measure(32, 2, timed_calls=1, log=log)
+    pps_ref, epoch_seconds = measure(32, 2, timed_calls=1, log=log,
+                                     formulation="gram")
     pps_big = pps_ref
   else:
     # headline: the reference's own flagship config -- batch 250, 1M
-    # patches/epoch (4 calls x 1000 scanned steps x 250 = exactly 1M)
+    # patches/epoch (4 calls x 1000 scanned steps x 250 = exactly 1M),
+    # fused Pallas FISTA kernel at full-f32 (parity-grade) precision
     pps_ref, epoch_seconds = measure(250, 1000, timed_calls=4, log=log)
     pps_big, _ = measure(2048, 64, timed_calls=3, log=log)
 

@@ -90,11 +90,21 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
     (b, s) float32 codes.
   """
   assert variant in ("ista", "fista")
-  assert formulation in ("gram", "direct")
+  assert formulation in ("gram", "direct", "pallas")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   if stepsize is None:
     stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
+  if formulation == "pallas":
+    if initial_codes is None and early_stopping_epsilon is None:
+      from vtc_tpu.ops.pallas_fista import fista_solve_pallas
+      return fista_solve_pallas(
+          images, dictionary, sparsity_weight, num_iters, stepsize,
+          variant=variant, nonneg=bool(nonnegative_only),
+          hard=bool(hard_threshold),
+          interpret=jax.default_backend() != "tpu")
+    # warm starts / early stopping: fall back to the XLA gram path
+    formulation = "gram"
   if initial_codes is None:
     initial_codes = jnp.zeros(
         (images.shape[0], dictionary.shape[0]), images.dtype)

@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the fully-connected ISTA/FISTA solver.
+
+The entire iterative solve runs inside ONE kernel with all state resident
+in VMEM -- the design the XLA path cannot express, because each
+while_loop iteration's matmul output round-trips through HBM:
+
+  precompute (XLA, once per solve):   G = D D^T   (s, s)
+                                      c = X D^T   (b, s)
+  kernel (per batch tile, VMEM-resident):
+      loop k = 1..num_iters:
+          codes = shrink(z - eta * (z G - c), lam * eta)
+          fista: t' = (1+sqrt(1+4t^2))/2 ; z = codes + ((t-1)/t') (codes-old)
+          old = codes
+
+Grid: 1-d over batch tiles; G is broadcast to every tile (same block),
+z / old / codes tiles live in VMEM scratch/registers across ALL
+iterations.  ``num_iters`` arrives as a scalar-prefetch argument, so
+schedule changes never recompile.  The matmul hits the MXU with float32
+(``preferred_element_type``) by default; ``use_bf16=True`` casts the
+operands to bfloat16 for ~3x MXU throughput at reduced (~1e-2) parity.
+
+Used automatically by the fc solver on TPU via formulation='pallas'
+(falls back to interpret mode off-TPU in tests).
+
+Reference semantics mirrored: fully_connected/ista_fista.py:100-146.
+Early stopping is NOT supported here (the global-mean stop test needs a
+cross-tile reduction every iteration); callers with
+early_stopping_epsilon use the XLA while_loop path instead.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vtc_tpu.ops.precision import matmul_precision
+
+_LANES = 128
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # full f32 (multi-pass MXU)
+    "default": jax.lax.Precision.DEFAULT,  # single bf16 pass
+}  # (Precision.HIGH is not supported by the Mosaic lowering)
+
+
+def _round_up(x, m):
+  return -(-x // m) * m
+
+
+def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, out_ref):
+    num_iters = niter_ref[0]
+    eta = scalars_ref[0]
+    lam_eta = scalars_ref[1]
+    gram = gram_ref[:]
+    corr = corr_ref[:]
+    if use_bf16:
+      gram = gram.astype(jnp.bfloat16)
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
+
+    zeros = jnp.zeros(corr.shape, jnp.float32)
+
+    def body(_, carry):
+      z, old, t_k = carry
+      zmul = z.astype(jnp.bfloat16) if use_bf16 else z
+      # precision must be pinned explicitly: Mosaic's default feeds the
+      # MXU bf16 operands even for f32 inputs (observed 1e-1 code error
+      # on v5e without this)
+      grad = jnp.dot(
+          zmul, gram, preferred_element_type=jnp.float32,
+          precision=(jax.lax.Precision.DEFAULT if use_bf16
+                     else _PRECISIONS[mxu_precision]))
+      codes = threshold(z - eta * grad + eta * corr)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        z_next = codes + beta * (codes - old)
+        return z_next, codes, t_next
+      return codes, codes, t_k
+
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, body, (zeros, zeros, jnp.float32(1.0)))
+    out_ref[:] = codes
+
+  return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("variant", "nonneg", "hard", "use_bf16",
+                     "batch_tile", "interpret", "mxu_precision"))
+def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
+                       stepsize, *, variant="fista", nonneg=False,
+                       hard=False, use_bf16=False, batch_tile=256,
+                       interpret=False, mxu_precision="highest"):
+  """Solve the LASSO codes for a batch with the fused Pallas kernel.
+
+  Args:
+    images: (b, n) float32.
+    dictionary: (s, n) float32.
+    sparsity_weight, num_iters, stepsize: dynamic scalars (num_iters may
+      change between calls without recompiling).
+    variant/nonneg/hard: static algorithm flags.
+    use_bf16: cast matmul operands to bfloat16 (3x MXU, ~1e-1 parity).
+    mxu_precision: 'highest' (full f32, parity grade) | 'default'
+      (single bf16 MXU pass); ignored when use_bf16.
+    batch_tile: rows of the batch each grid cell owns.
+    interpret: run in interpreter mode (for CPU tests).
+
+  Returns:
+    (b, s) float32 codes.  Zero-init only (no warm start): the kernel
+    owns its state; warm-started solves use the XLA path.
+  """
+  b, n = images.shape
+  s = dictionary.shape[0]
+  s_pad = _round_up(s, _LANES)
+  b_pad = _round_up(b, batch_tile)
+
+  with matmul_precision():
+    gram = dictionary @ dictionary.T
+    corr = images @ dictionary.T
+  # zero-pad the code dimension: padded columns of G/c are zero, so the
+  # padded code entries stay exactly 0 through every iteration
+  gram = jnp.pad(gram, ((0, s_pad - s), (0, s_pad - s)))
+  corr = jnp.pad(corr, ((0, b_pad - b), (0, s_pad - s)))
+
+  eta = jnp.asarray(stepsize, jnp.float32)
+  scalars = jnp.stack([eta, jnp.asarray(sparsity_weight,
+                                        jnp.float32) * eta])
+  niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision)
+  grid = (b_pad // batch_tile,)
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=grid,
+          in_specs=[
+              pl.BlockSpec((s_pad, s_pad), lambda i, *_: (0, 0)),
+              pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
+          ],
+          out_specs=pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
+      ),
+      out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+      interpret=interpret,
+      cost_estimate=pl.CostEstimate(
+          flops=2 * b_pad * s_pad * s_pad * 100,
+          bytes_accessed=(s_pad * s_pad + 2 * b_pad * s_pad) * 4,
+          transcendentals=0),
+  )(niter, scalars, gram, corr)
+  return out[:b, :s]

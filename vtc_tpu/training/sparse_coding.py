@@ -25,7 +25,8 @@ TPU-native architecture (differs from the reference's per-op Python loop):
   * Extra knobs (defaults preserve reference semantics):
       'stepsize_update_interval': recompute 1/L every k batches (default 1)
       'lipschitz_method': 'eigvalsh' (default) | 'power'
-      'fc_formulation': 'gram' (default, one-matmul iteration) | 'direct'
+      'fc_formulation': 'gram' (default, one-matmul iteration) |
+          'direct' | 'pallas' (fused VMEM-resident kernel, TPU)
 """
 import time
 from pathlib import Path
@@ -133,10 +134,18 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
         return subspace_ista_fista._solve(
             batch, grouped_dict, gather_inds, valid_mask,
             sparsity_weight, num_iters, stepsize, init, variant, False,
-            None, fc_formulation, dictionary.shape[0], True)
+            None,
+            "gram" if fc_formulation == "pallas" else fc_formulation,
+            dictionary.shape[0], True)
       if compute_stepsize_in_step:
         stepsize = lipschitz_ops.fista_stepsize(
             dictionary, lipschitz_method)
+      if fc_formulation == "pallas":
+        from vtc_tpu.ops.pallas_fista import fista_solve_pallas
+        return fista_solve_pallas(
+            batch, dictionary, sparsity_weight, num_iters, stepsize,
+            variant=variant, nonneg=nonneg, hard=hard_threshold,
+            interpret=jax.default_backend() != "tpu")
       init = jnp.zeros((batch.shape[0], dictionary.shape[0]), batch.dtype)
       return fc_ista_fista._solve(
           batch, dictionary, sparsity_weight, num_iters, stepsize, init,
@@ -392,7 +401,9 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
       if inference_alg.startswith("subspace"):
         return subspace_ista_fista.run(
             batch, dictionary, group_assignments, sw, n_it,
-            variant=inference_alg[9:], formulation=fc_formulation,
+            variant=inference_alg[9:],
+            formulation=("gram" if fc_formulation == "pallas"
+                         else fc_formulation),
             lipschitz_method=lipschitz_method)
       return fc_ista_fista.run(
           batch, dictionary, sw, n_it, variant=inference_alg,
@@ -473,6 +484,9 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
               group_assignments=group_assignments,
               kernel_stride=kernel_stride, padding=padding,
               is_subspace=inference_alg.startswith("subspace")))
+        assert all_metrics, (
+            "validation dataset yielded no batches (check batch size vs "
+            "dataset size / drop_last)")
         averaged = {k: float(np.mean([m[k] for m in all_metrics]))
                     for k in all_metrics[0]}
         for name, value in averaged.items():
