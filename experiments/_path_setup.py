@@ -1,0 +1,7 @@
+"""Repo-checkout import bootstrap for experiment scripts."""
+import sys
+from pathlib import Path
+
+_root = str(Path(__file__).resolve().parent.parent)
+if _root not in sys.path:
+  sys.path.insert(0, _root)

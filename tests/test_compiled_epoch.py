@@ -1,0 +1,63 @@
+"""The scanned (compiled-segment) trainer must reproduce the per-batch
+trainer exactly on the same batch sequence."""
+import numpy as np
+
+from vtc_tpu.training import compiled_epoch
+from vtc_tpu.training import sparse_coding as sc
+
+
+def test_scanned_matches_perbatch_trainer(rng, tmp_path):
+  basis = rng.randn(8, 32)
+  w = rng.randn(6 * 16, 8) * 2.0
+  data = (w @ basis + 0.2 * rng.randn(96, 32)).astype(
+      np.float32).reshape(6, 16, 32)
+  d0 = rng.randn(48, 32).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 3,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 10},
+          7: {"sparsity_weight": 0.04, "num_iters": 20}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.1, "num_iters": 1},
+          11: {"stepsize": 0.05, "num_iters": 2}},
+      # keep both paths on the same formulation (the CPU test backend
+      # would run pallas in slow interpret mode)
+      "fc_formulation": "gram",
+      "lipschitz_method": "eigvalsh",
+  }
+  ref = np.asarray(sc.train_dictionary(data, data[:1], d0, params))
+  fast = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, params))
+  np.testing.assert_allclose(fast, ref, atol=2e-5)
+
+
+def test_scanned_with_checkpoints_and_rp(rng, tmp_path):
+  data = rng.randn(4, 16, 24).astype(np.float32).reshape(4, 16, 24)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "ista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8}},
+      "dictionary_update_algorithm": "sc_steepest_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.01, "num_iters": 1}},
+      "checkpoint_schedule": {3, 7},
+      "logging_folder_fullpath": tmp_path / "scanrun",
+      "dict_element_rp_schedule": {
+          5: {"filter_type": "random",
+              "filter_params": {"num_to_modify": 2},
+              "action": "reset"}},
+      "fc_formulation": "gram",
+  }
+  final = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, params))
+  assert final.shape == (24, 24)
+  assert (tmp_path / "scanrun" / "checkpoint_dictionary_iter_3").exists()
+  assert (tmp_path / "scanrun" / "checkpoint_dictionary_iter_7").exists()

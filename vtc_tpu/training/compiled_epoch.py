@@ -1,0 +1,201 @@
+"""Production fast path: whole training segments as one compiled scan.
+
+``train_dictionary`` (vtc_tpu.training.sparse_coding) dispatches one
+fused step per batch from Python -- fine when per-call overhead is
+negligible, but the TPU-native production shape is a ``lax.scan`` over
+HBM-resident batches with zero Python in the loop (this is also what
+bench.py measures).  ``train_dictionary_scanned`` provides that as a
+first-class API with the SAME ``all_params`` schema and identical
+semantics: the epoch is split into segments at every scheduled event
+(parameter change, checkpoint, visualization, reset/prune), each segment
+runs as one compiled scan, and events execute host-side at the exact
+iteration they are scheduled for.
+
+Requirements vs the flexible trainer: datasets must be stacked arrays
+(k, b, n) / (k, b, c, h, w) (use data.jax_pipeline.DevicePatchPipeline.
+sample_epoch or np.reshape), and early stopping inside inference is
+unavailable (data-dependent trip counts would serialize the scan).
+"""
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtc_tpu.training import sparse_coding as sc
+
+
+def _segment_runner(raw_step, upd_num_iters):
+  """jit( (dictionary, hessian, batches, sw, n_it, upd_step) ->
+  (dictionary, hessian) ) scanning the fused step over the batch axis."""
+
+  def run(dictionary, hessian, batches, sw, n_it, upd_step):
+    def body(carry, batch):
+      d, h = carry
+      d, h, _ = raw_step(d, h, batch, sw, n_it, upd_step,
+                         upd_num_iters, jnp.float32(0.0))
+      return (d, h), ()
+
+    (dictionary, hessian), _ = jax.lax.scan(
+        body, (dictionary, hessian), batches)
+    return dictionary, hessian
+
+  return jax.jit(run)
+
+
+def train_dictionary_scanned(training_batches, validation_batches,
+                             init_dictionary, all_params):
+  """Train with compiled multi-batch segments.  Same ``all_params``
+  schema as sparse_coding.train_dictionary (minus early stopping);
+  returns the final dictionary.
+
+  training_batches: (k, b, n) or (k, b, c, h, w) array; each epoch runs
+  over axis 0 in order (shuffle between epochs by passing a freshly
+  shuffled array per call, or pre-shuffle k*b samples).
+  """
+  assert 0 in all_params["inference_param_schedule"]
+  assert 0 in all_params["dict_update_param_schedule"]
+  mode = all_params["mode"]
+  num_epochs = all_params["num_epochs"]
+  inference_alg = all_params["code_inference_algorithm"]
+  update_alg = all_params["dictionary_update_algorithm"]
+  inf_sched = all_params["inference_param_schedule"]
+  upd_sched = all_params["dict_update_param_schedule"]
+  kernel_stride = tuple(all_params["strides"]) if (
+      mode == "convolutional") else None
+  padding = all_params.get("padding") if mode == "convolutional" else None
+  group_assignments = all_params.get("group_assignments")
+  ckpt_sched = all_params.get("checkpoint_schedule") or set()
+  vis_sched = all_params.get("training_visualization_schedule") or set()
+  rp_sched = all_params.get("dict_element_rp_schedule") or {}
+  logging_path = all_params.get("logging_folder_fullpath")
+  if ckpt_sched or vis_sched:
+    assert logging_path is not None
+    logging_path = Path(logging_path)
+    logging_path.mkdir(parents=True, exist_ok=True)
+  tb_writer = None
+  if vis_sched:
+    from torch.utils.tensorboard import SummaryWriter
+    tb_writer = SummaryWriter(str(logging_path))
+
+  training_batches = jnp.asarray(np.asarray(training_batches))
+  k = training_batches.shape[0]
+  total_iters = num_epochs * k
+
+  # iteration indices at which python must regain control
+  boundaries = sorted(
+      {0, total_iters}
+      | set(inf_sched) | set(upd_sched) | set(ckpt_sched)
+      | set(vis_sched) | set(rp_sched))
+  boundaries = [x for x in boundaries if 0 <= x <= total_iters]
+  # epoch edges too (the scan slices are per-epoch contiguous)
+  boundaries = sorted(set(boundaries) | {e * k
+                                         for e in range(num_epochs + 1)})
+
+  def make_step():
+    return sc.build_raw_step_fn(
+        mode, inference_alg, update_alg,
+        nonneg=bool(all_params.get("nonnegative_only", False)),
+        hard_threshold=bool(all_params.get("hard_threshold", False)),
+        kernel_stride=kernel_stride, padding=padding,
+        group_assignments=group_assignments,
+        alignment_penalty=float(
+            all_params.get("subspace_alignment_penalty", 0.0)),
+        renormalize=bool(all_params.get("renormalize_dictionary", True)),
+        fc_formulation=all_params.get("fc_formulation", "pallas"
+                                      if jax.default_backend() == "tpu"
+                                      else "gram"),
+        lipschitz_method=all_params.get("lipschitz_method", "power"))
+
+  raw_step = make_step()
+  runners = {}
+
+  dictionary = jnp.asarray(np.asarray(init_dictionary), jnp.float32)
+  hessian = jnp.zeros(dictionary.shape[0], jnp.float32)
+  previous_dictionary = dictionary
+  sw = n_it = upd_step = upd_niters = None
+  start = time.time()
+
+  def handle_events(it):
+    nonlocal dictionary, hessian, group_assignments, raw_step, runners
+    nonlocal previous_dictionary, sw, n_it, upd_step, upd_niters
+    if it in inf_sched:
+      sw = float(inf_sched[it]["sparsity_weight"])
+      n_it = int(inf_sched[it]["num_iters"])
+    if it in upd_sched:
+      upd_step = float(upd_sched[it]["stepsize"])
+      upd_niters = int(upd_sched[it]["num_iters"])
+    if it in rp_sched:
+      from vtc_tpu.training import reset_prune
+      event = rp_sched[it]
+      v_codes = np.concatenate([
+          np.asarray(_infer(vb)) for vb in validation_batches], axis=0)
+      f_params = dict(event["filter_params"])
+      f_params["group_assignments"] = group_assignments
+      new_dict, affected, new_groups = (
+          reset_prune.reset_or_prune_dict_elements(
+              np.asarray(dictionary), v_codes, event["filter_type"],
+              f_params, event["action"]))
+      dictionary = jnp.asarray(new_dict)
+      if event["action"] == "prune" and len(affected):
+        group_assignments = new_groups
+        keep = np.ones(len(np.asarray(hessian)), bool)
+        keep[np.asarray(affected, int)] = False
+        hessian = jnp.asarray(np.asarray(hessian)[keep])
+        raw_step = make_step()
+        runners = {}
+      previous_dictionary = dictionary
+    if it in ckpt_sched:
+      from vtc_tpu.utils import checkpoint as ckpt_util
+      ckpt_util.save_dictionary_checkpoint(logging_path, it,
+                                           np.asarray(dictionary))
+      ckpt_util.save_trainstate_sidecar(
+          logging_path, it, hessian_diagonal=hessian,
+          train_iteration=np.int64(it))
+    if it in vis_sched:
+      metrics = [sc.compute_metrics(
+          vb, _infer(vb), dictionary, previous_dictionary, mode=mode,
+          sparsity_weight=sw, group_assignments=group_assignments,
+          kernel_stride=kernel_stride, padding=padding,
+          is_subspace=inference_alg.startswith("subspace"))
+          for vb in validation_batches]
+      for name in metrics[0]:
+        tb_writer.add_scalar(
+            name, float(np.mean([m[name] for m in metrics])), it)
+
+  def _infer(batch):
+    d, h, codes = raw_step(
+        dictionary, hessian, jnp.asarray(batch), jnp.float32(sw),
+        jnp.int32(n_it), jnp.float32(0.0), 1, jnp.float32(0.0))
+    del d, h
+    return codes
+
+  for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
+    handle_events(seg_start)
+    if seg_end == seg_start:
+      continue
+    epoch = seg_start // k
+    lo, hi = seg_start - epoch * k, seg_end - epoch * k
+    assert 0 <= lo < hi <= k, "segments never straddle epochs"
+    previous_dictionary = dictionary
+    # decompose the segment into power-of-two chunks so the number of
+    # DISTINCT compiled scan lengths is O(log k) for the whole run
+    # (arbitrary segment lengths would each compile their own program,
+    # which is expensive on runtimes with slow remote compilation)
+    pos = lo
+    while pos < hi:
+      chunk = 1 << ((hi - pos).bit_length() - 1)
+      key = (id(raw_step), upd_niters, chunk)
+      if key not in runners:
+        runners[key] = _segment_runner(raw_step, upd_niters)
+      dictionary, hessian = runners[key](
+          dictionary, hessian, training_batches[pos:pos + chunk],
+          jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
+      pos += chunk
+  handle_events(total_iters)  # trailing checkpoint/vis events
+  if tb_writer is not None:
+    tb_writer.flush()
+  print("scanned training done in {:.2f}s ({} iterations)".format(
+      time.time() - start, total_iters))
+  return dictionary

@@ -113,23 +113,37 @@ def _runlength_symbols(recentered):
 
 
 def generate_ac_dc_huffman_tables(all_assignment_inds,
-                                  inds_of_zero_valued_cw):
+                                  inds_of_zero_valued_cw,
+                                  use_native=True):
   """Build AC and DC Huffman tables from a training set of quantization
   indices.
 
   Every legal run/size symbol gets at least weight 1 even if unseen in
   training (an unseen symbol at test time would otherwise be uncodable
   and corrupt the stream -- reference utils/jpeg.py:86-101).
+
+  ``use_native`` routes the symbol-counting scan through the C++ core
+  (vtc_tpu.utils.native_entropy) when it is available -- bit-identical,
+  ~two orders of magnitude faster on large training sets.
   """
-  ac_counts = defaultdict(int)
-  dc_counts = defaultdict(int)
   recentered = (np.asarray(all_assignment_inds)
                 - np.asarray(inds_of_zero_valued_cw)[None, :])
-  for row in recentered:
-    ac_symbols, _, dc_symbol, _ = _runlength_symbols(row)
-    for sym in ac_symbols:
-      ac_counts[sym] += 1
-    dc_counts[dc_symbol] += 1
+  if use_native:
+    from vtc_tpu.utils import native_entropy
+    use_native = native_entropy.available()
+  if use_native:
+    from vtc_tpu.utils import native_entropy
+    ac_native, dc_native = native_entropy.count_symbols(recentered)
+    ac_counts = defaultdict(int, ac_native)
+    dc_counts = defaultdict(int, dc_native)
+  else:
+    ac_counts = defaultdict(int)
+    dc_counts = defaultdict(int)
+    for row in recentered:
+      ac_symbols, _, dc_symbol, _ = _runlength_symbols(row)
+      for sym in ac_symbols:
+        ac_counts[sym] += 1
+      dc_counts[dc_symbol] += 1
   for run in range(15):
     for size in range(10):  # AC values need at most 10 bits per the spec
       sym = format(run, "x") + format(size, "x")

@@ -43,18 +43,42 @@ def compute_pSNR(target, reconstruction, manual_sig_mag=None):
 
 
 def compute_ssim(target, reconstruction, manual_sig_mag=None):
-  """Structural similarity with the Wang-2004 settings (gaussian weights,
-  sigma 1.5, no sample covariance)."""
-  from skimage.metrics import structural_similarity
-  target = np.asarray(target)
-  reconstruction = np.asarray(reconstruction)
+  """Mean structural similarity with the Wang-2004 settings: gaussian
+  windows (sigma 1.5, truncated at 3.5 sigma), K1=0.01, K2=0.03,
+  population (not sample) covariance.  Self-contained NumPy
+  implementation (no scikit-image dependency); matches
+  skimage.metrics.structural_similarity with gaussian_weights=True,
+  use_sample_covariance=False on 2-d inputs.
+  """
+  from scipy.ndimage import gaussian_filter
+  target = np.asarray(target, np.float64)
+  reconstruction = np.asarray(reconstruction, np.float64)
   if manual_sig_mag is None:
-    signal_magnitude = np.max(target) - np.min(target)
+    data_range = np.max(target) - np.min(target)
   else:
-    signal_magnitude = manual_sig_mag
-  return structural_similarity(
-      target, reconstruction, data_range=signal_magnitude,
-      gaussian_weights=True, sigma=1.5, use_sample_covariance=False)
+    data_range = manual_sig_mag
+  sigma, truncate = 1.5, 3.5
+  c1 = (0.01 * data_range) ** 2
+  c2 = (0.03 * data_range) ** 2
+
+  def smooth(x):
+    return gaussian_filter(x, sigma, truncate=truncate, mode="reflect")
+
+  mu_x = smooth(target)
+  mu_y = smooth(reconstruction)
+  var_x = smooth(target * target) - mu_x * mu_x
+  var_y = smooth(reconstruction * reconstruction) - mu_y * mu_y
+  cov_xy = smooth(target * reconstruction) - mu_x * mu_y
+  ssim_map = (((2 * mu_x * mu_y + c1) * (2 * cov_xy + c2)) /
+              ((mu_x**2 + mu_y**2 + c1) * (var_x + var_y + c2)))
+  # crop the filter-radius border like skimage does
+  pad = int(truncate * sigma + 0.5)
+  if all(dim > 2 * pad for dim in ssim_map.shape):
+    inner = ssim_map[tuple(slice(pad, dim - pad)
+                           for dim in ssim_map.shape)]
+  else:
+    inner = ssim_map
+  return float(np.mean(inner))
 
 
 def standardize_for_imshow(image):
