@@ -377,6 +377,10 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
   lipschitz_method = all_params.get("lipschitz_method", "eigvalsh")
   stepsize_interval = int(all_params.get("stepsize_update_interval", 1))
   in_step_stepsize = stepsize_interval <= 1
+  data_parallel = all_params.get("data_parallel", False)
+  profile_dir = all_params.get("profile_dir")
+  profile_start = int(all_params.get("profile_start_iteration", 5))
+  profile_steps = int(all_params.get("profile_num_steps", 5))
 
   uses_hessian = update_alg in ("sc_cheap_quadratic_descent",
                                 "subspace_sc_cheap_quadratic_descent")
@@ -384,14 +388,41 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
       mode == "convolutional"):
     raise NotImplementedError("subspace updates are fully-connected only")
 
-  def make_step():
-    return build_train_step(
-        mode, inference_alg, update_alg, nonneg=nonneg,
-        hard_threshold=hard_threshold, kernel_stride=kernel_stride,
-        padding=padding, group_assignments=group_assignments,
-        alignment_penalty=alignment_penalty, renormalize=renormalize,
-        fc_formulation=fc_formulation, lipschitz_method=lipschitz_method,
-        compute_stepsize_in_step=in_step_stepsize)
+  if data_parallel:
+    # explicit shard_map DP: batches shard over the mesh's 'data' axis,
+    # dictionary gradients / hessian statistics psum over it.  The
+    # update iteration count is a build-time constant there, so steps
+    # are cached per upd_num_iters (schedules rarely change it).
+    from vtc_tpu import parallel as vtc_parallel
+    dp_mesh = (data_parallel if hasattr(data_parallel, "shape")
+               else vtc_parallel.make_mesh())
+    _dp_cache = {}
+
+    def make_step():
+      def step(dictionary, hessian, batch, sw, n_it, upd_stp, n_upd,
+               _unused_stepsize):
+        if n_upd not in _dp_cache:
+          _dp_cache[n_upd] = vtc_parallel.build_shard_map_train_step(
+              dp_mesh, mode, inference_alg, update_alg, nonneg=nonneg,
+              hard_threshold=hard_threshold,
+              kernel_stride=kernel_stride, padding=padding,
+              group_assignments=group_assignments,
+              alignment_penalty=alignment_penalty,
+              renormalize=renormalize, fc_formulation=fc_formulation,
+              lipschitz_method=lipschitz_method, upd_num_iters=n_upd)
+        return _dp_cache[n_upd](dictionary, hessian, batch, sw, n_it,
+                                upd_stp)
+      return step
+  else:
+    def make_step():
+      return build_train_step(
+          mode, inference_alg, update_alg, nonneg=nonneg,
+          hard_threshold=hard_threshold, kernel_stride=kernel_stride,
+          padding=padding, group_assignments=group_assignments,
+          alignment_penalty=alignment_penalty, renormalize=renormalize,
+          fc_formulation=fc_formulation,
+          lipschitz_method=lipschitz_method,
+          compute_stepsize_in_step=in_step_stepsize)
 
   step_fn = make_step()
 
@@ -420,16 +451,30 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
   cached_inf_stepsize = jnp.float32(0.0)
 
   start_time = time.time()
+  last_print_time = start_time
+  patches_since_print = 0
   total_iter = 0
   sparsity_weight = inf_num_iters = None
   upd_stepsize = upd_num_iters = None
   for epoch_idx in range(num_epochs):
     for batch in iterate_batches(training_image_dataset):
       if total_iter % print_interval == 0 and total_iter != 0:
+        now = time.time()
+        rate = patches_since_print / max(now - last_print_time, 1e-9)
         print(total_iter, "iterations complete")
-        print("Time elapsed: {:.1f} seconds".format(
-            time.time() - start_time))
+        print("Time elapsed: {:.1f} seconds  ({:,.0f} patches/sec)"
+              .format(now - start_time, rate))
         print("-----")
+        last_print_time, patches_since_print = now, 0
+
+      # optional on-device profiler trace (jax.profiler) over a few
+      # steady-state steps
+      if profile_dir is not None and total_iter == profile_start:
+        jax.profiler.start_trace(str(profile_dir))
+      if (profile_dir is not None
+          and total_iter == profile_start + profile_steps):
+        jax.block_until_ready(dictionary)
+        jax.profiler.stop_trace()
 
       if total_iter in inf_schedule:
         sparsity_weight = float(inf_schedule[total_iter][
@@ -514,6 +559,7 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
           jnp.float32(sparsity_weight), jnp.int32(inf_num_iters),
           jnp.float32(upd_stepsize), upd_num_iters,
           cached_inf_stepsize)
+      patches_since_print += int(batch.shape[0])
       total_iter += 1
     print("Epoch", epoch_idx + 1, "finished")
 

@@ -68,3 +68,17 @@ def load_trainstate_sidecar(checkpoint_dir, iteration):
     return None
   with np.load(path) as data:
     return dict(data)
+
+
+def resume_training_state(checkpoint_dir):
+  """Everything needed to resume from the newest checkpoint.
+
+  Returns (dictionary, state_dict_or_None, iteration).  The reference's
+  resume story is dictionary-only re-init (utils/misc.py:9-22); when the
+  full-state sidecar exists this also restores the Hessian-diagonal EMA
+  and the iteration counter, making resume exact.
+  """
+  dictionary, iteration = load_newest_dictionary_checkpoint(
+      checkpoint_dir)
+  state = load_trainstate_sidecar(checkpoint_dir, iteration)
+  return dictionary, state, iteration
