@@ -58,6 +58,20 @@ def test_padding_correctness(rng):
   np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_warm_start(rng):
+  x, d = _problem(rng)
+  lam = 0.1
+  step = float(np.asarray(lipschitz_ops.fista_stepsize(
+      d.astype(np.float32))))
+  init = oracle.fc_ista_fista(x, d, lam, 30, "fista").astype(np.float32)
+  want = oracle.fc_ista_fista(x, d, lam, 5, "fista",
+                              initial_codes=init.astype(np.float64))
+  got = np.asarray(fista_solve_pallas(
+      x.astype(np.float32), d.astype(np.float32), lam, 5, step,
+      initial_codes=init, batch_tile=8, interpret=True))
+  np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_num_iters_is_dynamic(rng):
   """Different num_iters values reuse one compilation (scalar prefetch),
   and more iterations converge closer to the long-run solution."""

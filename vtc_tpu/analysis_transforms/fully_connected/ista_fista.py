@@ -96,14 +96,14 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
   if stepsize is None:
     stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
   if formulation == "pallas":
-    if initial_codes is None and early_stopping_epsilon is None:
+    if early_stopping_epsilon is None:
       from vtc_tpu.ops.pallas_fista import fista_solve_pallas
       return fista_solve_pallas(
           images, dictionary, sparsity_weight, num_iters, stepsize,
-          variant=variant, nonneg=bool(nonnegative_only),
-          hard=bool(hard_threshold),
+          initial_codes=initial_codes, variant=variant,
+          nonneg=bool(nonnegative_only), hard=bool(hard_threshold),
           interpret=jax.default_backend() != "tpu")
-    # warm starts / early stopping: fall back to the XLA gram path
+    # early stopping needs the cross-tile mean test: XLA gram path
     formulation = "gram"
   if initial_codes is None:
     initial_codes = jnp.zeros(

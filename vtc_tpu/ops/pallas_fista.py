@@ -51,7 +51,8 @@ def _round_up(x, m):
 def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
   use_fista = variant == "fista"
 
-  def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, out_ref):
+  def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, init_ref,
+             out_ref):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
@@ -69,7 +70,7 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
         return jnp.maximum(x - lam_eta, 0.0)
       return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
 
-    zeros = jnp.zeros(corr.shape, jnp.float32)
+    init = init_ref[:]
 
     def body(_, carry):
       z, old, t_k = carry
@@ -90,7 +91,7 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
       return codes, codes, t_k
 
     _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, body, (zeros, zeros, jnp.float32(1.0)))
+        0, num_iters, body, (init, init, jnp.float32(1.0)))
     out_ref[:] = codes
 
   return kernel
@@ -101,9 +102,10 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
     static_argnames=("variant", "nonneg", "hard", "use_bf16",
                      "batch_tile", "interpret", "mxu_precision"))
 def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
-                       stepsize, *, variant="fista", nonneg=False,
-                       hard=False, use_bf16=False, batch_tile=256,
-                       interpret=False, mxu_precision="highest"):
+                       stepsize, *, initial_codes=None, variant="fista",
+                       nonneg=False, hard=False, use_bf16=False,
+                       batch_tile=256, interpret=False,
+                       mxu_precision="highest"):
   """Solve the LASSO codes for a batch with the fused Pallas kernel.
 
   Args:
@@ -119,8 +121,9 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
     interpret: run in interpreter mode (for CPU tests).
 
   Returns:
-    (b, s) float32 codes.  Zero-init only (no warm start): the kernel
-    owns its state; warm-started solves use the XLA path.
+    (b, s) float32 codes.  ``initial_codes`` warm-starts the solve
+    (both the gradient evaluation point and the momentum anchor, like
+    the XLA path / reference fc/ista_fista.py:86-96).
   """
   b, n = images.shape
   s = dictionary.shape[0]
@@ -134,6 +137,11 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
   # padded code entries stay exactly 0 through every iteration
   gram = jnp.pad(gram, ((0, s_pad - s), (0, s_pad - s)))
   corr = jnp.pad(corr, ((0, b_pad - b), (0, s_pad - s)))
+  if initial_codes is None:
+    init = jnp.zeros((b_pad, s_pad), jnp.float32)
+  else:
+    init = jnp.pad(jnp.asarray(initial_codes, jnp.float32),
+                   ((0, b_pad - b), (0, s_pad - s)))
 
   eta = jnp.asarray(stepsize, jnp.float32)
   scalars = jnp.stack([eta, jnp.asarray(sparsity_weight,
@@ -150,6 +158,7 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
           in_specs=[
               pl.BlockSpec((s_pad, s_pad), lambda i, *_: (0, 0)),
               pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
+              pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
           ],
           out_specs=pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
       ),
@@ -157,7 +166,7 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
       interpret=interpret,
       cost_estimate=pl.CostEstimate(
           flops=2 * b_pad * s_pad * s_pad * 100,
-          bytes_accessed=(s_pad * s_pad + 2 * b_pad * s_pad) * 4,
+          bytes_accessed=(s_pad * s_pad + 3 * b_pad * s_pad) * 4,
           transcendentals=0),
-  )(niter, scalars, gram, corr)
+  )(niter, scalars, gram, corr, init)
   return out[:b, :s]
