@@ -27,18 +27,10 @@ args = parser.parse_args()
 
 PATCH = 8
 
-# 8x8 DCT-II basis, rows ordered by zigzag scan of the (u, v) grid --
-# the dictionary the reference loads from its pickled file
-# (examples/train_jpeg.py:56-63); we synthesize it directly.
-k = np.arange(PATCH)
-basis_1d = np.cos(np.pi * (k[:, None] + 0.5) * k[None, :] / PATCH)
-basis_1d[:, 0] *= 1.0 / np.sqrt(2.0)
-basis_1d *= np.sqrt(2.0 / PATCH)
-dct_2d = np.einsum("iu,jv->uvij", basis_1d, basis_1d).reshape(
-    PATCH * PATCH, PATCH * PATCH)  # (uv, ij): row = frequency pair
-order = matrix_zigzag.zigzag(
-    np.arange(PATCH * PATCH).reshape(PATCH, PATCH))
-dct_dictionary = dct_2d[order].astype(np.float32)
+# zigzag-ordered DCT dictionary (the reference loads this from a
+# pickled file, examples/train_jpeg.py:56-63; we synthesize it)
+from vtc_tpu.utils.dct import dct_dictionary_zigzag
+dct_dictionary = dct_dictionary_zigzag(PATCH)
 
 data = create_patch_training_set(
     args.num_train + args.num_test, (PATCH, PATCH), edge_buffer=4,

@@ -36,13 +36,8 @@ data = create_patch_training_set(
 train_imgs, test_imgs = data[:args.train_size], data[args.train_size:]
 signal_range = 255.0
 
-k = np.arange(PATCH)
-b1 = np.cos(np.pi * (k[:, None] + 0.5) * k[None, :] / PATCH)
-b1[:, 0] /= np.sqrt(2.0)
-b1 *= np.sqrt(2.0 / PATCH)
-dct = np.einsum("iu,jv->uvij", b1, b1).reshape(N, N)
-order = matrix_zigzag.zigzag(np.arange(N).reshape(PATCH, PATCH))
-dct = dct[order].astype(np.float32)
+from vtc_tpu.utils.dct import dct_dictionary_zigzag
+dct = dct_dictionary_zigzag(PATCH)
 
 train_codes = np.asarray(invertible_linear.run(
     train_imgs, dct, orthonormal=True))

@@ -79,13 +79,8 @@ sc_test_codes = np.asarray(ista_fista.run(
     test_imgs, sc_dict, args.sparsity * 255, 100))
 
 # DCT baseline codes
-k = np.arange(PATCH)
-b1 = np.cos(np.pi * (k[:, None] + 0.5) * k[None, :] / PATCH)
-b1[:, 0] /= np.sqrt(2.0)
-b1 *= np.sqrt(2.0 / PATCH)
-dct = np.einsum("iu,jv->uvij", b1, b1).reshape(N, N)
-order = matrix_zigzag.zigzag(np.arange(N).reshape(PATCH, PATCH))
-dct = dct[order].astype(np.float32)
+from vtc_tpu.utils.dct import dct_dictionary_zigzag
+dct = dct_dictionary_zigzag(PATCH)
 dct_train_codes = np.asarray(invertible_linear.run(
     train_imgs[:4000], dct, orthonormal=True))
 dct_test_codes = np.asarray(invertible_linear.run(

@@ -58,6 +58,10 @@ from vtc_tpu.dict_update_rules.fully_connected import (
 from vtc_tpu.ops import conv_shapes
 from vtc_tpu.ops import lipschitz as lipschitz_ops
 from vtc_tpu.training import reset_prune
+# public re-export for API parity with the reference, which exposes the
+# reset/prune entry point from this module (training/sparse_coding.py:522)
+from vtc_tpu.training.reset_prune import (  # noqa: F401
+    reset_or_prune_dict_elements)
 from vtc_tpu.utils import checkpoint as ckpt_util
 from vtc_tpu.utils import plotting as plot_utils
 
