@@ -36,19 +36,26 @@ FISTA_ITERS = 25
 
 
 def build_epoch_fn(raw_step):
+  """Scan the fused step with the Lipschitz eigenvector carried through
+  the scan: the dictionary drifts slowly, so 12 warm power iterations per
+  step track the exact Lipschitz constant to ~1e-4 relative at a
+  fraction of the cold 50-iteration cost (~40% of the step at b=250)."""
   import jax
   import jax.numpy as jnp
 
-  def epoch(dictionary, hessian, data, sw, n_it, upd_step):
-    def body(carry, batch):
-      d, h = carry
-      d, h, _ = raw_step(d, h, batch, sw, n_it, upd_step, 1,
-                         jnp.float32(0.0))
-      return (d, h), ()
+  from vtc_tpu.ops import lipschitz as lip
 
-    (dictionary, hessian), _ = jax.lax.scan(
-        body, (dictionary, hessian), data)
-    return dictionary, hessian
+  def epoch(dictionary, hessian, eigvec, data, sw, n_it, upd_step):
+    def body(carry, batch):
+      d, h, v = carry
+      eigval, v = lip.power_iterate(d, v, num_iters=12)
+      d, h, _ = raw_step(d, h, batch, sw, n_it, upd_step, 1,
+                         1.0 / eigval)
+      return (d, h, v), ()
+
+    (dictionary, hessian, eigvec), _ = jax.lax.scan(
+        body, (dictionary, hessian, eigvec), data)
+    return dictionary, hessian, eigvec
 
   return jax.jit(epoch)
 
@@ -70,7 +77,7 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
   raw = build_raw_step_fn(
       "fully-connected", "fista", "sc_cheap_quadratic_descent",
-      lipschitz_method="power", fc_formulation=formulation)
+      compute_stepsize_in_step=False, fc_formulation=formulation)
   epoch_fn = build_epoch_fn(raw)
 
   rng = np.random.RandomState(0)
@@ -79,19 +86,25 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
   hessian = np.zeros(S, np.float32)
   data = rng.randn(scan_steps, batch_size, N).astype(np.float32)
 
+  from vtc_tpu.ops import lipschitz as lip
+
   d = jnp.asarray(dictionary)
   h = jnp.asarray(hessian)
+  # one cold 50-iteration solve seeds the carried eigenvector; the scan
+  # then only refreshes it
+  _, v = lip.power_iterate(d, jnp.asarray(
+      rng.randn(N).astype(np.float32)), num_iters=50)
   data = jnp.asarray(data)
   args = (jnp.float32(0.008), jnp.int32(FISTA_ITERS), jnp.float32(0.1))
 
   t0 = time.time()
-  d1, h1 = epoch_fn(d, h, data, *args)
+  d1, h1, v1 = epoch_fn(d, h, v, data, *args)
   float(jnp.sum(d1))  # true sync (block_until_ready is unreliable here)
   log(f"b={batch_size}: compile+first call {time.time() - t0:.1f}s")
 
   t0 = time.time()
   for _ in range(timed_calls):
-    d1, h1 = epoch_fn(d1, h1, data, *args)
+    d1, h1, v1 = epoch_fn(d1, h1, v1, data, *args)
   float(jnp.sum(d1))  # one sync at the end; calls pipeline on-device
   dt = time.time() - t0
   patches = scan_steps * batch_size * timed_calls

@@ -57,6 +57,29 @@ def top_gram_eigenvalue_power(matrix, num_iters: int = 50, seed: int = 0):
     return v @ (gram @ v)
 
 
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def power_iterate(matrix, v, num_iters: int = 4):
+  """Refine an eigenvector estimate of the Gram of ``matrix``.
+
+  Warm-start support for training loops: the dictionary changes slowly
+  between batches, so carrying the eigenvector through the scan and
+  refreshing it with a handful of iterations per step gives the same
+  stepsize as a cold 50-iteration solve at a fraction of the cost
+  (trajectory equivalence tested in tests/test_fc_ista_fista.py).
+
+  Returns (top_eigenvalue_estimate, refreshed_unit_eigenvector).
+  """
+  with matmul_precision():
+    gram = _smaller_gram(matrix)
+
+    def body(_, vec):
+      w = gram @ vec
+      return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, num_iters, body, v / jnp.linalg.norm(v))
+    return v @ (gram @ v), v
+
+
 def top_gram_eigenvalue(matrix, method: str = "eigvalsh"):
   """Dispatch on method in {'eigvalsh', 'power'}."""
   if method == "eigvalsh":
