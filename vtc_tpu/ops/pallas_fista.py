@@ -41,7 +41,11 @@ _LANES = 128
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # full f32 (multi-pass MXU)
     "default": jax.lax.Precision.DEFAULT,  # single bf16 pass
-}  # (Precision.HIGH is not supported by the Mosaic lowering)
+}
+# 'bf16x3' (see _make_kernel) emulates 3-pass f32 by hand: both operands
+# are split into bf16 hi+lo parts and the three significant products are
+# summed in f32 -- half the MXU passes of HIGHEST at ~1e-5 relative
+# accuracy.  (Mosaic rejects jax.lax.Precision.HIGH outright.)
 
 
 def _round_up(x, m):
@@ -60,6 +64,9 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
     corr = corr_ref[:]
     if use_bf16:
       gram = gram.astype(jnp.bfloat16)
+    elif mxu_precision == "bf16x3":
+      gram_hi = gram.astype(jnp.bfloat16)
+      gram_lo = (gram - gram_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def threshold(x):
       if hard:
@@ -72,16 +79,26 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
 
     init = init_ref[:]
 
+    def _dot_bf16(a, b):
+      return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT)
+
     def body(_, carry):
       z, old, t_k = carry
-      zmul = z.astype(jnp.bfloat16) if use_bf16 else z
-      # precision must be pinned explicitly: Mosaic's default feeds the
-      # MXU bf16 operands even for f32 inputs (observed 1e-1 code error
-      # on v5e without this)
-      grad = jnp.dot(
-          zmul, gram, preferred_element_type=jnp.float32,
-          precision=(jax.lax.Precision.DEFAULT if use_bf16
-                     else _PRECISIONS[mxu_precision]))
+      if use_bf16:
+        grad = _dot_bf16(z.astype(jnp.bfloat16), gram)
+      elif mxu_precision == "bf16x3":
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        grad = (_dot_bf16(z_hi, gram_hi) + _dot_bf16(z_lo, gram_hi)
+                + _dot_bf16(z_hi, gram_lo))
+      else:
+        # precision must be pinned explicitly: Mosaic's default feeds
+        # the MXU bf16 operands even for f32 inputs (observed 1e-1 code
+        # error on v5e without this)
+        grad = jnp.dot(
+            z, gram, preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[mxu_precision])
       codes = threshold(z - eta * grad + eta * corr)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
@@ -115,8 +132,10 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
       change between calls without recompiling).
     variant/nonneg/hard: static algorithm flags.
     use_bf16: cast matmul operands to bfloat16 (3x MXU, ~1e-1 parity).
-    mxu_precision: 'highest' (full f32, parity grade) | 'default'
-      (single bf16 MXU pass); ignored when use_bf16.
+    mxu_precision: 'highest' (full f32, parity grade) | 'bf16x3'
+      (hand-split 3-pass f32 emulation, ~1e-5 accuracy at ~2x the
+      matmul speed of 'highest') | 'default' (single bf16 MXU pass);
+      ignored when use_bf16.
     batch_tile: rows of the batch each grid cell owns.
     interpret: run in interpreter mode (for CPU tests).
 
