@@ -515,6 +515,9 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
 
       # ---- checkpointing ----
       if ckpt_sched is not None and total_iter in ckpt_sched:
+        from vtc_tpu.utils.debug import assert_dictionary_healthy
+        assert_dictionary_healthy(dictionary,
+                                  "iteration " + str(total_iter))
         ckpt_util.save_dictionary_checkpoint(
             logging_path, total_iter, np.asarray(dictionary))
         ckpt_util.save_trainstate_sidecar(
