@@ -19,14 +19,36 @@ lowers to exactly the dilated convolution the reference hand-writes.
 Layouts are NCHW for data and OIHW (s, c, kh, kw) for kernels, matching
 the reference's tensor conventions (training/sparse_coding.py:14-51).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 
+from vtc_tpu.ops import conv_matmul
+
 _DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+# The matmul (fold/unfold) formulation is MXU-shaped and ~an order of
+# magnitude faster on TPU for grayscale dictionaries; it applies when
+# the kernel tiles the stride.  VTC_CONV_IMPL=conv forces the lax.conv
+# path (used by the equivalence tests).
+_FORCE_CONV = os.environ.get("VTC_CONV_IMPL", "auto") == "conv"
+
+
+def _use_matmul(dict_shape, stride):
+  return not _FORCE_CONV and conv_matmul.supported(dict_shape, stride)
 
 
 def analyze(images, dictionary, stride):
   """Strided cross-correlation: (b,c,h,w) x (s,c,kh,kw) -> (b,s,sh,sw)."""
+  if _use_matmul(dictionary.shape, stride):
+    from vtc_tpu.ops import conv_shapes
+    sh = conv_shapes.code_dim_from_padded_img_dim(
+        images.shape[2], dictionary.shape[2], stride[0])
+    sw = conv_shapes.code_dim_from_padded_img_dim(
+        images.shape[3], dictionary.shape[3], stride[1])
+    return conv_matmul.analyze_matmul(images, dictionary, stride,
+                                      (sh, sw))
   return jax.lax.conv_general_dilated(
       images, dictionary, window_strides=tuple(stride), padding="VALID",
       dimension_numbers=_DIMNUMS)
@@ -39,6 +61,8 @@ def synthesize(codes, dictionary, stride):
   (spatially flipped kernels, I/O channels swapped), matching torch's
   conv_transpose2d semantics used by the reference.
   """
+  if _use_matmul(dictionary.shape, stride):
+    return conv_matmul.synthesize_matmul(codes, dictionary, stride)
   return jax.lax.conv_transpose(
       codes, dictionary, strides=tuple(stride), padding="VALID",
       dimension_numbers=_DIMNUMS, transpose_kernel=True)
