@@ -146,6 +146,7 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
     (b, s) codes, or the tuple described above.
   """
   assert variant in ("ista", "fista")
+  assert formulation in ("gram", "direct", "pallas")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   code_size = dictionary.shape[0]
@@ -155,6 +156,21 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
     # Reference takes the top eigenvalue of the *grouped* Gram
     # (subspace_ista_fista.py:115-123).
     stepsize = lipschitz_ops.fista_stepsize(grouped_dict, lipschitz_method)
+  if formulation == "pallas":
+    if (initial_codes is None and early_stopping_epsilon is None
+        and ret_summed_gduplicates):
+      from vtc_tpu.ops.pallas_group_fista import (
+          group_fista_solve_pallas, membership_matrix)
+      expand = membership_matrix(*gather_inds.shape, valid_mask)
+      flat_grouped = group_fista_solve_pallas(
+          images, grouped_dict, expand, sparsity_weight, num_iters,
+          stepsize, variant=variant, hard=bool(hard_threshold),
+          interpret=jax.default_backend() != "tpu")
+      grouped = flat_grouped.reshape(
+          (images.shape[0],) + gather_inds.shape)
+      return unpack_codes_summed(grouped, gather_inds, valid_mask,
+                                 code_size)
+    formulation = "gram"  # warm start / early stop / raw-grouped output
   if initial_codes is None:
     init_grouped = jnp.zeros(
         (images.shape[0],) + gather_inds.shape, images.dtype)

@@ -1,0 +1,146 @@
+"""Fused Pallas kernel for the subspace (group) ISTA/FISTA solver.
+
+Same VMEM-resident design as ops/pallas_fista.py, applied to the packed
+group formulation (see analysis_transforms/fully_connected/
+subspace_ista_fista.py): state is the flattened grouped code tensor
+(b, G*M), the gradient is one (tile, GM) x (GM, GM) MXU matmul against
+the grouped-dictionary Gram, and the group-norm shrinkage is computed
+with two skinny 0/1-matrix matmuls instead of an M-minor-axis reduction
+(TPU lane layouts make reductions over a length-4 minor axis far worse
+than an extra MXU pass):
+
+    sums   = codes^2 @ E          E: (GM, G) one-hot group membership
+    scale  = max(1 - t / sqrt(sums), 0)     per group
+    codes *= scale @ E^T
+
+Zero-padded groups have zero E columns, so their norms are 0 and the
+reference's divide-by-zero guard (norm==0 -> 1) keeps them at exactly 0.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vtc_tpu.ops.precision import matmul_precision
+
+_LANES = 128
+
+
+def _round_up(x, m):
+  return -(-x // m) * m
+
+
+def _make_kernel(variant, hard):
+  use_fista = variant == "fista"
+  dotp = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+  def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
+             out_ref):
+    num_iters = niter_ref[0]
+    eta = scalars_ref[0]
+    lam_eta = scalars_ref[1]
+    gram = gram_ref[:]
+    expand = expand_ref[:]  # (GMp, Gp) 0/1 membership
+    corr = corr_ref[:]
+
+    def prox(x):
+      sums = dotp(x * x, expand)           # (tile, Gp) squared norms
+      norms = jnp.sqrt(sums)
+      safe = jnp.where(norms == 0.0, 1.0, norms)
+      if hard:
+        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+      else:
+        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+      return x * dotp(scale, expand.T)
+
+    zeros = jnp.zeros(corr.shape, jnp.float32)
+
+    def body(_, carry):
+      z, old, t_k = carry
+      grad = dotp(z, gram)
+      codes = prox(z - eta * grad + eta * corr)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        z_next = codes + beta * (codes - old)
+        return z_next, codes, t_next
+      return codes, codes, t_k
+
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, body, (zeros, zeros, jnp.float32(1.0)))
+    out_ref[:] = codes
+
+  return kernel
+
+
+def membership_matrix(num_groups, max_group_size, valid_mask):
+  """(GM, G) 0/1 matrix mapping flattened group slots to their group."""
+  gm = num_groups * max_group_size
+  e = np.zeros((gm, num_groups), np.float32)
+  mask = np.asarray(valid_mask).reshape(-1)
+  for flat in range(gm):
+    if mask[flat] > 0:
+      e[flat, flat // max_group_size] = 1.0
+  return e
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("variant", "hard", "batch_tile", "interpret"))
+def group_fista_solve_pallas(images, grouped_dictionary, expand,
+                             sparsity_weight, num_iters, stepsize, *,
+                             variant="fista", hard=False, batch_tile=256,
+                             interpret=False):
+  """Solve the packed group-LASSO codes with the fused kernel.
+
+  Args:
+    images: (b, n) float32.
+    grouped_dictionary: (G*M, n) duplicated/padded grouped dictionary.
+    expand: (G*M, G) 0/1 membership matrix (membership_matrix()).
+    sparsity_weight, num_iters, stepsize: dynamic scalars.
+
+  Returns:
+    (b, G*M) flattened grouped codes (caller scatters duplicates back
+    to (b, s) with subspace_ista_fista.unpack_codes_summed).
+  """
+  b = images.shape[0]
+  gm, g = expand.shape
+  gm_pad = _round_up(gm, _LANES)
+  g_pad = _round_up(g, _LANES)
+  b_pad = _round_up(b, batch_tile)
+
+  with matmul_precision():
+    gram = grouped_dictionary @ grouped_dictionary.T
+    corr = images @ grouped_dictionary.T
+  gram = jnp.pad(gram, ((0, gm_pad - gm), (0, gm_pad - gm)))
+  corr = jnp.pad(corr, ((0, b_pad - b), (0, gm_pad - gm)))
+  expand_p = jnp.pad(jnp.asarray(expand, jnp.float32),
+                     ((0, gm_pad - gm), (0, g_pad - g)))
+
+  eta = jnp.asarray(stepsize, jnp.float32)
+  scalars = jnp.stack(
+      [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta])
+  niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_kernel(variant, hard)
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(b_pad // batch_tile,),
+          in_specs=[
+              pl.BlockSpec((gm_pad, gm_pad), lambda i, *_: (0, 0)),
+              pl.BlockSpec((gm_pad, g_pad), lambda i, *_: (0, 0)),
+              pl.BlockSpec((batch_tile, gm_pad), lambda i, *_: (i, 0)),
+          ],
+          out_specs=pl.BlockSpec((batch_tile, gm_pad),
+                                 lambda i, *_: (i, 0)),
+      ),
+      out_shape=jax.ShapeDtypeStruct((b_pad, gm_pad), jnp.float32),
+      interpret=interpret,
+  )(niter, scalars, gram, expand_p, corr)
+  return out[:b, :gm]
