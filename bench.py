@@ -8,7 +8,9 @@ examples/train_sparse_coding.py:20-27,63-68): 16x16 patches (n=256),
 256-atom dictionary, FISTA inference at 25 iterations + cheap-quadratic
 dictionary update with the Hessian-diagonal EMA, Lipschitz stepsize
 recomputed from the current dictionary EVERY batch (the reference's
-per-batch symeig semantics; we use 50-step power iteration on the Gram).
+per-batch symeig semantics; we track the top Gram eigenvalue with a
+warm-started power iteration -- 12 refresh steps per batch from the
+eigenvector carried through the scan, <=2e-4 relative of eigvalsh).
 
 Measurement: K train steps run inside ONE compiled lax.scan program
 (data resident in HBM, zero Python in the loop); wall-clock over several
