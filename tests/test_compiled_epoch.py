@@ -35,6 +35,31 @@ def test_scanned_matches_perbatch_trainer(rng, tmp_path):
   np.testing.assert_allclose(fast, ref, atol=2e-5)
 
 
+def test_scanned_default_warm_power_close_to_exact(rng):
+  """The scanned trainer's default warm Lipschitz tracking should stay
+  within trajectory noise of the exact per-batch eigvalsh path for a
+  stable (steepest-descent) rule."""
+  data = rng.randn(8, 16, 24).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  base = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 10}},
+      "dictionary_update_algorithm": "sc_steepest_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.01, "num_iters": 1}},
+      "fc_formulation": "gram",
+  }
+  exact = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, dict(base, lipschitz_method="eigvalsh")))
+  warm = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, base))  # default: power_warm
+  np.testing.assert_allclose(warm, exact, atol=1e-3)
+
+
 def test_scanned_with_checkpoints_and_rp(rng, tmp_path):
   data = rng.randn(4, 16, 24).astype(np.float32).reshape(4, 16, 24)
   d0 = rng.randn(24, 24).astype(np.float32)

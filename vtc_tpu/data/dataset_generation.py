@@ -64,28 +64,61 @@ class BatchIterator:
 
 
 def generate_synthetic_images(num_images=20, image_dim=512, seed=0,
-                              spectral_slope=1.0):
-  """Seeded 1/f-noise grayscale images, (h, w, 1) float32 in [0, 1]-ish.
+                              spectral_slope=1.0, kind="pink"):
+  """Seeded synthetic grayscale images, (h, w, 1) float32 in [0, 1].
 
-  Natural images famously have ~1/f amplitude spectra, which is what the
-  whitening pipeline is designed around, so this is a faithful hermetic
-  stand-in for the curated datasets.
+  kind='pink': 1/f-amplitude noise -- natural images famously have ~1/f
+  spectra, which is what the whitening pipeline is designed around, so
+  this is a faithful hermetic stand-in for the curated datasets'
+  second-order statistics.
+
+  kind='dead_leaves': occluding random disks (the classic dead-leaves
+  model).  Unlike Gaussian 1/f noise these have real edges and
+  higher-order structure, so sparse coding on them learns oriented
+  edge/arc atoms -- useful for qualitative demos.
   """
   rng = np.random.default_rng(seed)
-  fv = np.fft.fftfreq(image_dim)
-  fh = np.fft.fftfreq(image_dim)
-  mag = np.sqrt(fv[:, None]**2 + fh[None, :]**2)
-  mag[0, 0] = 1.0
-  amplitude = 1.0 / mag**spectral_slope
-  amplitude[0, 0] = 0.0
   images = []
-  for _ in range(num_images):
-    phase = rng.uniform(-np.pi, np.pi, (image_dim, image_dim))
-    spec = amplitude * np.exp(1j * phase)
-    img = np.real(np.fft.ifft2(spec)).astype("float32")
-    img = (img - img.min()) / (img.max() - img.min())
-    images.append(img[:, :, None])
-  return images
+  if kind == "pink":
+    fv = np.fft.fftfreq(image_dim)
+    fh = np.fft.fftfreq(image_dim)
+    mag = np.sqrt(fv[:, None]**2 + fh[None, :]**2)
+    mag[0, 0] = 1.0
+    amplitude = 1.0 / mag**spectral_slope
+    amplitude[0, 0] = 0.0
+    for _ in range(num_images):
+      phase = rng.uniform(-np.pi, np.pi, (image_dim, image_dim))
+      spec = amplitude * np.exp(1j * phase)
+      img = np.real(np.fft.ifft2(spec)).astype("float32")
+      img = (img - img.min()) / (img.max() - img.min())
+      images.append(img[:, :, None])
+    return images
+  if kind == "dead_leaves":
+    yy, xx = np.meshgrid(np.arange(image_dim), np.arange(image_dim),
+                         indexing="ij")
+    num_disks = 4 * image_dim  # enough to cover the canvas
+    for _ in range(num_images):
+      img = np.full((image_dim, image_dim), 0.5, np.float32)
+      # power-law radii give scale invariance like natural occlusions
+      radii = 4.0 / np.sqrt(rng.uniform(4.0 / image_dim**2, 0.25,
+                                        num_disks))
+      cy = rng.uniform(0, image_dim, num_disks)
+      cx = rng.uniform(0, image_dim, num_disks)
+      shades = rng.uniform(0, 1, num_disks).astype(np.float32)
+      for d in range(num_disks):
+        r = radii[d]
+        y0, y1 = int(max(cy[d] - r, 0)), int(min(cy[d] + r + 1,
+                                                 image_dim))
+        x0, x1 = int(max(cx[d] - r, 0)), int(min(cx[d] + r + 1,
+                                                 image_dim))
+        if y0 >= y1 or x0 >= x1:
+          continue
+        patch_mask = ((yy[y0:y1, x0:x1] - cy[d])**2
+                      + (xx[y0:y1, x0:x1] - cx[d])**2) <= r * r
+        img[y0:y1, x0:x1][patch_mask] = shades[d]
+      images.append(img[:, :, None])
+    return images
+  raise KeyError("unknown synthetic image kind: " + kind)
 
 
 def _load_raw_images(dataset, filepath, extra_params):

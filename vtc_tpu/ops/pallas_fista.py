@@ -64,7 +64,7 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
     corr = corr_ref[:]
     if use_bf16:
       gram = gram.astype(jnp.bfloat16)
-    elif mxu_precision == "bf16x3":
+    elif mxu_precision in ("bf16x3", "bf16x4"):
       gram_hi = gram.astype(jnp.bfloat16)
       gram_lo = (gram - gram_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
@@ -92,6 +92,11 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
         z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         grad = (_dot_bf16(z_hi, gram_hi) + _dot_bf16(z_lo, gram_hi)
                 + _dot_bf16(z_hi, gram_lo))
+      elif mxu_precision == "bf16x4":
+        z_hi = z.astype(jnp.bfloat16)
+        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        grad = (_dot_bf16(z_hi, gram_hi) + _dot_bf16(z_lo, gram_hi)
+                + _dot_bf16(z_hi, gram_lo) + _dot_bf16(z_lo, gram_lo))
       else:
         # precision must be pinned explicitly: Mosaic's default feeds
         # the MXU bf16 operands even for f32 inputs (observed 1e-1 code

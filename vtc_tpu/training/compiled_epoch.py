@@ -26,20 +26,30 @@ import numpy as np
 from vtc_tpu.training import sparse_coding as sc
 
 
-def _segment_runner(raw_step, upd_num_iters):
-  """jit( (dictionary, hessian, batches, sw, n_it, upd_step) ->
-  (dictionary, hessian) ) scanning the fused step over the batch axis."""
+def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
+  """jit scanning the fused step over the batch axis.
 
-  def run(dictionary, hessian, batches, sw, n_it, upd_step):
+  With warm_power, the Lipschitz eigenvector rides the scan carry and
+  is refreshed with 12 power iterations per batch on the mode's Gram
+  matrix (tracks the exact per-batch eigvalsh to <=2e-4 relative -- see
+  tests/test_warm_power.py -- at a fraction of a cold solve's cost)."""
+  from vtc_tpu.ops import lipschitz as lip
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
     def body(carry, batch):
-      d, h = carry
+      d, h, v = carry
+      if warm_power:
+        eigval, v = lip.power_iterate(lip_matrix_fn(d), v, num_iters=12)
+        inf_step = 1.0 / eigval
+      else:
+        inf_step = jnp.float32(0.0)  # raw_step computes it internally
       d, h, _ = raw_step(d, h, batch, sw, n_it, upd_step,
-                         upd_num_iters, jnp.float32(0.0))
-      return (d, h), ()
+                         upd_num_iters, inf_step)
+      return (d, h, v), ()
 
-    (dictionary, hessian), _ = jax.lax.scan(
-        body, (dictionary, hessian), batches)
-    return dictionary, hessian
+    (dictionary, hessian, eigvec), _ = jax.lax.scan(
+        body, (dictionary, hessian, eigvec), batches)
+    return dictionary, hessian, eigvec
 
   return jax.jit(run)
 
@@ -93,6 +103,13 @@ def train_dictionary_scanned(training_batches, validation_batches,
   boundaries = sorted(set(boundaries) | {e * k
                                          for e in range(num_epochs + 1)})
 
+  # 'power_warm' (default): the Lipschitz eigenvector rides the scan
+  # carry instead of a cold per-batch eigensolve -- the production
+  # configuration (same numbers as bench.py).  Any explicit
+  # lipschitz_method reverts to in-step recomputation.
+  lipschitz_method = all_params.get("lipschitz_method", "power_warm")
+  warm_power = lipschitz_method == "power_warm"
+
   def make_step():
     return sc.build_raw_step_fn(
         mode, inference_alg, update_alg,
@@ -106,7 +123,29 @@ def train_dictionary_scanned(training_batches, validation_batches,
         fc_formulation=all_params.get("fc_formulation", "pallas"
                                       if jax.default_backend() == "tpu"
                                       else "gram"),
-        lipschitz_method=all_params.get("lipschitz_method", "power"))
+        lipschitz_method=("power" if warm_power else lipschitz_method),
+        compute_stepsize_in_step=not warm_power)
+
+  def lip_matrix(d):
+    """The matrix whose Gram sets the stepsize (mode-dependent)."""
+    if mode == "convolutional":
+      return d.reshape(d.shape[0], -1)
+    if inference_alg.startswith("subspace"):
+      from vtc_tpu.analysis_transforms.fully_connected import (
+          subspace_ista_fista)
+      gi, vm = subspace_ista_fista.pack_group_indices(
+          group_assignments, d.shape[0])
+      return subspace_ista_fista.build_grouped_dictionary(d, gi, vm)
+    return d
+
+  def seed_eigvec(d):
+    from vtc_tpu.ops import lipschitz as lip
+    mat = lip_matrix(d)
+    dim = min(mat.shape)
+    _, v = lip.power_iterate(
+        mat, jnp.asarray(np.random.default_rng(0).standard_normal(
+            dim).astype(np.float32)), num_iters=50)
+    return v
 
   raw_step = make_step()
   runners = {}
@@ -117,9 +156,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
   sw = n_it = upd_step = upd_niters = None
   start = time.time()
 
+  eigvec = None  # warm Lipschitz eigenvector state (seeded lazily)
+
   def handle_events(it):
     nonlocal dictionary, hessian, group_assignments, raw_step, runners
     nonlocal previous_dictionary, sw, n_it, upd_step, upd_niters
+    nonlocal eigvec
     if it in inf_sched:
       sw = float(inf_sched[it]["sparsity_weight"])
       n_it = int(inf_sched[it]["num_iters"])
@@ -138,6 +180,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
               np.asarray(dictionary), v_codes, event["filter_type"],
               f_params, event["action"]))
       dictionary = jnp.asarray(new_dict)
+      eigvec = None  # dictionary jumped; re-seed the warm eigenvector
       if event["action"] == "prune" and len(affected):
         group_assignments = new_groups
         keep = np.ones(len(np.asarray(hessian)), bool)
@@ -165,9 +208,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
             name, float(np.mean([m[name] for m in metrics])), it)
 
   def _infer(batch):
+    from vtc_tpu.ops import lipschitz as lip
+    # host-boundary inference (validation / reset-prune): cold stepsize
+    inf_step = (lip.fista_stepsize(lip_matrix(dictionary), "power")
+                if warm_power else jnp.float32(0.0))
     d, h, codes = raw_step(
         dictionary, hessian, jnp.asarray(batch), jnp.float32(sw),
-        jnp.int32(n_it), jnp.float32(0.0), 1, jnp.float32(0.0))
+        jnp.int32(n_it), jnp.float32(0.0), 1,
+        jnp.asarray(inf_step, jnp.float32))
     del d, h
     return codes
 
@@ -183,14 +231,18 @@ def train_dictionary_scanned(training_batches, validation_batches,
     # DISTINCT compiled scan lengths is O(log k) for the whole run
     # (arbitrary segment lengths would each compile their own program,
     # which is expensive on runtimes with slow remote compilation)
+    if eigvec is None:
+      eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
     pos = lo
     while pos < hi:
       chunk = 1 << ((hi - pos).bit_length() - 1)
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
-        runners[key] = _segment_runner(raw_step, upd_niters)
-      dictionary, hessian = runners[key](
-          dictionary, hessian, training_batches[pos:pos + chunk],
+        runners[key] = _segment_runner(raw_step, upd_niters,
+                                       warm_power, lip_matrix)
+      dictionary, hessian, eigvec = runners[key](
+          dictionary, hessian, eigvec,
+          training_batches[pos:pos + chunk],
           jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
       pos += chunk
   handle_events(total_iters)  # trailing checkpoint/vis events
