@@ -60,6 +60,30 @@ def test_scanned_default_warm_power_close_to_exact(rng):
   np.testing.assert_allclose(warm, exact, atol=1e-3)
 
 
+def test_scanned_epoch_shuffling_changes_order_not_quality(rng):
+  data = rng.randn(4, 16, 24).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  base = {
+      "mode": "fully-connected",
+      "num_epochs": 3,
+      "code_inference_algorithm": "ista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8}},
+      "dictionary_update_algorithm": "sc_steepest_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.01, "num_iters": 1}},
+      "fc_formulation": "gram",
+  }
+  plain = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, base))
+  shuffled = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, dict(base, shuffle_each_epoch=True)))
+  assert not np.allclose(plain, shuffled)  # order actually changed
+  np.testing.assert_allclose(
+      np.linalg.norm(shuffled, axis=1), 1.0, atol=1e-4)
+
+
 def test_scanned_with_checkpoints_and_rp(rng, tmp_path):
   data = rng.randn(4, 16, 24).astype(np.float32).reshape(4, 16, 24)
   d0 = rng.randn(24, 24).astype(np.float32)

@@ -61,8 +61,10 @@ def train_dictionary_scanned(training_batches, validation_batches,
   returns the final dictionary.
 
   training_batches: (k, b, n) or (k, b, c, h, w) array; each epoch runs
-  over axis 0 in order (shuffle between epochs by passing a freshly
-  shuffled array per call, or pre-shuffle k*b samples).
+  over axis 0.  With all_params['shuffle_each_epoch']=True (default
+  False) the samples are re-permuted ON DEVICE at every epoch boundary
+  (one gather per epoch; the torch-DataLoader semantics reference users
+  expect).  all_params['shuffle_seed'] controls the permutation stream.
   """
   assert 0 in all_params["inference_param_schedule"]
   assert 0 in all_params["dict_update_param_schedule"]
@@ -92,6 +94,15 @@ def train_dictionary_scanned(training_batches, validation_batches,
   training_batches = jnp.asarray(np.asarray(training_batches))
   k = training_batches.shape[0]
   total_iters = num_epochs * k
+  shuffle_each_epoch = bool(all_params.get("shuffle_each_epoch", False))
+  shuffle_key = jax.random.PRNGKey(
+      int(all_params.get("shuffle_seed", 0)))
+
+  @jax.jit
+  def _reshuffle(batches, key):
+    flat = batches.reshape((k * batches.shape[1],) + batches.shape[2:])
+    perm = jax.random.permutation(key, flat.shape[0])
+    return flat[perm].reshape(batches.shape)
 
   # iteration indices at which python must regain control
   boundaries = sorted(
@@ -221,6 +232,10 @@ def train_dictionary_scanned(training_batches, validation_batches,
 
   for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
     handle_events(seg_start)
+    if shuffle_each_epoch and seg_start % k == 0 and seg_start < (
+        total_iters):
+      shuffle_key, sub = jax.random.split(shuffle_key)
+      training_batches = _reshuffle(training_batches, sub)
     if seg_end == seg_start:
       continue
     epoch = seg_start // k
