@@ -110,3 +110,65 @@ def test_scanned_with_checkpoints_and_rp(rng, tmp_path):
   assert final.shape == (24, 24)
   assert (tmp_path / "scanrun" / "checkpoint_dictionary_iter_3").exists()
   assert (tmp_path / "scanrun" / "checkpoint_dictionary_iter_7").exists()
+
+
+def test_scanned_data_parallel_matches_single_chip(rng):
+  """Multi-chip scanned trainer (scan-inside-shard_map over the
+  8-device mesh) must reproduce the single-chip scanned trainer on the
+  identical batch sequence: the psum of per-shard gradient/Hessian
+  statistics equals the full-batch statistics to float tolerance."""
+  from vtc_tpu import parallel
+
+  data = rng.randn(6, 16, 24).astype(np.float32)
+  d0 = rng.randn(32, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  base = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 10},
+          8: {"sparsity_weight": 0.04, "num_iters": 15}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.1, "num_iters": 1}},
+      "fc_formulation": "gram",
+      "lipschitz_method": "eigvalsh",
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, base))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, dict(base, data_parallel=True)))
+  np.testing.assert_allclose(dp, single, atol=2e-5)
+  # an explicit smaller mesh works too
+  dp4 = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0,
+      dict(base, data_parallel=parallel.make_mesh(data=4))))
+  np.testing.assert_allclose(dp4, single, atol=2e-5)
+
+
+def test_scanned_data_parallel_conv(rng):
+  from vtc_tpu import parallel
+
+  data = rng.randn(3, 8, 1, 12, 12).astype(np.float32)
+  d0 = rng.randn(6, 1, 4, 4).astype(np.float32)
+  d0 /= np.linalg.norm(d0.reshape(6, -1), axis=1)[:, None, None, None]
+  base = {
+      "mode": "convolutional",
+      "num_epochs": 2,
+      "strides": (2, 2),
+      "padding": ((1, 1), (1, 1)),
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.02, "num_iters": 6}},
+      "dictionary_update_algorithm": "sc_steepest_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "lipschitz_method": "eigvalsh",
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, base))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0,
+      dict(base, data_parallel=parallel.make_mesh(data=8))))
+  np.testing.assert_allclose(dp, single, atol=3e-5)

@@ -15,4 +15,5 @@ package is the framework's scaling story, built the TPU way:
 """
 from vtc_tpu.parallel.mesh import make_mesh
 from vtc_tpu.parallel.data_parallel import (
-    build_pjit_train_step, build_shard_map_train_step)
+    build_dp_local_step, build_pjit_train_step,
+    build_shard_map_train_step)

@@ -77,29 +77,30 @@ def build_pjit_train_step(mesh, mode, inference_alg, update_alg, *,
       out_shardings=(sh(dict_spec), sh(P(code)), sh(codes_spec)))
 
 
-def build_shard_map_train_step(mesh, mode, inference_alg, update_alg, *,
-                               nonneg=False, hard_threshold=False,
-                               kernel_stride=None, padding=None,
-                               group_assignments=None,
-                               alignment_penalty=0.0, renormalize=True,
-                               fc_formulation="gram",
-                               lipschitz_method="eigvalsh",
-                               upd_num_iters=1, lowest_code_val=0.001):
-  """Explicit shard_map data-parallel fused step (see module docstring).
+def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
+                        *, nonneg=False, hard_threshold=False,
+                        kernel_stride=None, padding=None,
+                        group_assignments=None, alignment_penalty=0.0,
+                        renormalize=True, fc_formulation="gram",
+                        lipschitz_method="eigvalsh", upd_num_iters=1,
+                        lowest_code_val=0.001):
+  """The per-device body of the data-parallel fused step.
 
-  Signature of the returned compiled callable:
-    step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
-         upd_stepsize) -> (new_dictionary, new_hessian, codes)
-  ``batch`` is the GLOBAL batch; it gets sharded over the 'data' axis
-  (the leading dim must be divisible by the axis size).  Outputs:
-  dictionary/hessian replicated, codes sharded like the batch.
+  Must execute inside a shard_map over a 'data' mesh axis of size
+  ``data_axis_size``: it psums the dictionary gradient and Hessian
+  statistics over that axis each update iteration.  Used by
+  build_shard_map_train_step (single step) and by the scanned trainer's
+  multi-chip mode (lax.scan of this body inside one shard_map).
+
+  Signature: local_step(dictionary, hessian, batch_shard, sw,
+  inf_num_iters, upd_stepsize) -> (new_dictionary, new_hessian, codes).
   """
   is_subspace_inf = inference_alg.startswith("subspace")
   is_subspace_upd = update_alg.startswith("subspace")
   variant = inference_alg[9:] if is_subspace_inf else inference_alg
   uses_hessian = update_alg in ("sc_cheap_quadratic_descent",
                                 "subspace_sc_cheap_quadratic_descent")
-  data_size = mesh.shape["data"]
+  data_size = int(data_axis_size)
 
   if group_assignments is not None:
     code_size_hint = max(max(g) for g in group_assignments) + 1
@@ -187,6 +188,22 @@ def build_shard_map_train_step(mesh, mode, inference_alg, update_alg, *,
       new_dict = jax.lax.fori_loop(0, upd_num_iters, body, dictionary)
       return new_dict, hessian, codes
 
+  return local_step
+
+
+def build_shard_map_train_step(mesh, mode, inference_alg, update_alg,
+                               **config):
+  """Explicit shard_map data-parallel fused step (see module docstring).
+
+  Signature of the returned compiled callable:
+    step(dictionary, hessian, batch, sparsity_weight, inf_num_iters,
+         upd_stepsize) -> (new_dictionary, new_hessian, codes)
+  ``batch`` is the GLOBAL batch; it gets sharded over the 'data' axis
+  (the leading dim must be divisible by the axis size).  Outputs:
+  dictionary/hessian replicated, codes sharded like the batch.
+  """
+  local_step = build_dp_local_step(
+      mesh.shape["data"], mode, inference_alg, update_alg, **config)
   if mode == "fully-connected":
     batch_spec, codes_spec = P("data", None), P("data", None)
     dict_spec = P(None, None)

@@ -54,6 +54,35 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
   return jax.jit(run)
 
 
+def _dp_segment_runner(local_step, mesh, conv_mode):
+  """Multi-chip segment: lax.scan of the psum-reduced DP local step
+  INSIDE one shard_map -- each device owns its batch shard for the
+  whole segment, dictionary/Hessian stay replicated, and the only
+  cross-chip traffic is the per-step psum of gradients/statistics over
+  ICI.  The eigvec carry is threaded untouched for signature parity
+  with the single-chip runner."""
+  from jax.sharding import PartitionSpec as P
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    def body(carry, batch_shard):
+      d, h = carry
+      d, h, _ = local_step(d, h, batch_shard, sw, n_it, upd_step)
+      return (d, h), ()
+
+    (dictionary, hessian), _ = jax.lax.scan(
+        body, (dictionary, hessian), batches)
+    return dictionary, hessian, eigvec
+
+  rep = P()
+  batch_spec = (P(None, "data", None, None, None) if conv_mode
+                else P(None, "data", None))
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(rep, rep, rep, batch_spec, rep, rep, rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def train_dictionary_scanned(training_batches, validation_batches,
                              init_dictionary, all_params):
   """Train with compiled multi-batch segments.  Same ``all_params``
@@ -119,7 +148,33 @@ def train_dictionary_scanned(training_batches, validation_batches,
   # configuration (same numbers as bench.py).  Any explicit
   # lipschitz_method reverts to in-step recomputation.
   lipschitz_method = all_params.get("lipschitz_method", "power_warm")
+  # multi-chip: all_params['data_parallel'] = True (full mesh) or a
+  # jax.sharding.Mesh; segments scan the psum-reduced DP step inside
+  # one shard_map (stepsize then comes from the in-step cold solve)
+  data_parallel = all_params.get("data_parallel", False)
+  dp_mesh = None
+  if data_parallel:
+    from vtc_tpu import parallel as vtc_parallel
+    dp_mesh = (data_parallel if hasattr(data_parallel, "shape")
+               else vtc_parallel.make_mesh())
+    if lipschitz_method == "power_warm":
+      lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
+
+  def make_dp_local(upd_niters_):
+    from vtc_tpu import parallel as vtc_parallel
+    return vtc_parallel.build_dp_local_step(
+        dp_mesh.shape["data"], mode, inference_alg, update_alg,
+        nonneg=bool(all_params.get("nonnegative_only", False)),
+        hard_threshold=bool(all_params.get("hard_threshold", False)),
+        kernel_stride=kernel_stride, padding=padding,
+        group_assignments=group_assignments,
+        alignment_penalty=float(
+            all_params.get("subspace_alignment_penalty", 0.0)),
+        renormalize=bool(all_params.get("renormalize_dictionary", True)),
+        fc_formulation=all_params.get("fc_formulation", "gram"),
+        lipschitz_method=lipschitz_method,
+        upd_num_iters=upd_niters_)
 
   def make_step():
     return sc.build_raw_step_fn(
@@ -253,8 +308,13 @@ def train_dictionary_scanned(training_batches, validation_batches,
       chunk = 1 << ((hi - pos).bit_length() - 1)
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
-        runners[key] = _segment_runner(raw_step, upd_niters,
-                                       warm_power, lip_matrix)
+        if dp_mesh is not None:
+          runners[key] = _dp_segment_runner(
+              make_dp_local(upd_niters), dp_mesh,
+              mode == "convolutional")
+        else:
+          runners[key] = _segment_runner(raw_step, upd_niters,
+                                         warm_power, lip_matrix)
       dictionary, hessian, eigvec = runners[key](
           dictionary, hessian, eigvec,
           training_batches[pos:pos + chunk],
