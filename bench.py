@@ -12,11 +12,15 @@ per-batch symeig semantics; we track the top Gram eigenvalue with a
 warm-started power iteration -- 12 refresh steps per batch from the
 eigenvector carried through the scan, <=2e-4 relative of eigvalsh).
 
-Measurement: K train steps run inside ONE compiled lax.scan program
-(data resident in HBM, zero Python in the loop); wall-clock over several
+Measurement: K train steps run as ONE compiled on-device program (data
+resident in HBM, zero Python in the loop); wall-clock over several
 calls after a warmup.  Two batch sizes are measured:
-  * b=250  -- the reference's own batch size (headline, vs_baseline)
-  * b=2048 -- TPU-saturating batch (reported in "detail")
+  * b=250  -- the reference's own batch size (headline, vs_baseline),
+    run as ONE fused Pallas kernel per 1000-step segment (dictionary /
+    Hessian EMA / Lipschitz eigenvector VMEM-resident across steps,
+    batches streamed HBM->VMEM; ops/pallas_train_step.py)
+  * b=2048 -- TPU-saturating batch on the scan-of-steps path with the
+    fused FISTA kernel (reported in "detail")
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The
 vs_baseline denominator is a documented ANALYTIC ESTIMATE of the PyTorch
@@ -63,24 +67,35 @@ def build_epoch_fn(raw_step):
 
 
 def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
-            formulation="pallas"):
+            formulation="fused"):
   """Time `timed_calls` executions of a compiled scan over `scan_steps`
   fused train steps.  The per-call host<->device round trip through the
   runtime costs ~30 ms here, so throughput is measured with large scans
   that amortize it (the same way production training would run).
 
-  formulation: 'pallas' (fused VMEM-resident FISTA kernel, full-f32
-  parity grade), 'gram' (XLA while_loop), 'direct' (reference's literal
+  formulation: 'fused' (the ENTIRE segment as one Pallas kernel --
+  dictionary/Hessian/eigenvector VMEM-resident across all steps, batches
+  streamed with double buffering; ops/pallas_train_step.py; full-f32
+  parity grade), 'pallas' (fused VMEM-resident FISTA kernel inside an
+  XLA scan), 'gram' (XLA while_loop), 'direct' (reference's literal
   two-matmul iteration)."""
   import jax
   import jax.numpy as jnp
 
   from vtc_tpu.training.sparse_coding import build_raw_step_fn
 
-  raw = build_raw_step_fn(
-      "fully-connected", "fista", "sc_cheap_quadratic_descent",
-      compute_stepsize_in_step=False, fc_formulation=formulation)
-  epoch_fn = build_epoch_fn(raw)
+  if formulation == "fused":
+    from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
+
+    def epoch_fn(dictionary, hessian, eigvec, data, sw, n_it, upd_step):
+      d, h, v, _ = fused_train_segment_pallas(
+          dictionary, hessian, eigvec, data, sw, n_it, upd_step)
+      return d, h, v
+  else:
+    raw = build_raw_step_fn(
+        "fully-connected", "fista", "sc_cheap_quadratic_descent",
+        compute_stepsize_in_step=False, fc_formulation=formulation)
+    epoch_fn = build_epoch_fn(raw)
 
   rng = np.random.RandomState(0)
   dictionary = rng.randn(S, N).astype(np.float32)
@@ -133,9 +148,13 @@ def main():
   else:
     # headline: the reference's own flagship config -- batch 250, 1M
     # patches/epoch (4 calls x 1000 scanned steps x 250 = exactly 1M),
-    # fused Pallas FISTA kernel at full-f32 (parity-grade) precision
+    # the whole segment as ONE Pallas kernel at full-f32 (parity-grade)
+    # precision
     pps_ref, epoch_seconds = measure(250, 1000, timed_calls=4, log=log)
-    pps_big, _ = measure(2048, 64, timed_calls=3, log=log)
+    # TPU-saturating batch on the scan-of-steps path (the general path
+    # for batches beyond the single-VMEM-tile fused kernel)
+    pps_big, _ = measure(2048, 64, timed_calls=3, log=log,
+                         formulation="pallas")
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

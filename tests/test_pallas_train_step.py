@@ -1,0 +1,97 @@
+"""Fused whole-segment train kernel vs the composed XLA path
+(interpreter mode on the CPU test mesh; the real-TPU comparison runs in
+bench/verify).  The invariant: one kernel launch over k batches must
+reproduce the scan of [power_iterate -> raw fused step ('gram')] that
+the scanned trainer / bench.py run, to float tolerance."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vtc_tpu.ops import lipschitz as lip
+from vtc_tpu.ops.pallas_train_step import (
+    fused_segment_supported, fused_train_segment_pallas)
+from vtc_tpu.training import sparse_coding as sc
+
+
+def _reference_segment(d0, h0, v0, batches, sw, n_it, upd_step,
+                       upd_niters, variant, update_alg, nonneg=False,
+                       hard=False, power_iters=12):
+  raw = sc.build_raw_step_fn(
+      "fully-connected", variant, update_alg, nonneg=nonneg,
+      hard_threshold=hard, fc_formulation="gram",
+      compute_stepsize_in_step=False)
+  d, h, v = jnp.asarray(d0), jnp.asarray(h0), jnp.asarray(v0)
+  codes = None
+  for batch in batches:
+    eigval, v = lip.power_iterate(d, v, num_iters=power_iters)
+    d, h, codes = raw(d, h, jnp.asarray(batch), jnp.float32(sw),
+                      jnp.int32(n_it), jnp.float32(upd_step),
+                      upd_niters, 1.0 / eigval)
+  return np.asarray(d), np.asarray(h), np.asarray(v), np.asarray(codes)
+
+
+def _problem(rng, k=3, b=10, s=24, n=16):
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32)
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v = rng.randn(min(s, n)).astype(np.float32)
+  return d, h, v, batches
+
+
+@pytest.mark.parametrize("variant,update_alg", [
+    ("fista", "sc_cheap_quadratic_descent"),
+    ("fista", "sc_steepest_descent"),
+    ("ista", "sc_cheap_quadratic_descent"),
+])
+def test_fused_segment_matches_composed_path(rng, variant, update_alg):
+  d, h, v, batches = _problem(rng)
+  want = _reference_segment(d, h, v, batches, 0.05, 12, 0.1, 1,
+                            variant, update_alg)
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.1, variant=variant,
+      update_alg=update_alg, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, err_msg=name)
+
+
+def test_fused_segment_overcomplete_and_multi_update(rng):
+  """s > n exercises the n x n power Gram; upd_num_iters > 1 the inner
+  descent loop; odd shapes the zero-padding guards."""
+  d, h, v, batches = _problem(rng, k=2, b=7, s=33, n=12)
+  want = _reference_segment(d, h, v, batches, 0.03, 8, 0.05, 3,
+                            "fista", "sc_cheap_quadratic_descent")
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.03, 8, 0.05, upd_num_iters=3,
+      interpret=True)
+  for w, g in zip(want, got):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
+
+
+def test_fused_segment_nonneg(rng):
+  d, h, v, batches = _problem(rng, k=2)
+  want = _reference_segment(d, h, v, batches, 0.05, 10, 0.1, 1,
+                            "fista", "sc_cheap_quadratic_descent",
+                            nonneg=True)
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 10, 0.1, nonneg=True, interpret=True)
+  for w, g in zip(want, got):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
+
+
+def test_supported_gate():
+  assert fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=250, code_size=256, input_size=256)
+  assert not fused_segment_supported(
+      "convolutional", "fista", "sc_cheap_quadratic_descent")
+  assert not fused_segment_supported(
+      "fully-connected", "subspace_fista",
+      "subspace_sc_cheap_quadratic_descent",
+      group_assignments=[[0, 1]])
+  # a batch too large for one VMEM tile falls back
+  assert not fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=65536, code_size=1024, input_size=1024)

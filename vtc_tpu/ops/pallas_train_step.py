@@ -1,0 +1,287 @@
+"""Whole training segments as ONE fused Pallas TPU kernel.
+
+The scanned trainer's hot loop is `power-refresh -> FISTA solve ->
+Hessian EMA -> dictionary update -> renormalize` per batch.  The XLA
+path expresses that as a lax.scan of separate ops, so the dictionary,
+Gram matrix and codes round-trip HBM at every op boundary of every
+step.  This kernel instead runs the ENTIRE segment on-core:
+
+  grid = (num_steps,)   -- TPU grid cells execute sequentially, so the
+                           dictionary / Hessian diagonal / Lipschitz
+                           eigenvector live in VMEM-resident output
+                           blocks that carry across steps; batches
+                           stream HBM->VMEM with automatic double
+                           buffering.
+  per grid step (all HIGHEST-precision MXU matmuls, state in VMEM):
+      G    = D D^T                       (gram, reused by power + FISTA)
+      v    = power^k(G, v); eta = 1/(v^T G v)      (warm Lipschitz)
+      c    = X D^T
+      FISTA: z <- shrink(z - eta (z G - c), lam eta), momentum,
+             inf_num_iters times (dynamic via scalar prefetch)
+      h    = 0.99 h + mean(codes^2)/100            (cheap-quad EMA)
+      D    = renorm(D - eta_d (codes^T (codes D - X)/b) / (h + eps)),
+             upd_num_iters times
+
+Semantics are identical (same float32 contract) to the composition
+`lipschitz.power_iterate` + `training.sparse_coding.build_raw_step_fn`
+with the 'gram' formulation -- the trajectory equivalence is tested in
+tests/test_pallas_train_step.py and the reference parity of each piece
+is covered by the existing oracle tests (reference semantics:
+fully_connected/ista_fista.py:100-146, sc_steepest_descent.py:37-43,
+sc_cheap_quadratic_descent.py:44-49, training/sparse_coding.py:154).
+
+Restrictions (callers fall back to the scan-of-ops path otherwise):
+fully-connected mode, no group sparsity, no early stopping, the whole
+batch in one VMEM tile (see `fused_segment_supported`).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _round_up(x, m):
+  return -(-x // m) * m
+
+
+def _dot(a, b):
+  """a @ b."""
+  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _dot_t(a, b):
+  """a @ b.T (contract the lane dims)."""
+  return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _tdot(a, b):
+  """a.T @ b (contract the sublane dims)."""
+  return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram):
+  buffers = (
+      2 * s_pad * n_pad        # dictionary in + out (state)
+      + s_pad * s_pad          # gram
+      + (n_pad * n_pad if use_n_gram else 0)
+      + 2 * b_pad * n_pad      # X double buffer
+      + 4 * b_pad * s_pad      # corr, z, old, codes
+      + b_pad * s_pad          # codes out block
+      + b_pad * n_pad)         # update residual
+  return 4 * buffers
+
+
+def fused_segment_supported(mode, inference_alg, update_alg, *,
+                            group_assignments=None, nonneg=False,
+                            hard_threshold=False, batch_size=None,
+                            code_size=None, input_size=None):
+  """True when `fused_train_segment_pallas` covers this configuration."""
+  del nonneg, hard_threshold  # both supported
+  if mode != "fully-connected" or group_assignments is not None:
+    return False
+  if inference_alg not in ("ista", "fista"):
+    return False
+  if update_alg not in ("sc_steepest_descent",
+                        "sc_cheap_quadratic_descent"):
+    return False
+  if None in (batch_size, code_size, input_size):
+    return True  # shape-independent eligibility
+  s_pad = _round_up(code_size, _LANES)
+  n_pad = _round_up(input_size, _LANES)
+  b_pad = _round_up(batch_size, _SUBLANES)
+  return _vmem_bytes(b_pad, s_pad, n_pad,
+                     code_size > input_size) <= _VMEM_BUDGET_BYTES
+
+
+def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
+                 upd_num_iters, power_iters, use_n_gram,
+                 lowest_code_val):
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
+             d_out, h_out, v_out, codes_out):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+      d_out[:] = d_ref[:]
+      h_out[:] = h_ref[:]
+      v_out[:] = v_ref[:]
+
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    upd_step = scalars_ref[1]
+    inv_b = scalars_ref[2]
+
+    dictionary = d_out[:]
+    images = x_ref[0]
+    gram = _dot_t(dictionary, dictionary)           # (s_pad, s_pad)
+    # power iteration runs on the smaller Gram (lipschitz.power_iterate
+    # semantics); the nonzero spectra coincide so eta is the same
+    power_gram = _tdot(dictionary, dictionary) if use_n_gram else gram
+
+    v = v_out[:]
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def power_body(_, vec):
+      w = _dot(vec, power_gram)
+      return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, power_iters, power_body, v)
+    v_out[:] = v
+    eigval = jnp.sum(_dot(v, power_gram) * v)
+    eta = 1.0 / eigval
+    lam_eta = sw * eta
+
+    corr = _dot_t(images, dictionary)               # (b_pad, s_pad)
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
+
+    init = jnp.zeros_like(corr)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      codes = threshold(z - eta * _dot(z, gram) + eta * corr)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    codes_out[:] = codes
+
+    if uses_hessian:
+      hessian = (0.99 * h_out[:]
+                 + (jnp.sum(codes * codes, axis=0, keepdims=True)
+                    * inv_b) / 100.0)
+      h_out[:] = hessian
+      scale = jnp.transpose(hessian) + lowest_code_val  # (s_pad, 1)
+
+    def update_body(_, d):
+      resid = _dot(codes, d) - images                 # (b_pad, n_pad)
+      grad = _tdot(codes, resid) * inv_b              # (s_pad, n_pad)
+      if uses_hessian:
+        grad = grad / scale
+      d = d - upd_step * grad
+      if renormalize:
+        norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        d = d / jnp.maximum(norms, 1e-30)  # zero-padded rows stay zero
+      return d
+
+    d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body,
+                                 dictionary)
+
+  return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("variant", "update_alg", "upd_num_iters", "nonneg",
+                     "hard", "renormalize", "power_iters",
+                     "lowest_code_val", "interpret"))
+def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
+                               sparsity_weight, inf_num_iters,
+                               upd_stepsize, *, variant="fista",
+                               update_alg="sc_cheap_quadratic_descent",
+                               upd_num_iters=1, nonneg=False, hard=False,
+                               renormalize=True, power_iters=12,
+                               lowest_code_val=0.001, interpret=False):
+  """Run `batches.shape[0]` fused train steps in one kernel launch.
+
+  Args:
+    dictionary: (s, n) float32.
+    hessian: (s,) Hessian-diagonal EMA (ignored for steepest descent).
+    eigvec: (min(s, n),) warm Lipschitz eigenvector (unit norm not
+      required; normalized in-kernel like lipschitz.power_iterate).
+    batches: (k, b, n) float32, each row a training batch.
+    sparsity_weight, inf_num_iters, upd_stepsize: dynamic scalars
+      (inf_num_iters changes never recompile -- scalar prefetch).
+
+  Returns:
+    (new_dictionary, new_hessian, new_eigvec, last_codes) where
+    last_codes is the (b, s) code matrix of the FINAL step.
+  """
+  k, b, n = batches.shape
+  s = dictionary.shape[0]
+  use_n_gram = s > n
+  dim = n if use_n_gram else s
+  s_pad = _round_up(s, _LANES)
+  n_pad = _round_up(n, _LANES)
+  dim_pad = _round_up(dim, _LANES)
+  b_pad = _round_up(b, _SUBLANES)
+  uses_hessian = update_alg == "sc_cheap_quadratic_descent"
+
+  d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
+                 ((0, s_pad - s), (0, n_pad - n)))
+  h_in = jnp.pad(jnp.asarray(hessian, jnp.float32).reshape(1, s),
+                 ((0, 0), (0, s_pad - s)))
+  v_in = jnp.pad(jnp.asarray(eigvec, jnp.float32).reshape(1, dim),
+                 ((0, 0), (0, dim_pad - dim)))
+  x_in = jnp.pad(jnp.asarray(batches, jnp.float32),
+                 ((0, 0), (0, b_pad - b), (0, n_pad - n)))
+
+  scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
+                       jnp.asarray(upd_stepsize, jnp.float32),
+                       jnp.float32(1.0 / b)])
+  niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
+                        int(upd_num_iters), int(power_iters), use_n_gram,
+                        float(lowest_code_val))
+  const = lambda i, *_: (0, 0)
+  d_new, h_new, v_new, codes = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(k,),
+          in_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
+          ],
+          out_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((b_pad, s_pad), const),
+          ],
+      ),
+      out_shape=[
+          jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+      ],
+      interpret=interpret,
+      cost_estimate=pl.CostEstimate(
+          flops=2 * k * (s_pad * n_pad * s_pad + b_pad * s_pad * n_pad
+                         + 30 * b_pad * s_pad * s_pad
+                         + 2 * upd_num_iters * b_pad * s_pad * n_pad),
+          bytes_accessed=4 * k * (b_pad * n_pad + b_pad * s_pad),
+          transcendentals=0),
+  )(niter, scalars, d_in, h_in, v_in, x_in)
+  return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])

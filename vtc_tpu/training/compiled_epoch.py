@@ -54,6 +54,25 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
   return jax.jit(run)
 
 
+def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
+                          renormalize):
+  """Whole segment as ONE Pallas kernel launch (ops/pallas_train_step):
+  dictionary/Hessian/eigenvector ride VMEM across all steps, batches
+  stream HBM->VMEM with double buffering.  Same float32 semantics as
+  _segment_runner with warm_power + the 'gram' formulation."""
+  from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    dictionary, hessian, eigvec, _ = fused_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        variant=variant, update_alg=update_alg,
+        upd_num_iters=upd_niters, nonneg=nonneg, hard=hard,
+        renormalize=renormalize)
+    return dictionary, hessian, eigvec
+
+  return run
+
+
 def _dp_segment_runner(local_step, mesh, conv_mode):
   """Multi-chip segment: lax.scan of the psum-reduced DP local step
   INSIDE one shard_map -- each device owns its batch shard for the
@@ -160,6 +179,24 @@ def train_dictionary_scanned(training_batches, validation_batches,
     if lipschitz_method == "power_warm":
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
+  resolved_formulation = all_params.get(
+      "fc_formulation",
+      "pallas" if jax.default_backend() == "tpu" else "gram")
+
+  def fused_eligible():
+    """Whole-segment Pallas kernel: TPU + warm tracking + fc + a config
+    the single-VMEM-tile kernel covers (ops/pallas_train_step)."""
+    from vtc_tpu.ops.pallas_train_step import fused_segment_supported
+    return (dp_mesh is None and warm_power
+            and jax.default_backend() == "tpu"
+            and resolved_formulation == "pallas"
+            and mode == "fully-connected"
+            and fused_segment_supported(
+                mode, inference_alg, update_alg,
+                group_assignments=group_assignments,
+                batch_size=training_batches.shape[1],
+                code_size=dictionary.shape[0],
+                input_size=training_batches.shape[-1]))
 
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
@@ -312,6 +349,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
           runners[key] = _dp_segment_runner(
               make_dp_local(upd_niters), dp_mesh,
               mode == "convolutional")
+        elif fused_eligible():
+          runners[key] = _fused_segment_runner(
+              inference_alg, update_alg, upd_niters,
+              bool(all_params.get("nonnegative_only", False)),
+              bool(all_params.get("hard_threshold", False)),
+              bool(all_params.get("renormalize_dictionary", True)))
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
