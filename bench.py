@@ -151,10 +151,9 @@ def main():
     # the whole segment as ONE Pallas kernel at full-f32 (parity-grade)
     # precision
     pps_ref, epoch_seconds = measure(250, 1000, timed_calls=4, log=log)
-    # TPU-saturating batch on the scan-of-steps path (the general path
-    # for batches beyond the single-VMEM-tile fused kernel)
-    pps_big, _ = measure(2048, 64, timed_calls=3, log=log,
-                         formulation="pallas")
+    # TPU-saturating batch: the batch-tiled fused kernel (per-tile
+    # gradient accumulation in VMEM scratch, update on the last tile)
+    pps_big, _ = measure(2048, 64, timed_calls=3, log=log)
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

@@ -95,3 +95,36 @@ def test_supported_gate():
   assert not fused_segment_supported(
       "fully-connected", "fista", "sc_cheap_quadratic_descent",
       batch_size=65536, code_size=1024, input_size=1024)
+
+
+def test_fused_segment_batch_tiled(rng):
+  """The batch-tiled kernel (per-tile gradient accumulation in VMEM
+  scratch, update on the step's last tile) must match the whole-batch
+  composed path -- including a batch that pads up to the tile size."""
+  d, h, v, batches = _problem(rng, k=3, b=30, s=24, n=16)
+  want = _reference_segment(d, h, v, batches, 0.05, 12, 0.1, 1,
+                            "fista", "sc_cheap_quadratic_descent")
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.1, batch_tile=8, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, err_msg=name)
+
+
+def test_fused_segment_batch_tiled_steepest(rng):
+  d, h, v, batches = _problem(rng, k=2, b=16, s=12, n=20)
+  want = _reference_segment(d, h, v, batches, 0.04, 10, 0.08, 1,
+                            "fista", "sc_steepest_descent")
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.04, 10, 0.08,
+      update_alg="sc_steepest_descent", batch_tile=8, interpret=True)
+  for w, g in zip(want, got):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
+
+
+def test_tiled_multi_update_iters_rejected(rng):
+  d, h, v, batches = _problem(rng, k=1, b=16)
+  with pytest.raises(ValueError):
+    fused_train_segment_pallas(d, h, v, batches, 0.05, 5, 0.1,
+                               upd_num_iters=2, batch_tile=8,
+                               interpret=True)

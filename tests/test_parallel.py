@@ -139,3 +139,53 @@ def test_graft_entry_dryrun():
   assert np.isfinite(np.asarray(out)).all()
   mod.dryrun_multichip(8)
   mod.dryrun_multichip(4)
+
+
+def test_multislice_dcn_mesh_matches_single_device(rng):
+  """A (dcn, data) hierarchical mesh: gradient/statistics psums span
+  both axes (ICI within a slice + DCN across slices), producing the
+  same update as the single-device step on the global batch."""
+  d0, batch = _fc_problem(rng)
+  hess0 = np.abs(rng.rand(24)).astype(np.float32) * 0.01
+  mesh = parallel.make_mesh(dcn=2, data=4)
+  assert mesh.axis_names == ("dcn", "data", "code")
+  assert parallel.dp_axes(mesh) == ("dcn", "data")
+
+  single = sc.build_train_step("fully-connected", "fista",
+                               "sc_cheap_quadratic_descent")
+  d1, h1, c1 = single(jnp.asarray(d0), jnp.asarray(hess0),
+                      jnp.asarray(batch), jnp.float32(0.05),
+                      jnp.int32(10), jnp.float32(0.1), 1,
+                      jnp.float32(0.0))
+
+  sharded = parallel.build_shard_map_train_step(
+      mesh, "fully-connected", "fista", "sc_cheap_quadratic_descent")
+  d2, h2, c2 = sharded(jnp.asarray(d0), jnp.asarray(hess0),
+                       jnp.asarray(batch), jnp.float32(0.05),
+                       jnp.int32(10), jnp.float32(0.1))
+  np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+
+
+def test_multislice_scanned_trainer(rng):
+  from vtc_tpu.training import compiled_epoch
+
+  data = rng.randn(4, 16, 24).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  base = {
+      "mode": "fully-connected", "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8}},
+      "dictionary_update_algorithm": "sc_steepest_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "fc_formulation": "gram", "lipschitz_method": "eigvalsh",
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, base))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0,
+      dict(base, data_parallel=parallel.make_mesh(dcn=2, data=4))))
+  np.testing.assert_allclose(dp, single, atol=2e-5)

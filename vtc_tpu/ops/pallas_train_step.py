@@ -73,7 +73,7 @@ def _tdot(a, b):
                              precision=_HI)
 
 
-def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram):
+def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
   buffers = (
       2 * s_pad * n_pad        # dictionary in + out (state)
       + s_pad * s_pad          # gram
@@ -82,13 +82,32 @@ def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram):
       + 4 * b_pad * s_pad      # corr, z, old, codes
       + b_pad * s_pad          # codes out block
       + b_pad * n_pad)         # update residual
+  if multi_tile:
+    buffers += s_pad * n_pad + s_pad * s_pad  # grad accumulator, G scratch
   return 4 * buffers
+
+
+def _pick_batch_tile(b, s, n):
+  """Largest power-of-two tile (<= 512 rows) whose working set fits."""
+  s_pad = _round_up(s, _LANES)
+  n_pad = _round_up(n, _LANES)
+  b_pad = _round_up(b, _SUBLANES)
+  if _vmem_bytes(b_pad, s_pad, n_pad, s > n) <= _VMEM_BUDGET_BYTES:
+    return b_pad  # whole batch in one tile
+  tile = 512
+  while tile >= _SUBLANES:
+    if _vmem_bytes(tile, s_pad, n_pad, s > n,
+                   multi_tile=True) <= _VMEM_BUDGET_BYTES:
+      return tile  # batch zero-padded up to a multiple of the tile
+    tile //= 2
+  return None
 
 
 def fused_segment_supported(mode, inference_alg, update_alg, *,
                             group_assignments=None, nonneg=False,
                             hard_threshold=False, batch_size=None,
-                            code_size=None, input_size=None):
+                            code_size=None, input_size=None,
+                            upd_num_iters=1):
   """True when `fused_train_segment_pallas` covers this configuration."""
   del nonneg, hard_threshold  # both supported
   if mode != "fully-connected" or group_assignments is not None:
@@ -100,11 +119,15 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
     return False
   if None in (batch_size, code_size, input_size):
     return True  # shape-independent eligibility
-  s_pad = _round_up(code_size, _LANES)
-  n_pad = _round_up(input_size, _LANES)
-  b_pad = _round_up(batch_size, _SUBLANES)
-  return _vmem_bytes(b_pad, s_pad, n_pad,
-                     code_size > input_size) <= _VMEM_BUDGET_BYTES
+  tile = _pick_batch_tile(batch_size, code_size, input_size)
+  if tile is None:
+    return False
+  if tile < _round_up(batch_size, _SUBLANES) and upd_num_iters != 1:
+    # the tiled kernel accumulates the gradient across batch tiles
+    # against the step's initial dictionary, which only matches the
+    # reference semantics for a single update iteration
+    return False
+  return True
 
 
 def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
@@ -197,18 +220,118 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   return kernel
 
 
+def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
+                       power_iters, use_n_gram, lowest_code_val,
+                       num_tiles):
+  """Batch-tiled variant: grid (step, tile) with tile fastest.  The
+  dictionary gradient decomposes over batch tiles --
+  sum_t codes_t^T (codes_t D - X_t) -- so each tile accumulates its
+  contribution into VMEM scratch and the update applies on the step's
+  last tile.  Single update iteration only (the accumulated gradient is
+  taken at the step's initial dictionary)."""
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
+             d_out, h_out, v_out, codes_out,
+             gradacc, statacc, eta_ref):
+    step = pl.program_id(0)
+    tile = pl.program_id(1)
+
+    @pl.when((step == 0) & (tile == 0))
+    def _():
+      d_out[:] = d_ref[:]
+      h_out[:] = h_ref[:]
+      v_out[:] = v_ref[:]
+
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    upd_step = scalars_ref[1]
+    inv_b = scalars_ref[2]
+
+    dictionary = d_out[:]
+    gram = _dot_t(dictionary, dictionary)
+
+    @pl.when(tile == 0)
+    def _():
+      power_gram = (_tdot(dictionary, dictionary) if use_n_gram
+                    else gram)
+      v = v_out[:]
+      v = v / jnp.sqrt(jnp.sum(v * v))
+
+      def power_body(_, vec):
+        w = _dot(vec, power_gram)
+        return w / jnp.sqrt(jnp.sum(w * w))
+
+      v = jax.lax.fori_loop(0, power_iters, power_body, v)
+      v_out[:] = v
+      eta_ref[0] = 1.0 / jnp.sum(_dot(v, power_gram) * v)
+      gradacc[:] = jnp.zeros_like(gradacc)
+      statacc[:] = jnp.zeros_like(statacc)
+
+    eta = eta_ref[0]
+    lam_eta = sw * eta
+    images = x_ref[0]
+    corr = _dot_t(images, dictionary)
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
+
+    init = jnp.zeros_like(corr)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      codes = threshold(z - eta * _dot(z, gram) + eta * corr)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    codes_out[:] = codes
+
+    if uses_hessian:
+      statacc[:] = statacc[:] + jnp.sum(codes * codes, axis=0,
+                                        keepdims=True)
+    gradacc[:] = gradacc[:] + _tdot(codes, _dot(codes, dictionary)
+                                    - images)
+
+    @pl.when(tile == num_tiles - 1)
+    def _():
+      grad = gradacc[:] * inv_b
+      if uses_hessian:
+        hessian = 0.99 * h_out[:] + (statacc[:] * inv_b) / 100.0
+        h_out[:] = hessian
+        grad = grad / (jnp.transpose(hessian) + lowest_code_val)
+      d = dictionary - upd_step * grad
+      if renormalize:
+        norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        d = d / jnp.maximum(norms, 1e-30)
+      d_out[:] = d
+
+  return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "update_alg", "upd_num_iters", "nonneg",
                      "hard", "renormalize", "power_iters",
-                     "lowest_code_val", "interpret"))
+                     "lowest_code_val", "interpret", "batch_tile"))
 def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                sparsity_weight, inf_num_iters,
                                upd_stepsize, *, variant="fista",
                                update_alg="sc_cheap_quadratic_descent",
                                upd_num_iters=1, nonneg=False, hard=False,
                                renormalize=True, power_iters=12,
-                               lowest_code_val=0.001, interpret=False):
+                               lowest_code_val=0.001, interpret=False,
+                               batch_tile=None):
   """Run `batches.shape[0]` fused train steps in one kernel launch.
 
   Args:
@@ -231,7 +354,16 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
   s_pad = _round_up(s, _LANES)
   n_pad = _round_up(n, _LANES)
   dim_pad = _round_up(dim, _LANES)
-  b_pad = _round_up(b, _SUBLANES)
+  tile = batch_tile if batch_tile is not None else _pick_batch_tile(
+      b, s, n)
+  if tile is None:
+    raise ValueError("shapes exceed the fused kernel's VMEM budget; "
+                     "use the scan-of-steps path")
+  multi_tile = tile < _round_up(b, _SUBLANES)
+  if multi_tile and upd_num_iters != 1:
+    raise ValueError("the batch-tiled fused kernel supports "
+                     "upd_num_iters=1 only")
+  b_pad = _round_up(b, tile) if multi_tile else _round_up(b, _SUBLANES)
   uses_hessian = update_alg == "sc_cheap_quadratic_descent"
 
   d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
@@ -248,40 +380,74 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                        jnp.float32(1.0 / b)])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
-  kernel = _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
-                        int(upd_num_iters), int(power_iters), use_n_gram,
-                        float(lowest_code_val))
-  const = lambda i, *_: (0, 0)
+  out_shape = [
+      jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
+      jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+      jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
+      jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+  ]
+  cost = pl.CostEstimate(
+      flops=2 * k * (s_pad * n_pad * s_pad + b_pad * s_pad * n_pad
+                     + 30 * b_pad * s_pad * s_pad
+                     + 2 * upd_num_iters * b_pad * s_pad * n_pad),
+      bytes_accessed=4 * k * (b_pad * n_pad + b_pad * s_pad),
+      transcendentals=0)
+
+  if multi_tile:
+    num_tiles = b_pad // tile
+    kernel = _make_tiled_kernel(
+        variant, nonneg, hard, uses_hessian, renormalize,
+        int(power_iters), use_n_gram, float(lowest_code_val), num_tiles)
+    const = lambda i, t, *_: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k, num_tiles),
+        in_specs=[
+            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec((1, s_pad), const),
+            pl.BlockSpec((1, dim_pad), const),
+            pl.BlockSpec((1, tile, n_pad), lambda i, t, *_: (i, t, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec((1, s_pad), const),
+            pl.BlockSpec((1, dim_pad), const),
+            pl.BlockSpec((tile, s_pad), lambda i, t, *_: (t, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, n_pad), jnp.float32),  # grad accumulator
+            pltpu.VMEM((1, s_pad), jnp.float32),      # stat accumulator
+            pltpu.SMEM((1,), jnp.float32),            # eta for the step
+        ])
+  else:
+    kernel = _make_kernel(variant, nonneg, hard, uses_hessian,
+                          renormalize, int(upd_num_iters),
+                          int(power_iters), use_n_gram,
+                          float(lowest_code_val))
+    const = lambda i, *_: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec((1, s_pad), const),
+            pl.BlockSpec((1, dim_pad), const),
+            pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec((1, s_pad), const),
+            pl.BlockSpec((1, dim_pad), const),
+            pl.BlockSpec((b_pad, s_pad), const),
+        ])
+
+  # the default scoped-vmem limit is 16MB; 32MB is validated on v5e and
+  # the tile picker's 12MB self-budget (a ~2x underestimate of the
+  # compiler's scoped footprint) keeps actual usage safely under it
   d_new, h_new, v_new, codes = pl.pallas_call(
-      kernel,
-      grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
-          grid=(k,),
-          in_specs=[
-              pl.BlockSpec((s_pad, n_pad), const),
-              pl.BlockSpec((1, s_pad), const),
-              pl.BlockSpec((1, dim_pad), const),
-              pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
-          ],
-          out_specs=[
-              pl.BlockSpec((s_pad, n_pad), const),
-              pl.BlockSpec((1, s_pad), const),
-              pl.BlockSpec((1, dim_pad), const),
-              pl.BlockSpec((b_pad, s_pad), const),
-          ],
-      ),
-      out_shape=[
-          jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
-          jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
-          jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
-          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
-      ],
-      interpret=interpret,
-      cost_estimate=pl.CostEstimate(
-          flops=2 * k * (s_pad * n_pad * s_pad + b_pad * s_pad * n_pad
-                         + 30 * b_pad * s_pad * s_pad
-                         + 2 * upd_num_iters * b_pad * s_pad * n_pad),
-          bytes_accessed=4 * k * (b_pad * n_pad + b_pad * s_pad),
-          transcendentals=0),
+      kernel, grid_spec=grid_spec, out_shape=out_shape,
+      interpret=interpret, cost_estimate=cost,
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
   )(niter, scalars, d_in, h_in, v_in, x_in)
   return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])

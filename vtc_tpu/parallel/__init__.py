@@ -13,7 +13,7 @@ package is the framework's scaling story, built the TPU way:
     (up to reduction order) to the single-device step on the same global
     batch, verified in tests/test_parallel.py on a virtual 8-device mesh.
 """
-from vtc_tpu.parallel.mesh import make_mesh
+from vtc_tpu.parallel.mesh import dp_axes, make_mesh
 from vtc_tpu.parallel.data_parallel import (
     build_dp_local_step, build_pjit_train_step,
     build_shard_map_train_step)

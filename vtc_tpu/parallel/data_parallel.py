@@ -57,15 +57,17 @@ def build_pjit_train_step(mesh, mode, inference_alg, update_alg, *,
                inf_num_iters, upd_stepsize, upd_num_iters,
                jnp.float32(0.0))
 
+  from vtc_tpu.parallel.mesh import dp_axes
+  axes = dp_axes(mesh)
   code = "code" if shard_code_axis else None
   if mode == "fully-connected":
     dict_spec = P(code, None)
-    codes_spec = P("data", code)
+    codes_spec = P(axes, code)
   else:
     dict_spec = P(code, None, None, None)
-    codes_spec = P("data", code, None, None)
-  batch_spec = P("data") if mode == "fully-connected" else (
-      P("data", None, None, None))
+    codes_spec = P(axes, code, None, None)
+  batch_spec = P(axes) if mode == "fully-connected" else (
+      P(axes, None, None, None))
 
   def sh(spec):
     return NamedSharding(mesh, spec)
@@ -83,7 +85,7 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
                         group_assignments=None, alignment_penalty=0.0,
                         renormalize=True, fc_formulation="gram",
                         lipschitz_method="eigvalsh", upd_num_iters=1,
-                        lowest_code_val=0.001):
+                        lowest_code_val=0.001, axis_names=("data",)):
   """The per-device body of the data-parallel fused step.
 
   Must execute inside a shard_map over a 'data' mesh axis of size
@@ -145,10 +147,10 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
       global_b = local_b * data_size
       if uses_hessian:
         if mode == "fully-connected":
-          stat = jax.lax.psum(jnp.sum(codes**2, axis=0), "data")
+          stat = jax.lax.psum(jnp.sum(codes**2, axis=0), axis_names)
         else:
           stat = jax.lax.psum(
-              jnp.sum(codes**2, axis=(0, 2, 3)), "data")
+              jnp.sum(codes**2, axis=(0, 2, 3)), axis_names)
         hessian = 0.99 * hessian + (stat / global_b) / 100.0
 
       if mode == "convolutional":
@@ -158,7 +160,7 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
       def body(_, d):
         if mode == "fully-connected":
           local_grad = codes.T @ (codes @ d - batch_shard)
-          grad = jax.lax.psum(local_grad, "data") / global_b
+          grad = jax.lax.psum(local_grad, axis_names) / global_b
           if is_subspace_upd and alignment_penalty != 0:
             grad = grad + alignment_penalty * (
                 alignment_regularization_gradients(
@@ -174,7 +176,7 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
         # rescale, renorm) on the GLOBAL gradient
         local_grad = conv_ops.dictionary_gradient(
             batch_shard, codes, d, kernel_stride, mask) * local_b
-        grad = jax.lax.psum(local_grad, "data") / global_b
+        grad = jax.lax.psum(local_grad, axis_names) / global_b
         if uses_hessian:
           grad = grad / (hessian + lowest_code_val)[:, None, None, None]
         grad = grad * (jnp.linalg.norm(d.ravel()) /
@@ -202,14 +204,19 @@ def build_shard_map_train_step(mesh, mode, inference_alg, update_alg,
   (the leading dim must be divisible by the axis size).  Outputs:
   dictionary/hessian replicated, codes sharded like the batch.
   """
+  from vtc_tpu.parallel.mesh import dp_axes
+  axes = dp_axes(mesh)
+  size = 1
+  for a in axes:
+    size *= mesh.shape[a]
   local_step = build_dp_local_step(
-      mesh.shape["data"], mode, inference_alg, update_alg, **config)
+      size, mode, inference_alg, update_alg, axis_names=axes, **config)
   if mode == "fully-connected":
-    batch_spec, codes_spec = P("data", None), P("data", None)
+    batch_spec, codes_spec = P(axes, None), P(axes, None)
     dict_spec = P(None, None)
   else:
-    batch_spec = P("data", None, None, None)
-    codes_spec = P("data", None, None, None)
+    batch_spec = P(axes, None, None, None)
+    codes_spec = P(axes, None, None, None)
     dict_spec = P(None, None, None, None)
 
   sharded = jax.shard_map(

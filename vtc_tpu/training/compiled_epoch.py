@@ -82,6 +82,8 @@ def _dp_segment_runner(local_step, mesh, conv_mode):
   with the single-chip runner."""
   from jax.sharding import PartitionSpec as P
 
+  from vtc_tpu.parallel.mesh import dp_axes
+
   def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
     def body(carry, batch_shard):
       d, h = carry
@@ -93,8 +95,9 @@ def _dp_segment_runner(local_step, mesh, conv_mode):
     return dictionary, hessian, eigvec
 
   rep = P()
-  batch_spec = (P(None, "data", None, None, None) if conv_mode
-                else P(None, "data", None))
+  axes = dp_axes(mesh)
+  batch_spec = (P(None, axes, None, None, None) if conv_mode
+                else P(None, axes, None))
   sharded = jax.shard_map(
       run, mesh=mesh,
       in_specs=(rep, rep, rep, batch_spec, rep, rep, rep),
@@ -183,9 +186,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
       "fc_formulation",
       "pallas" if jax.default_backend() == "tpu" else "gram")
 
-  def fused_eligible():
+  def fused_eligible(upd_niters_):
     """Whole-segment Pallas kernel: TPU + warm tracking + fc + a config
-    the single-VMEM-tile kernel covers (ops/pallas_train_step)."""
+    the VMEM-resident kernel covers (ops/pallas_train_step)."""
     from vtc_tpu.ops.pallas_train_step import fused_segment_supported
     return (dp_mesh is None and warm_power
             and jax.default_backend() == "tpu"
@@ -196,12 +199,18 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 group_assignments=group_assignments,
                 batch_size=training_batches.shape[1],
                 code_size=dictionary.shape[0],
-                input_size=training_batches.shape[-1]))
+                input_size=training_batches.shape[-1],
+                upd_num_iters=upd_niters_))
 
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
+    from vtc_tpu.parallel.mesh import dp_axes
+    axes = dp_axes(dp_mesh)
+    size = 1
+    for a in axes:
+      size *= dp_mesh.shape[a]
     return vtc_parallel.build_dp_local_step(
-        dp_mesh.shape["data"], mode, inference_alg, update_alg,
+        size, mode, inference_alg, update_alg, axis_names=axes,
         nonneg=bool(all_params.get("nonnegative_only", False)),
         hard_threshold=bool(all_params.get("hard_threshold", False)),
         kernel_stride=kernel_stride, padding=padding,
@@ -349,7 +358,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
           runners[key] = _dp_segment_runner(
               make_dp_local(upd_niters), dp_mesh,
               mode == "convolutional")
-        elif fused_eligible():
+        elif fused_eligible(upd_niters):
           runners[key] = _fused_segment_runner(
               inference_alg, update_alg, upd_niters,
               bool(all_params.get("nonnegative_only", False)),
