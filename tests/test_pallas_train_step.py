@@ -128,3 +128,68 @@ def test_tiled_multi_update_iters_rejected(rng):
     fused_train_segment_pallas(d, h, v, batches, 0.05, 5, 0.1,
                                upd_num_iters=2, batch_tile=8,
                                interpret=True)
+
+
+def _reference_group_segment(d0, h0, v0, batches, groups, sw, n_it,
+                             upd_step, upd_niters, variant, update_alg,
+                             power_iters=12):
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+  raw = sc.build_raw_step_fn(
+      "fully-connected", "subspace_" + variant, update_alg,
+      group_assignments=groups, alignment_penalty=0.0,
+      fc_formulation="gram", compute_stepsize_in_step=False)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, d0.shape[0])
+  d, h, v = jnp.asarray(d0), jnp.asarray(h0), jnp.asarray(v0)
+  codes = None
+  for batch in batches:
+    grouped = subspace_ista_fista.build_grouped_dictionary(d, gi, vm)
+    eigval, v = lip.power_iterate(grouped, v, num_iters=power_iters)
+    d, h, codes = raw(d, h, jnp.asarray(batch), jnp.float32(sw),
+                      jnp.int32(n_it), jnp.float32(upd_step),
+                      upd_niters, 1.0 / eigval)
+  return np.asarray(d), np.asarray(h), np.asarray(v), np.asarray(codes)
+
+
+@pytest.mark.parametrize("update_alg", [
+    "subspace_sc_cheap_quadratic_descent",
+    "subspace_sc_steepest_descent"])
+def test_fused_group_segment_matches_composed_path(rng, update_alg):
+  """Ragged, overlapping groups; the fused kernel's gsel/expand matmul
+  formulation must reproduce the gather/segment-sum XLA path."""
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_segment_supported, fused_group_train_segment_pallas)
+
+  s, n, b, k = 14, 16, 10, 3
+  groups = [[0, 1, 2, 3], [4, 5], [6, 7, 8], [9, 10, 11, 12], [13, 0]]
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32)
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  gm = len(groups) * max(len(g) for g in groups)
+  v = rng.randn(min(gm, n)).astype(np.float32)
+
+  assert fused_group_segment_supported(
+      "subspace_fista", update_alg, groups,
+      batch_size=b, code_size=s, input_size=n)
+  want = _reference_group_segment(d, h, v, batches, groups, 0.05, 10,
+                                  0.1, 1, "fista", update_alg)
+  got = fused_group_train_segment_pallas(
+      d, h, v, batches, 0.05, 10, 0.1, group_assignments=groups,
+      update_alg=update_alg, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)
+
+
+def test_fused_group_gate():
+  from vtc_tpu.ops.pallas_train_step import fused_group_segment_supported
+  groups = [[0, 1], [2, 3]]
+  assert fused_group_segment_supported(
+      "subspace_fista", "subspace_sc_cheap_quadratic_descent", groups,
+      batch_size=250, code_size=4, input_size=16)
+  assert not fused_group_segment_supported(  # penalty -> XLA path
+      "subspace_fista", "subspace_sc_cheap_quadratic_descent", groups,
+      alignment_penalty=0.5)
+  assert not fused_group_segment_supported(
+      "fista", "sc_cheap_quadratic_descent", None)

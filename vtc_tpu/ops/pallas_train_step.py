@@ -220,6 +220,108 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   return kernel
 
 
+def _make_group_kernel(variant, hard, uses_hessian, renormalize,
+                       upd_num_iters, power_iters, use_n_gram,
+                       lowest_code_val):
+  """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
+  design as _make_kernel; the group structure enters as two static 0/1
+  matrices so every ragged operation is an MXU matmul:
+    gsel   (GM, s): grouped_dict = gsel @ D (duplicated, zero-padded
+           rows -- build_grouped_dictionary semantics) and
+           codes_s = codes_gm @ gsel (duplicate-summed unpack).
+    expand (GM, G): group-norm shrinkage via squared-sum + broadcast
+           matmuls (see ops/pallas_group_fista.py).
+  Alignment penalty 0 only (the reference's fast path); penalty != 0
+  falls back to the scan-of-ops path."""
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
+             expand_ref, x_ref, d_out, h_out, v_out, codes_out):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+      d_out[:] = d_ref[:]
+      h_out[:] = h_ref[:]
+      v_out[:] = v_ref[:]
+
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    upd_step = scalars_ref[1]
+    inv_b = scalars_ref[2]
+
+    dictionary = d_out[:]
+    gsel = gsel_ref[:]
+    expand = expand_ref[:]
+    images = x_ref[0]
+    grouped = _dot(gsel, dictionary)              # (GM_pad, n_pad)
+    gram = _dot_t(grouped, grouped)               # (GM_pad, GM_pad)
+    power_gram = _tdot(grouped, grouped) if use_n_gram else gram
+
+    v = v_out[:]
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def power_body(_, vec):
+      w = _dot(vec, power_gram)
+      return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, power_iters, power_body, v)
+    v_out[:] = v
+    eta = 1.0 / jnp.sum(_dot(v, power_gram) * v)
+    lam_eta = sw * eta
+
+    corr = _dot_t(images, grouped)                # (b_pad, GM_pad)
+
+    def prox(x):
+      sums = _dot(x * x, expand)                  # (b_pad, G_pad)
+      norms = jnp.sqrt(sums)
+      safe = jnp.where(norms == 0.0, 1.0, norms)
+      if hard:
+        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+      else:
+        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+      return x * _dot_t(scale, expand)            # scale @ expand.T
+
+    init = jnp.zeros_like(corr)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      codes = prox(z - eta * _dot(z, gram) + eta * corr)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    _, grouped_codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    codes = _dot(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes_out[:] = codes
+
+    if uses_hessian:
+      hessian = (0.99 * h_out[:]
+                 + (jnp.sum(codes * codes, axis=0, keepdims=True)
+                    * inv_b) / 100.0)
+      h_out[:] = hessian
+      scale = jnp.transpose(hessian) + lowest_code_val
+
+    def update_body(_, d):
+      resid = _dot(codes, d) - images
+      grad = _tdot(codes, resid) * inv_b
+      if uses_hessian:
+        grad = grad / scale
+      d = d - upd_step * grad
+      if renormalize:
+        norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        d = d / jnp.maximum(norms, 1e-30)
+      return d
+
+    d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body,
+                                 dictionary)
+
+  return kernel
+
+
 def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                        power_iters, use_n_gram, lowest_code_val,
                        num_tiles):
@@ -317,6 +419,175 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       d_out[:] = d
 
   return kernel
+
+
+def _group_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad, use_n_gram):
+  buffers = (
+      2 * s_pad * n_pad                 # dictionary in + out
+      + gm_pad * n_pad                  # grouped dictionary
+      + gm_pad * gm_pad                 # grouped gram
+      + (n_pad * n_pad if use_n_gram else 0)
+      + gm_pad * s_pad + gm_pad * g_pad  # gsel, expand
+      + 2 * b_pad * n_pad               # X double buffer
+      + 4 * b_pad * gm_pad              # corr, z, old, grouped codes
+      + 2 * b_pad * s_pad               # summed codes + out block
+      + b_pad * n_pad                   # update residual
+      + b_pad * g_pad)                  # group norms
+  return 4 * buffers
+
+
+def fused_group_segment_supported(inference_alg, update_alg,
+                                  group_assignments, *,
+                                  alignment_penalty=0.0, batch_size=None,
+                                  code_size=None, input_size=None):
+  """True when `fused_group_train_segment_pallas` covers this config."""
+  if group_assignments is None:
+    return False
+  if inference_alg not in ("subspace_ista", "subspace_fista"):
+    return False
+  if update_alg not in ("subspace_sc_steepest_descent",
+                        "subspace_sc_cheap_quadratic_descent"):
+    return False
+  if alignment_penalty != 0.0:
+    return False  # the anti-alignment regularizer stays on the XLA path
+  if None in (batch_size, code_size, input_size):
+    return True
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  gm = num_groups * max_gs
+  return _group_vmem_bytes(
+      _round_up(batch_size, _SUBLANES), _round_up(code_size, _LANES),
+      _round_up(input_size, _LANES), _round_up(gm, _LANES),
+      _round_up(num_groups, _LANES),
+      gm > input_size) <= _VMEM_BUDGET_BYTES
+
+
+def group_selection_matrix(group_assignments, code_size):
+  """(G*M, s) 0/1 matrix: row g*M+m is one-hot at the member's code
+  index (zero row for group padding).  grouped_dict = gsel @ D and
+  summed codes = grouped_codes @ gsel."""
+  import numpy as np
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  gsel = np.zeros((num_groups * max_gs, code_size), np.float32)
+  for g_idx, members in enumerate(group_assignments):
+    for m_idx, member in enumerate(members):
+      gsel[g_idx * max_gs + m_idx, member] = 1.0
+  return gsel
+
+
+def group_expand_matrix(group_assignments):
+  """(G*M, G) 0/1 membership matrix (zero rows for group padding)."""
+  import numpy as np
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  expand = np.zeros((num_groups * max_gs, num_groups), np.float32)
+  for g_idx, members in enumerate(group_assignments):
+    for m_idx in range(len(members)):
+      expand[g_idx * max_gs + m_idx, g_idx] = 1.0
+  return expand
+
+
+def fused_group_train_segment_pallas(dictionary, hessian, eigvec,
+                                     batches, sparsity_weight,
+                                     inf_num_iters, upd_stepsize, *,
+                                     group_assignments, **kwargs):
+  """Subspace counterpart of `fused_train_segment_pallas`: one kernel
+  launch per segment for the group-sparse solver + subspace update
+  (alignment penalty 0).  eigvec has dim min(G*M, n) -- the grouped
+  Gram's, matching lipschitz.power_iterate on the grouped dictionary."""
+  groups = tuple(tuple(int(m) for m in g) for g in group_assignments)
+  return _fused_group_impl(dictionary, hessian, eigvec, batches,
+                           sparsity_weight, inf_num_iters, upd_stepsize,
+                           group_assignments=groups, **kwargs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_assignments", "variant", "update_alg",
+                     "upd_num_iters", "hard", "renormalize",
+                     "power_iters", "lowest_code_val", "interpret"))
+def _fused_group_impl(dictionary, hessian, eigvec,
+                      batches, sparsity_weight,
+                      inf_num_iters, upd_stepsize, *,
+                      group_assignments, variant="fista",
+                      update_alg=(
+                          "subspace_sc_cheap_quadratic"
+                          "_descent"),
+                      upd_num_iters=1, hard=False,
+                      renormalize=True, power_iters=12,
+                      lowest_code_val=0.001,
+                      interpret=False):
+  k, b, n = batches.shape
+  s = dictionary.shape[0]
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  gm = num_groups * max_gs
+  gsel = group_selection_matrix(group_assignments, s)
+  expand = group_expand_matrix(group_assignments)
+  use_n_gram = gm > n
+  dim = n if use_n_gram else gm
+
+  s_pad = _round_up(s, _LANES)
+  n_pad = _round_up(n, _LANES)
+  gm_pad = _round_up(gm, _LANES)
+  g_pad = _round_up(num_groups, _LANES)
+  dim_pad = _round_up(dim, _LANES)
+  b_pad = _round_up(b, _SUBLANES)
+  uses_hessian = update_alg == "subspace_sc_cheap_quadratic_descent"
+
+  d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
+                 ((0, s_pad - s), (0, n_pad - n)))
+  h_in = jnp.pad(jnp.asarray(hessian, jnp.float32).reshape(1, s),
+                 ((0, 0), (0, s_pad - s)))
+  v_in = jnp.pad(jnp.asarray(eigvec, jnp.float32).reshape(1, dim),
+                 ((0, 0), (0, dim_pad - dim)))
+  gsel_in = jnp.pad(jnp.asarray(gsel),
+                    ((0, gm_pad - gm), (0, s_pad - s)))
+  expand_in = jnp.pad(jnp.asarray(expand, jnp.float32),
+                      ((0, gm_pad - gm), (0, g_pad - num_groups)))
+  x_in = jnp.pad(jnp.asarray(batches, jnp.float32),
+                 ((0, 0), (0, b_pad - b), (0, n_pad - n)))
+
+  scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
+                       jnp.asarray(upd_stepsize, jnp.float32),
+                       jnp.float32(1.0 / b)])
+  niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
+                              int(upd_num_iters), int(power_iters),
+                              use_n_gram, float(lowest_code_val))
+  const = lambda i, *_: (0, 0)
+  d_new, h_new, v_new, codes = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(k,),
+          in_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((gm_pad, s_pad), const),
+              pl.BlockSpec((gm_pad, g_pad), const),
+              pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
+          ],
+          out_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((b_pad, s_pad), const),
+          ]),
+      out_shape=[
+          jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+  )(niter, scalars, d_in, h_in, v_in, gsel_in, expand_in, x_in)
+  return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])
 
 
 @functools.partial(

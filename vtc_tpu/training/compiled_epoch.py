@@ -73,6 +73,24 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
   return run
 
 
+def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
+                                renormalize, group_assignments):
+  """Subspace counterpart of _fused_segment_runner (alignment penalty
+  0; see ops/pallas_train_step.fused_group_train_segment_pallas)."""
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    dictionary, hessian, eigvec, _ = fused_group_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        group_assignments=group_assignments, variant=variant,
+        update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
+        renormalize=renormalize)
+    return dictionary, hessian, eigvec
+
+  return run
+
+
 def _dp_segment_runner(local_step, mesh, conv_mode):
   """Multi-chip segment: lax.scan of the psum-reduced DP local step
   INSIDE one shard_map -- each device owns its batch shard for the
@@ -188,19 +206,29 @@ def train_dictionary_scanned(training_batches, validation_batches,
 
   def fused_eligible(upd_niters_):
     """Whole-segment Pallas kernel: TPU + warm tracking + fc + a config
-    the VMEM-resident kernel covers (ops/pallas_train_step)."""
-    from vtc_tpu.ops.pallas_train_step import fused_segment_supported
-    return (dp_mesh is None and warm_power
+    one of the VMEM-resident kernels covers (ops/pallas_train_step)."""
+    from vtc_tpu.ops.pallas_train_step import (
+        fused_group_segment_supported, fused_segment_supported)
+    if not (dp_mesh is None and warm_power
             and jax.default_backend() == "tpu"
             and resolved_formulation == "pallas"
-            and mode == "fully-connected"
-            and fused_segment_supported(
-                mode, inference_alg, update_alg,
-                group_assignments=group_assignments,
-                batch_size=training_batches.shape[1],
-                code_size=dictionary.shape[0],
-                input_size=training_batches.shape[-1],
-                upd_num_iters=upd_niters_))
+            and mode == "fully-connected"):
+      return False
+    if group_assignments is not None:
+      return fused_group_segment_supported(
+          inference_alg, update_alg, group_assignments,
+          alignment_penalty=float(
+              all_params.get("subspace_alignment_penalty", 0.0)),
+          batch_size=training_batches.shape[1],
+          code_size=dictionary.shape[0],
+          input_size=training_batches.shape[-1])
+    return fused_segment_supported(
+        mode, inference_alg, update_alg,
+        group_assignments=group_assignments,
+        batch_size=training_batches.shape[1],
+        code_size=dictionary.shape[0],
+        input_size=training_batches.shape[-1],
+        upd_num_iters=upd_niters_)
 
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
@@ -359,11 +387,18 @@ def train_dictionary_scanned(training_batches, validation_batches,
               make_dp_local(upd_niters), dp_mesh,
               mode == "convolutional")
         elif fused_eligible(upd_niters):
-          runners[key] = _fused_segment_runner(
-              inference_alg, update_alg, upd_niters,
-              bool(all_params.get("nonnegative_only", False)),
-              bool(all_params.get("hard_threshold", False)),
-              bool(all_params.get("renormalize_dictionary", True)))
+          if group_assignments is not None:
+            runners[key] = _fused_group_segment_runner(
+                inference_alg[9:], update_alg, upd_niters,
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                group_assignments)
+          else:
+            runners[key] = _fused_segment_runner(
+                inference_alg, update_alg, upd_niters,
+                bool(all_params.get("nonnegative_only", False)),
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)))
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
