@@ -227,3 +227,26 @@ def test_pca_dictionary(rng):
   want = np.linalg.eigh(data.T @ data / 500)[1][:, ::-1].T
   overlap = np.abs(np.sum(pca * want, axis=1))
   np.testing.assert_allclose(overlap[:20], 1.0, atol=1e-3)
+
+
+def test_ica_scanned_matches_perbatch(rng, tmp_path):
+  """The scanned ICA trainer must reproduce the per-batch trainer on
+  the same batch sequence (schedule change mid-run, checkpoints)."""
+  n = 16
+  data = _synthetic_patch_batches(rng, num_batches=4, batch=32, n=n)
+  d0 = np.linalg.qr(rng.randn(n, n))[0].astype(np.float32)
+  params = {
+      "num_epochs": 3,
+      "dictionary_update_algorithm": "ica_natural_gradient",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.02, "num_iters": 1},
+          5: {"stepsize": 0.01, "num_iters": 2}},
+      "stdout_print_interval": 1000,
+  }
+  ref = np.asarray(ica_trainer.train_dictionary(data, d0, params))
+  fast = np.asarray(ica_trainer.train_dictionary_scanned(
+      np.stack(list(data)), d0, dict(
+          params, checkpoint_schedule={6},
+          logging_folder_fullpath=tmp_path / "ica_scan")))
+  np.testing.assert_allclose(fast, ref, atol=2e-5)
+  assert (tmp_path / "ica_scan" / "checkpoint_dictionary_iter_6").exists()

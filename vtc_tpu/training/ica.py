@@ -106,6 +106,100 @@ def train_dictionary(image_dataset, init_dictionary, all_params):
   return dictionary
 
 
+def _segment_runner(upd_num_iters):
+  """jit scanning the fused ICA step (solve + natural gradient) over
+  the batch axis with zero Python in the loop."""
+
+  def run(dictionary, batches, stepsize):
+    def body(d, batch):
+      codes = invertible_linear._solve_nonortho(batch, d)
+      return ica_natural_gradient._update(
+          d, codes, stepsize, upd_num_iters), ()
+
+    dictionary, _ = jax.lax.scan(body, dictionary, batches)
+    return dictionary
+
+  return jax.jit(run)
+
+
+def train_dictionary_scanned(training_batches, init_dictionary,
+                             all_params):
+  """Production fast path for ICA: whole training segments as one
+  compiled ``lax.scan`` (the ICA analogue of
+  compiled_epoch.train_dictionary_scanned).  Same ``all_params`` schema
+  as train_dictionary; ``training_batches`` is a stacked (k, b, n)
+  array; returns the final dictionary.
+  """
+  assert 0 in all_params["dict_update_param_schedule"]
+  assert all_params["dictionary_update_algorithm"] == (
+      "ica_natural_gradient")
+  dictionary = jnp.asarray(np.asarray(init_dictionary), jnp.float32)
+  assert dictionary.shape[0] == dictionary.shape[1]
+  schedule = all_params["dict_update_param_schedule"]
+  num_epochs = all_params["num_epochs"]
+  ckpt_sched = all_params.get("checkpoint_schedule") or set()
+  vis_sched = all_params.get("training_visualization_schedule") or set()
+  logging_path = all_params.get("logging_folder_fullpath")
+  kernel_reshaping = all_params.get("reshaped_kernel_size")
+  tb_writer = None
+  if ckpt_sched or vis_sched:
+    assert logging_path is not None
+    logging_path = Path(logging_path)
+    logging_path.mkdir(parents=True, exist_ok=True)
+  if vis_sched:
+    from torch.utils.tensorboard import SummaryWriter
+    tb_writer = SummaryWriter(str(logging_path))
+
+  training_batches = jnp.asarray(np.asarray(training_batches),
+                                 jnp.float32)
+  k = training_batches.shape[0]
+  total_iters = num_epochs * k
+  boundaries = sorted(
+      ({0, total_iters} | set(schedule) | set(ckpt_sched)
+       | set(vis_sched) | {e * k for e in range(num_epochs + 1)}))
+  boundaries = [x for x in boundaries if 0 <= x <= total_iters]
+
+  stepsize = upd_niters = None
+  runners = {}
+  start = time.time()
+  for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
+    if seg_start in schedule:
+      stepsize = float(schedule[seg_start]["stepsize"])
+      upd_niters = int(schedule[seg_start]["num_iters"])
+    if seg_start in ckpt_sched:
+      ckpt_util.save_dictionary_checkpoint(
+          logging_path, seg_start, np.asarray(dictionary))
+    if seg_start in vis_sched:
+      epoch0 = seg_start // k
+      batch = training_batches[seg_start - epoch0 * k]
+      codes = invertible_linear.run(batch, dictionary)
+      _log_progress(tb_writer, batch, codes, dictionary,
+                    kernel_reshaping, seg_start)
+    if seg_end == seg_start:
+      continue
+    epoch = seg_start // k
+    lo, hi = seg_start - epoch * k, seg_end - epoch * k
+    assert 0 <= lo < hi <= k
+    pos = lo
+    while pos < hi:  # power-of-two chunks: O(log k) compiled shapes
+      chunk = 1 << ((hi - pos).bit_length() - 1)
+      key = (upd_niters, chunk)
+      if key not in runners:
+        runners[key] = _segment_runner(upd_niters)
+      dictionary = runners[key](
+          dictionary, training_batches[pos:pos + chunk],
+          jnp.float32(stepsize))
+      pos += chunk
+  if total_iters in ckpt_sched:
+    ckpt_util.save_dictionary_checkpoint(
+        logging_path, total_iters, np.asarray(dictionary))
+  if tb_writer is not None:
+    tb_writer.flush()
+  print("scanned ICA training done in {:.2f}s ({} iterations)".format(
+      time.time() - start, total_iters))
+  return dictionary
+
+
 def _log_progress(tb_writer, batch, codes, dictionary, reshaping, step):
   """pSNR scalar + dictionary tile images (reference ica.py:75-114)."""
   import io
