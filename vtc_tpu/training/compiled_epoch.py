@@ -15,6 +15,18 @@ Requirements vs the flexible trainer: datasets must be stacked arrays
 (k, b, n) / (k, b, c, h, w) (use data.jax_pipeline.DevicePatchPipeline.
 sample_epoch or np.reshape), and early stopping inside inference is
 unavailable (data-dependent trip counts would serialize the scan).
+
+Segment execution picks the fastest eligible backend automatically:
+
+  * whole-segment Pallas kernels (ops/pallas_train_step.py) on TPU for
+    fully-connected configs with warm Lipschitz tracking -- the entire
+    segment is ONE kernel launch with the dictionary / Hessian EMA /
+    eigenvector VMEM-resident across steps (single-tile, batch-tiled,
+    and subspace/group variants);
+  * a lax.scan of the fused XLA step otherwise;
+  * with all_params['data_parallel'] (True or a Mesh), a lax.scan of
+    the psum-reduced data-parallel step inside one shard_map
+    (multi-chip; supports multi-slice 'dcn' meshes).
 """
 import time
 from pathlib import Path
@@ -160,7 +172,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
     from torch.utils.tensorboard import SummaryWriter
     tb_writer = SummaryWriter(str(logging_path))
 
-  training_batches = jnp.asarray(np.asarray(training_batches))
+  training_batches = sc.as_device_array(training_batches)
   k = training_batches.shape[0]
   total_iters = num_epochs * k
   shuffle_each_epoch = bool(all_params.get("shuffle_each_epoch", False))
@@ -379,7 +391,15 @@ def train_dictionary_scanned(training_batches, validation_batches,
       eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
     pos = lo
     while pos < hi:
-      chunk = 1 << ((hi - pos).bit_length() - 1)
+      # whole-segment Pallas runners launch the EXACT segment length
+      # (their compiles are seconds, and every launch through this
+      # runtime's relay costs ~0.3 s); the XLA scan runners keep the
+      # power-of-two decomposition so the number of DISTINCT compiled
+      # scan lengths stays O(log k) (those compiles are minutes)
+      if dp_mesh is None and fused_eligible(upd_niters):
+        chunk = hi - pos
+      else:
+        chunk = 1 << ((hi - pos).bit_length() - 1)
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:

@@ -150,8 +150,8 @@ def train_dictionary_scanned(training_batches, init_dictionary,
     from torch.utils.tensorboard import SummaryWriter
     tb_writer = SummaryWriter(str(logging_path))
 
-  training_batches = jnp.asarray(np.asarray(training_batches),
-                                 jnp.float32)
+  from vtc_tpu.training.sparse_coding import as_device_array
+  training_batches = as_device_array(training_batches, jnp.float32)
   k = training_batches.shape[0]
   total_iters = num_epochs * k
   boundaries = sorted(

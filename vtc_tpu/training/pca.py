@@ -23,7 +23,8 @@ def train_dictionary(image_dataset):
     (n, n) array whose rows are the principal directions (sign-invariant;
     the PCA transform is unique only up to per-axis sign flips).
   """
-  data = jnp.asarray(np.asarray(image_dataset), jnp.float32)
+  from vtc_tpu.training.sparse_coding import as_device_array
+  data = as_device_array(image_dataset, jnp.float32)
   assert np.all(np.abs(np.asarray(jnp.mean(data, axis=0))) < 1e-4), (
       "components must be (approximately) mean-zero")
   with matmul_precision():

@@ -86,6 +86,16 @@ def iterate_batches(dataset):
       yield jnp.asarray(np.asarray(batch))
 
 
+def as_device_array(x, dtype=None):
+  """jnp.asarray that never round-trips device-resident inputs through
+  the host: np.asarray on a jax.Array PULLS it to host (through this
+  runtime's relay that costs ~minutes per GB), so convert via numpy only
+  for non-jax containers (lists, torch tensors, ...)."""
+  if isinstance(x, jax.Array):
+    return jnp.asarray(x, dtype) if dtype is not None else x
+  return jnp.asarray(np.asarray(x), dtype)
+
+
 # ---------------------------------------------------------------------------
 # the fused train step
 # ---------------------------------------------------------------------------
