@@ -19,8 +19,9 @@ calls after a warmup.  Two batch sizes are measured:
     run as ONE fused Pallas kernel per 1000-step segment (dictionary /
     Hessian EMA / Lipschitz eigenvector VMEM-resident across steps,
     batches streamed HBM->VMEM; ops/pallas_train_step.py)
-  * b=2048 -- TPU-saturating batch on the scan-of-steps path with the
-    fused FISTA kernel (reported in "detail")
+  * b=2048 -- TPU-saturating batch on the batch-tiled variant of the
+    same fused kernel: per-tile gradient accumulation in VMEM scratch,
+    update applied on each step's last tile (reported in "detail")
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The
 vs_baseline denominator is a documented ANALYTIC ESTIMATE of the PyTorch

@@ -193,3 +193,19 @@ def test_fused_group_gate():
       alignment_penalty=0.5)
   assert not fused_group_segment_supported(
       "fista", "sc_cheap_quadratic_descent", None)
+
+
+def test_tile_picker_low_waste():
+  """The batch-tiled fallback sizes tiles to the batch, so zero-row
+  padding stays under one sublane-group per tile (not up to 33% as a
+  power-of-two tile would give for b just above a boundary)."""
+  from vtc_tpu.ops.pallas_train_step import (_SUBLANES, _pick_batch_tile,
+                                             round_up)
+  for b in (1537, 2048, 8192, 3000):
+    tile = _pick_batch_tile(b, 256, 256)
+    assert tile is not None
+    b_pad = round_up(b, tile)
+    waste = (b_pad - b) / b
+    assert waste <= _SUBLANES * (b_pad // tile) / b, (b, tile, waste)
+    assert waste < 0.03, (b, tile, waste)
+  assert _pick_batch_tile(65536, 1024, 1024) is None

@@ -34,9 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
-
-_LANES = 128
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # full f32 (multi-pass MXU)
@@ -46,10 +45,6 @@ _PRECISIONS = {
 # are split into bf16 hi+lo parts and the three significant products are
 # summed in f32 -- half the MXU passes of HIGHEST at ~1e-5 relative
 # accuracy.  (Mosaic rejects jax.lax.Precision.HIGH outright.)
-
-
-def _round_up(x, m):
-  return -(-x // m) * m
 
 
 def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
@@ -151,8 +146,8 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
   """
   b, n = images.shape
   s = dictionary.shape[0]
-  s_pad = _round_up(s, _LANES)
-  b_pad = _round_up(b, batch_tile)
+  s_pad = round_up(s, _LANES)
+  b_pad = round_up(b, batch_tile)
 
   with matmul_precision():
     gram = dictionary @ dictionary.T

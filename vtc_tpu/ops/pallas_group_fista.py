@@ -24,13 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
-
-_LANES = 128
-
-
-def _round_up(x, m):
-  return -(-x // m) * m
 
 
 def _make_kernel(variant, hard):
@@ -109,9 +104,9 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
   """
   b = images.shape[0]
   gm, g = expand.shape
-  gm_pad = _round_up(gm, _LANES)
-  g_pad = _round_up(g, _LANES)
-  b_pad = _round_up(b, batch_tile)
+  gm_pad = round_up(gm, _LANES)
+  g_pad = round_up(g, _LANES)
+  b_pad = round_up(b, batch_tile)
 
   with matmul_precision():
     gram = grouped_dictionary @ grouped_dictionary.T

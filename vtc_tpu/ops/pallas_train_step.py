@@ -41,15 +41,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
-_SUBLANES = 8
+from vtc_tpu.ops.pallas_common import (LANES as _LANES,
+                                       SUBLANES as _SUBLANES, round_up)
+
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 _HI = jax.lax.Precision.HIGHEST
-
-
-def _round_up(x, m):
-  return -(-x // m) * m
 
 
 def _dot(a, b):
@@ -88,19 +85,27 @@ def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
 
 
 def _pick_batch_tile(b, s, n):
-  """Largest power-of-two tile (<= 512 rows) whose working set fits."""
-  s_pad = _round_up(s, _LANES)
-  n_pad = _round_up(n, _LANES)
-  b_pad = _round_up(b, _SUBLANES)
+  """Smallest tile count whose per-tile working set fits, with the tile
+  sized to the batch (minimal zero-row padding: the batch pads to
+  num_tiles * tile <= b + num_tiles * 8)."""
+  s_pad = round_up(s, _LANES)
+  n_pad = round_up(n, _LANES)
+  b_pad = round_up(b, _SUBLANES)
   if _vmem_bytes(b_pad, s_pad, n_pad, s > n) <= _VMEM_BUDGET_BYTES:
     return b_pad  # whole batch in one tile
-  tile = 512
-  while tile >= _SUBLANES:
+  # tiles of ~<=512 rows measure fastest (better DMA/compute overlap
+  # than maximal tiles: 4x512 beat 2x1024 by ~4% at b=2048), so start
+  # from the smallest tile count that gets there and shrink further
+  # only if VMEM demands it
+  num_tiles = max(2, -(-b // 512))
+  while True:
+    tile = round_up(-(-b // num_tiles), _SUBLANES)
     if _vmem_bytes(tile, s_pad, n_pad, s > n,
                    multi_tile=True) <= _VMEM_BUDGET_BYTES:
-      return tile  # batch zero-padded up to a multiple of the tile
-    tile //= 2
-  return None
+      return tile
+    if tile <= _SUBLANES:
+      return None  # fixed (dictionary/gram) buffers alone do not fit
+    num_tiles += 1
 
 
 def fused_segment_supported(mode, inference_alg, update_alg, *,
@@ -122,7 +127,7 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
   tile = _pick_batch_tile(batch_size, code_size, input_size)
   if tile is None:
     return False
-  if tile < _round_up(batch_size, _SUBLANES) and upd_num_iters != 1:
+  if tile < round_up(batch_size, _SUBLANES) and upd_num_iters != 1:
     # the tiled kernel accumulates the gradient across batch tiles
     # against the step's initial dictionary, which only matches the
     # reference semantics for a single update iteration
@@ -456,9 +461,9 @@ def fused_group_segment_supported(inference_alg, update_alg,
   max_gs = max(len(g) for g in group_assignments)
   gm = num_groups * max_gs
   return _group_vmem_bytes(
-      _round_up(batch_size, _SUBLANES), _round_up(code_size, _LANES),
-      _round_up(input_size, _LANES), _round_up(gm, _LANES),
-      _round_up(num_groups, _LANES),
+      round_up(batch_size, _SUBLANES), round_up(code_size, _LANES),
+      round_up(input_size, _LANES), round_up(gm, _LANES),
+      round_up(num_groups, _LANES),
       gm > input_size) <= _VMEM_BUDGET_BYTES
 
 
@@ -528,12 +533,12 @@ def _fused_group_impl(dictionary, hessian, eigvec,
   use_n_gram = gm > n
   dim = n if use_n_gram else gm
 
-  s_pad = _round_up(s, _LANES)
-  n_pad = _round_up(n, _LANES)
-  gm_pad = _round_up(gm, _LANES)
-  g_pad = _round_up(num_groups, _LANES)
-  dim_pad = _round_up(dim, _LANES)
-  b_pad = _round_up(b, _SUBLANES)
+  s_pad = round_up(s, _LANES)
+  n_pad = round_up(n, _LANES)
+  gm_pad = round_up(gm, _LANES)
+  g_pad = round_up(num_groups, _LANES)
+  dim_pad = round_up(dim, _LANES)
+  b_pad = round_up(b, _SUBLANES)
   uses_hessian = update_alg == "subspace_sc_cheap_quadratic_descent"
 
   d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
@@ -622,19 +627,19 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
   s = dictionary.shape[0]
   use_n_gram = s > n
   dim = n if use_n_gram else s
-  s_pad = _round_up(s, _LANES)
-  n_pad = _round_up(n, _LANES)
-  dim_pad = _round_up(dim, _LANES)
+  s_pad = round_up(s, _LANES)
+  n_pad = round_up(n, _LANES)
+  dim_pad = round_up(dim, _LANES)
   tile = batch_tile if batch_tile is not None else _pick_batch_tile(
       b, s, n)
   if tile is None:
     raise ValueError("shapes exceed the fused kernel's VMEM budget; "
                      "use the scan-of-steps path")
-  multi_tile = tile < _round_up(b, _SUBLANES)
+  multi_tile = tile < round_up(b, _SUBLANES)
   if multi_tile and upd_num_iters != 1:
     raise ValueError("the batch-tiled fused kernel supports "
                      "upd_num_iters=1 only")
-  b_pad = _round_up(b, tile) if multi_tile else _round_up(b, _SUBLANES)
+  b_pad = round_up(b, tile) if multi_tile else round_up(b, _SUBLANES)
   uses_hessian = update_alg == "sc_cheap_quadratic_descent"
 
   d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),

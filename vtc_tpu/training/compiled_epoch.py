@@ -272,9 +272,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
         alignment_penalty=float(
             all_params.get("subspace_alignment_penalty", 0.0)),
         renormalize=bool(all_params.get("renormalize_dictionary", True)),
-        fc_formulation=all_params.get("fc_formulation", "pallas"
-                                      if jax.default_backend() == "tpu"
-                                      else "gram"),
+        fc_formulation=resolved_formulation,
         lipschitz_method=("power" if warm_power else lipschitz_method),
         compute_stepsize_in_step=not warm_power)
 
@@ -389,6 +387,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
     # which is expensive on runtimes with slow remote compilation)
     if eigvec is None:
       eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
+    use_fused = dp_mesh is None and fused_eligible(upd_niters)
     pos = lo
     while pos < hi:
       # whole-segment Pallas runners launch the EXACT segment length
@@ -396,7 +395,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
       # runtime's relay costs ~0.3 s); the XLA scan runners keep the
       # power-of-two decomposition so the number of DISTINCT compiled
       # scan lengths stays O(log k) (those compiles are minutes)
-      if dp_mesh is None and fused_eligible(upd_niters):
+      if use_fused:
         chunk = hi - pos
       else:
         chunk = 1 << ((hi - pos).bit_length() - 1)
@@ -406,7 +405,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
           runners[key] = _dp_segment_runner(
               make_dp_local(upd_niters), dp_mesh,
               mode == "convolutional")
-        elif fused_eligible(upd_niters):
+        elif use_fused:
           if group_assignments is not None:
             runners[key] = _fused_group_segment_runner(
                 inference_alg[9:], update_alg, upd_niters,

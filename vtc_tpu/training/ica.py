@@ -193,6 +193,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   if total_iters in ckpt_sched:
     ckpt_util.save_dictionary_checkpoint(
         logging_path, total_iters, np.asarray(dictionary))
+  if total_iters in vis_sched:
+    batch = training_batches[k - 1]
+    codes = invertible_linear.run(batch, dictionary)
+    _log_progress(tb_writer, batch, codes, dictionary, kernel_reshaping,
+                  total_iters)
   if tb_writer is not None:
     tb_writer.flush()
   print("scanned ICA training done in {:.2f}s ({} iterations)".format(

@@ -90,9 +90,17 @@ def as_device_array(x, dtype=None):
   """jnp.asarray that never round-trips device-resident inputs through
   the host: np.asarray on a jax.Array PULLS it to host (through this
   runtime's relay that costs ~minutes per GB), so convert via numpy only
-  for non-jax containers (lists, torch tensors, ...)."""
+  for non-jax containers (lists, torch tensors, ...).  A jax.Array
+  committed to a non-default backend (e.g. CPU-placed data on a TPU
+  host) is moved device-to-device so training runs where the old
+  host-round-trip path would have placed it."""
   if isinstance(x, jax.Array):
-    return jnp.asarray(x, dtype) if dtype is not None else x
+    if dtype is not None:
+      x = jnp.asarray(x, dtype)
+    platforms = {d.platform for d in x.devices()}
+    if platforms != {jax.default_backend()}:
+      x = jax.device_put(x, jax.devices()[0])
+    return x
   return jnp.asarray(np.asarray(x), dtype)
 
 
