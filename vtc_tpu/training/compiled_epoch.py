@@ -38,6 +38,19 @@ import numpy as np
 from vtc_tpu.training import sparse_coding as sc
 
 
+@jax.jit
+def _reshuffle(batches, key):
+  """Sample-level epoch re-permutation on device (torch-DataLoader
+  shuffle semantics).  MODULE-level jit on purpose: defined inside the
+  trainer it would be a fresh closure per call, and re-tracing this
+  1M-row permutation program costs ~15 s through this runtime's
+  remote-compile relay on every training run."""
+  k, b = batches.shape[0], batches.shape[1]
+  flat = batches.reshape((k * b,) + batches.shape[2:])
+  perm = jax.random.permutation(key, flat.shape[0])
+  return flat[perm].reshape(batches.shape)
+
+
 def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
   """jit scanning the fused step over the batch axis.
 
@@ -178,12 +191,6 @@ def train_dictionary_scanned(training_batches, validation_batches,
   shuffle_each_epoch = bool(all_params.get("shuffle_each_epoch", False))
   shuffle_key = jax.random.PRNGKey(
       int(all_params.get("shuffle_seed", 0)))
-
-  @jax.jit
-  def _reshuffle(batches, key):
-    flat = batches.reshape((k * batches.shape[1],) + batches.shape[2:])
-    perm = jax.random.permutation(key, flat.shape[0])
-    return flat[perm].reshape(batches.shape)
 
   # iteration indices at which python must regain control
   boundaries = sorted(
