@@ -35,15 +35,36 @@ def code_spatial_dims(padded_shape, kernel_shape, kernel_stride):
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_stride", "variant", "nonnegative_only",
-                     "hard_threshold", "early_stopping_epsilon"))
+                     "hard_threshold", "early_stopping_epsilon",
+                     "formulation", "padding"))
 def _solve(images_padded, dictionary, mask, sparsity_weight, num_iters,
            stepsize, initial_codes, kernel_stride, variant,
-           nonnegative_only, hard_threshold, early_stopping_epsilon):
+           nonnegative_only, hard_threshold, early_stopping_epsilon,
+           formulation="direct", padding=None):
+  # NOTE: 'direct' default on purpose -- 'gram' requires the STATIC
+  # padding dims that produced ``mask`` (run() and the trainers pass
+  # them); a gram build with padding=None against a bordered mask would
+  # be silently wrong.
   threshold_fn = thresholds.select(nonnegative_only, hard_threshold)
 
-  def grad_fn(z):
-    return conv_ops.inference_gradient(
-        images_padded, z, dictionary, kernel_stride, mask)
+  if formulation == "gram":
+    # code-space Gram operator: grad = L(z) - A(mask*X); no image-space
+    # fold/unfold inside the iteration (ops/conv_gram.py) -- exact
+    from vtc_tpu.ops import conv_gram
+    with matmul_precision():
+      op = conv_gram.build_gram_operator(
+          dictionary, kernel_stride, padding,
+          images_padded.shape[2:], initial_codes.shape[2:])
+      corr = conv_ops.analyze(mask * images_padded, dictionary,
+                              kernel_stride)
+
+    def grad_fn(z):
+      return conv_gram.apply_gram(z, op) - corr
+  else:
+
+    def grad_fn(z):
+      return conv_ops.inference_gradient(
+          images_padded, z, dictionary, kernel_stride, mask)
 
   def prox_fn(x, ss):
     return threshold_fn(x, sparsity_weight * ss)
@@ -59,7 +80,7 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
         early_stopping_epsilon=None, nonnegative_only=False,
         hard_threshold=False, *,
         stepsize: Optional[jnp.ndarray] = None,
-        lipschitz_method: str = "eigvalsh"):
+        lipschitz_method: str = "eigvalsh", formulation: str = "gram"):
   """Infer convolutional sparse codes for a batch of padded images.
 
   Args:
@@ -74,11 +95,16 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
       fully-connected solver.
     stepsize / lipschitz_method: TPU extensions (precomputed 1/L; exact vs
       power-iteration eigenvalue).
+    formulation: 'gram' (default -- exact code-space Gram operator, no
+      image-space fold/unfold in the hot loop; ops/conv_gram.py) or
+      'direct' (the reference's literal synthesize/mask/analyze
+      iteration).
 
   Returns:
     (b, s, sh, sw) float32 codes.
   """
   assert variant in ("ista", "fista")
+  assert formulation in ("gram", "direct")
   images_padded = jnp.asarray(images_padded, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   kernel_stride = tuple(int(x) for x in kernel_stride)
@@ -97,6 +123,8 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
         images_padded.shape[0], dictionary.shape[0], sh, sw)
   mask = conv_shapes.create_mask(
       images_padded.shape, padding_dims, images_padded.dtype)
+  padding_static = (None if padding_dims is None else
+                    tuple(tuple(int(x) for x in p) for p in padding_dims))
   return _solve(images_padded, dictionary, mask,
                 jnp.asarray(sparsity_weight, jnp.float32),
                 jnp.asarray(num_iters, jnp.int32),
@@ -104,4 +132,5 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
                 kernel_stride, variant, bool(nonnegative_only),
                 bool(hard_threshold),
                 None if early_stopping_epsilon is None
-                else float(early_stopping_epsilon))
+                else float(early_stopping_epsilon),
+                formulation=formulation, padding=padding_static)

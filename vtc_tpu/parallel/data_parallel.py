@@ -136,9 +136,12 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
         batch_shard.dtype)
     mask = conv_shapes.create_mask(batch_shard.shape, padding,
                                    batch_shard.dtype)
+    pad_static = (None if padding is None else
+                  tuple(tuple(int(x) for x in p) for p in padding))
     return conv_ista_fista._solve(
         batch_shard, dictionary, mask, sw, n_it, stepsize, init,
-        tuple(kernel_stride), variant, nonneg, hard_threshold, None)
+        tuple(kernel_stride), variant, nonneg, hard_threshold, None,
+        formulation="gram", padding=pad_static)
 
   def local_step(dictionary, hessian, batch_shard, sw, n_it, upd_step):
     with matmul_precision():

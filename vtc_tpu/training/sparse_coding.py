@@ -181,9 +181,12 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
     init = jnp.zeros((batch.shape[0], dictionary.shape[0], sh, sw),
                      batch.dtype)
     mask = conv_shapes.create_mask(batch.shape, padding, batch.dtype)
+    pad_static = (None if padding is None else
+                  tuple(tuple(int(x) for x in p) for p in padding))
     return conv_ista_fista._solve(
         batch, dictionary, mask, sparsity_weight, num_iters, stepsize,
-        init, tuple(kernel_stride), variant, nonneg, hard_threshold, None)
+        init, tuple(kernel_stride), variant, nonneg, hard_threshold, None,
+        formulation="gram", padding=pad_static)
 
   def update(dictionary, hessian, batch, codes, upd_stepsize,
              upd_num_iters):
