@@ -19,15 +19,27 @@ from vtc_tpu.ops.precision import matmul_precision
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_stride", "num_iters",
-                                             "normalize_dictionary"))
+                                             "normalize_dictionary",
+                                             "padding", "formulation"))
 def _update(images_padded, dictionary, codes, hessian_diagonal, mask,
             kernel_stride, stepsize, num_iters, lowest_code_val,
-            normalize_dictionary):
+            normalize_dictionary, padding=None, formulation="direct"):
   scale = (hessian_diagonal + lowest_code_val)[:, None, None, None]
 
-  def body(_, d):
-    grad = conv_ops.dictionary_gradient(
+  if formulation == "gram":
+    # code-space gradient (ops/conv_dict_gram.py): D-independent stats
+    # computed once, cheap per-iteration recombination
+    from vtc_tpu.ops import conv_dict_gram
+    stats = conv_dict_gram.build_dict_gradient_stats(
+        images_padded, codes, dictionary.shape, kernel_stride, padding)
+    grad_fn = lambda d: conv_dict_gram.dictionary_gradient_from_stats(
+        stats, d, kernel_stride)
+  else:
+    grad_fn = lambda d: conv_ops.dictionary_gradient(
         images_padded, codes, d, kernel_stride, mask)
+
+  def body(_, d):
+    grad = grad_fn(d)
     grad = grad / scale
     grad = grad * (jnp.linalg.norm(d.ravel()) /
                    jnp.linalg.norm(grad.ravel()))
@@ -43,22 +55,32 @@ def _update(images_padded, dictionary, codes, hessian_diagonal, mask,
 
 def run(images_padded, dictionary, codes, hessian_diagonal, kernel_stride,
         padding_dims, stepsize=0.001, num_iters=1, lowest_code_val=0.001,
-        normalize_dictionary=True):
+        normalize_dictionary=True, formulation="auto"):
   """Cheap-quadratic descent steps on the convolutional dictionary.
+
+  formulation: 'gram' (code-space gradient) | 'direct' | 'auto'.
 
   Returns:
     (s, c, kh, kw) updated dictionary.
   """
+  from vtc_tpu.ops import conv_dict_gram
   images_padded = jnp.asarray(images_padded, jnp.float32)
+  dictionary = jnp.asarray(dictionary, jnp.float32)
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  if formulation == "auto":
+    formulation = ("gram" if conv_dict_gram.supported(
+        dictionary.shape, kernel_stride) else "direct")
+  padding_static = (None if padding_dims is None else
+                    tuple(tuple(int(x) for x in p) for p in padding_dims))
   mask = conv_shapes.create_mask(
       images_padded.shape, padding_dims, images_padded.dtype)
-  return _update(images_padded, jnp.asarray(dictionary, jnp.float32),
+  return _update(images_padded, dictionary,
                  jnp.asarray(codes, jnp.float32),
                  jnp.asarray(hessian_diagonal, jnp.float32), mask,
-                 tuple(int(x) for x in kernel_stride),
+                 kernel_stride,
                  jnp.asarray(stepsize, jnp.float32), int(num_iters),
                  jnp.asarray(lowest_code_val, jnp.float32),
-                 bool(normalize_dictionary))
+                 bool(normalize_dictionary), padding_static, formulation)
 
 
 def hessian_diagonal_ema(hessian_diagonal, codes):

@@ -25,13 +25,26 @@ def _renormalize_kernels(dictionary):
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_stride", "num_iters",
-                                             "normalize_dictionary"))
+                                             "normalize_dictionary",
+                                             "padding", "formulation"))
 def _update(images_padded, dictionary, codes, mask, kernel_stride, stepsize,
-            num_iters, normalize_dictionary):
+            num_iters, normalize_dictionary, padding=None,
+            formulation="direct"):
+  if formulation == "gram":
+    # code-space gradient (ops/conv_dict_gram.py): the D-independent
+    # autocorrelations + image term are computed ONCE; each iteration is
+    # a cheap recombination with the current dictionary
+    from vtc_tpu.ops import conv_dict_gram
+    stats = conv_dict_gram.build_dict_gradient_stats(
+        images_padded, codes, dictionary.shape, kernel_stride, padding)
+    grad_fn = lambda d: conv_dict_gram.dictionary_gradient_from_stats(
+        stats, d, kernel_stride)
+  else:
+    grad_fn = lambda d: conv_ops.dictionary_gradient(
+        images_padded, codes, d, kernel_stride, mask)
 
   def body(_, d):
-    grad = conv_ops.dictionary_gradient(
-        images_padded, codes, d, kernel_stride, mask)
+    grad = grad_fn(d)
     # dimensionless stepsize: scale gradient to the dictionary's F-norm
     # (reference line 68)
     grad = grad * (jnp.linalg.norm(d.ravel()) /
@@ -46,7 +59,8 @@ def _update(images_padded, dictionary, codes, mask, kernel_stride, stepsize,
 
 
 def run(images_padded, dictionary, codes, kernel_stride, padding_dims,
-        stepsize=0.001, num_iters=1, normalize_dictionary=True):
+        stepsize=0.001, num_iters=1, normalize_dictionary=True,
+        formulation="auto"):
   """Steepest-descent steps on the convolutional dictionary.
 
   Args:
@@ -54,15 +68,25 @@ def run(images_padded, dictionary, codes, kernel_stride, padding_dims,
     codes: (b, s, sh, sw).
     kernel_stride: (stride_v, stride_h).
     padding_dims: ((lead_v, trail_v), (lead_h, trail_h)) or None.
+    formulation: 'gram' (code-space gradient, ops/conv_dict_gram.py),
+      'direct' (image-space autodiff), or 'auto' (gram when the
+      tile-overlap offset stack is small).
 
   Returns:
     (s, c, kh, kw) updated dictionary.
   """
+  from vtc_tpu.ops import conv_dict_gram
   images_padded = jnp.asarray(images_padded, jnp.float32)
+  dictionary = jnp.asarray(dictionary, jnp.float32)
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  if formulation == "auto":
+    formulation = ("gram" if conv_dict_gram.supported(
+        dictionary.shape, kernel_stride) else "direct")
+  padding_static = (None if padding_dims is None else
+                    tuple(tuple(int(x) for x in p) for p in padding_dims))
   mask = conv_shapes.create_mask(
       images_padded.shape, padding_dims, images_padded.dtype)
-  return _update(images_padded, jnp.asarray(dictionary, jnp.float32),
-                 jnp.asarray(codes, jnp.float32), mask,
-                 tuple(int(x) for x in kernel_stride),
+  return _update(images_padded, dictionary,
+                 jnp.asarray(codes, jnp.float32), mask, kernel_stride,
                  jnp.asarray(stepsize, jnp.float32), int(num_iters),
-                 bool(normalize_dictionary))
+                 bool(normalize_dictionary), padding_static, formulation)

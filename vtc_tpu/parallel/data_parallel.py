@@ -157,8 +157,23 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
         hessian = 0.99 * hessian + (stat / global_b) / 100.0
 
       if mode == "convolutional":
+        from vtc_tpu.ops import conv_dict_gram
         mask = conv_shapes.create_mask(batch_shard.shape, padding,
                                        batch_shard.dtype)
+        pad_static = (None if padding is None else
+                      tuple(tuple(int(x) for x in p) for p in padding))
+        if conv_dict_gram.supported(dictionary.shape,
+                                    tuple(kernel_stride)):
+          # code-space gradient: the D-independent autocorrelation
+          # stats are computed once per step, outside the update loop
+          stats = conv_dict_gram.build_dict_gradient_stats(
+              batch_shard, codes, dictionary.shape,
+              tuple(kernel_stride), pad_static)
+          conv_grad = lambda d: conv_dict_gram.dictionary_gradient_from_stats(
+              stats, d, tuple(kernel_stride))
+        else:
+          conv_grad = lambda d: conv_ops.dictionary_gradient(
+              batch_shard, codes, d, kernel_stride, mask)
 
       def body(_, d):
         if mode == "fully-connected":
@@ -177,8 +192,7 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
         # convolutional: psum the batch-summed kernel gradient, then
         # apply the single-device epilogue (hessian scale, norm
         # rescale, renorm) on the GLOBAL gradient
-        local_grad = conv_ops.dictionary_gradient(
-            batch_shard, codes, d, kernel_stride, mask) * local_b
+        local_grad = conv_grad(d) * local_b
         grad = jax.lax.psum(local_grad, axis_names) / global_b
         if uses_hessian:
           grad = grad / (hessian + lowest_code_val)[:, None, None, None]

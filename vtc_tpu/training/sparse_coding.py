@@ -216,16 +216,23 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
           jnp.float32(alignment_penalty), upd_stepsize, upd_num_iters,
           jnp.float32(lowest_code_val), renormalize)
     # convolutional
+    from vtc_tpu.ops import conv_dict_gram
     mask = conv_shapes.create_mask(batch.shape, padding, batch.dtype)
+    pad_static = (None if padding is None else
+                  tuple(tuple(int(x) for x in p) for p in padding))
+    upd_formulation = ("gram" if conv_dict_gram.supported(
+        dictionary.shape, tuple(kernel_stride)) else "direct")
     if update_alg == "sc_steepest_descent":
       return conv_sd._update(batch, dictionary, codes, mask,
                              tuple(kernel_stride), upd_stepsize,
-                             upd_num_iters, renormalize)
+                             upd_num_iters, renormalize, pad_static,
+                             upd_formulation)
     if update_alg == "sc_cheap_quadratic_descent":
       return conv_cqd._update(batch, dictionary, codes, hessian, mask,
                               tuple(kernel_stride), upd_stepsize,
                               upd_num_iters,
-                              jnp.float32(lowest_code_val), renormalize)
+                              jnp.float32(lowest_code_val), renormalize,
+                              pad_static, upd_formulation)
     raise KeyError(
         "subspace dictionary updates are fully-connected only "
         "(matches reference training/sparse_coding.py:426,434)")
