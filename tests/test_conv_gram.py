@@ -54,6 +54,31 @@ def test_gram_reference_flagship_shape(rng):
   np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.parametrize("stride,kh,kw,padding", [
+    ((2, 2), 4, 4, ((2, 2), (2, 2))),
+    ((2, 3), 5, 7, ((3, 2), (4, 4))),
+    ((2, 2), 4, 4, None),
+])
+def test_apply_gram_conv_interior_equals_einsum(rng, stride, kh, kw,
+                                                padding):
+  """Both apply_gram interiors (lax.conv channel-mix vs stacked-shifted
+  einsum) compute the same operator."""
+  h = 12 + (padding[0][0] + padding[0][1] if padding else 0)
+  w = 14 + (padding[1][0] + padding[1][1] if padding else 0)
+  s, c = 6, 2
+  d = rng.randn(s, c, kh, kw).astype(np.float32)
+  sh, sw = code_spatial_dims((3, c, h, w), d.shape, stride)
+  z = rng.randn(3, s, sh, sw).astype(np.float32)
+  op = conv_gram.build_gram_operator(
+      jnp.asarray(d), stride, padding, (h, w), (sh, sw))
+  a = np.asarray(conv_gram.apply_gram(jnp.asarray(z), op,
+                                      interior="conv"))
+  b = np.asarray(conv_gram.apply_gram(jnp.asarray(z), op,
+                                      interior="einsum"))
+  # same operator, different contraction order: float noise only
+  np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-4)
+
+
 def test_gram_solver_equivalence(rng):
   """Full FISTA solve with the gram formulation == image-space path."""
   from vtc_tpu.analysis_transforms.convolutional import ista_fista

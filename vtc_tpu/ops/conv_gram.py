@@ -140,20 +140,70 @@ def build_gram_operator(dictionary, kernel_stride, padding, padded_hw,
   }
 
 
-def apply_gram(z, op):
-  """L(z) for codes z (b, s, sh, sw) given build_gram_operator output."""
+def apply_gram(z, op, interior="conv"):
+  """L(z) for codes z (b, s, sh, sw) given build_gram_operator output.
+
+  interior: 'conv' (default -- the translation-invariant part as ONE
+  lax.conv with an (s, s, 2ry+1, 2rx+1) channel-mix kernel; border
+  corrections gather only the special rows/columns, so no full shifted
+  stack is materialized) or 'einsum' (the stacked-shifted-views
+  contraction; corrections sliced from the stack).  Identical results
+  to float tolerance (tests/test_conv_gram.py).
+  """
+  b, s, code_h, code_w = z.shape
   ry, rx = op["ry"], op["rx"]
-  code_h, code_w = op["code_hw"]
   spec_py = np.asarray(op["spec_py"], np.int32)
   spec_px = np.asarray(op["spec_px"], np.int32)
-  zp = jnp.pad(z, ((0, 0), (0, 0), (ry, ry), (rx, rx)))
+  offs = [(dy, dx) for dy in range(-ry, ry + 1)
+          for dx in range(-rx, rx + 1)]
 
   with matmul_precision():
+    if interior == "conv":
+      # out[b,i,y,x] = sum_{dy,dx,j} g[o,i,j] z[b,j,y+dy,x+dx]: a
+      # correlation with kernel W[i,j,ry+dy,rx+dx] = g_int[o,i,j] --
+      # a dense (s x s)-channel-mix conv XLA tiles well on the MXU
+      kernel = op["g_int"].reshape(2 * ry + 1, 2 * rx + 1, s,
+                                   s).transpose(2, 3, 0, 1)
+      out = jax.lax.conv_general_dilated(
+          z, kernel, window_strides=(1, 1),
+          padding=((ry, ry), (rx, rx)),
+          dimension_numbers=("NCHW", "OIHW", "NCHW"))
+      need_pad = len(spec_py) or len(spec_px)
+      zp = (jnp.pad(z, ((0, 0), (0, 0), (ry, ry), (rx, rx)))
+            if need_pad else None)
+      # thin corrections: the special positions are STATIC, so every
+      # extraction below is a static slice (no XLA gather -- gathers
+      # measured ~2x the whole step cost on v5e)
+      if len(spec_py):
+        rows = jnp.stack([
+            jnp.stack([zp[:, :, p + ry + dy, rx + dx:rx + dx + code_w]
+                       for p in op["spec_py"]], axis=2)
+            for dy, dx in offs])                 # (O, b, j, P, w)
+        out = out.at[:, :, spec_py, :].add(
+            -jnp.einsum("objpw,poij->bipw", rows, op["g_rows"]))
+      if len(spec_px):
+        cols = jnp.stack([
+            jnp.stack([zp[:, :, ry + dy:ry + dy + code_h, q + rx + dx]
+                       for q in op["spec_px"]], axis=3)
+            for dy, dx in offs])                 # (O, b, j, h, Q)
+        out = out.at[:, :, :, spec_px].add(
+            -jnp.einsum("objhq,qoij->bihq", cols, op["g_cols"]))
+      if len(spec_py) and len(spec_px):
+        corners = jnp.stack([
+            jnp.stack([
+                jnp.stack([zp[:, :, p + ry + dy, q + rx + dx]
+                           for q in op["spec_px"]], axis=2)
+                for p in op["spec_py"]], axis=2)
+            for dy, dx in offs])                 # (O, b, j, P, Q)
+        out = out.at[:, :, spec_py[:, None], spec_px[None, :]].add(
+            jnp.einsum("objpq,pqoij->bipq", corners, op["g_corners"]))
+      return out
+
+    zp = jnp.pad(z, ((0, 0), (0, 0), (ry, ry), (rx, rx)))
     shifted = jnp.stack([
         jax.lax.dynamic_slice(
-            zp, (0, 0, ry + dy, rx + dx),
-            (z.shape[0], z.shape[1], code_h, code_w))
-        for dy in range(-ry, ry + 1) for dx in range(-rx, rx + 1)])
+            zp, (0, 0, ry + dy, rx + dx), (b, s, code_h, code_w))
+        for dy, dx in offs])
     # (O, b, j, h, w) x (O, i, j) -> (b, i, h, w): one big MXU
     # contraction over (offset, atom) for the translation-invariant part
     out = jnp.einsum("objhw,oij->bihw", shifted, op["g_int"])
