@@ -96,21 +96,37 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
     stepsize / lipschitz_method: TPU extensions (precomputed 1/L; exact vs
       power-iteration eigenvalue).
     formulation: 'gram' (default -- exact code-space Gram operator, no
-      image-space fold/unfold in the hot loop; ops/conv_gram.py) or
+      image-space fold/unfold in the hot loop; ops/conv_gram.py),
       'direct' (the reference's literal synthesize/mask/analyze
-      iteration).
+      iteration), or 'pallas' (fused VMEM-resident kernel,
+      ops/pallas_conv_fista.py -- fastest at small batches; early
+      stopping falls back to 'gram').
 
   Returns:
     (b, s, sh, sw) float32 codes.
   """
   assert variant in ("ista", "fista")
-  assert formulation in ("gram", "direct")
+  assert formulation in ("gram", "direct", "pallas")
   images_padded = jnp.asarray(images_padded, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   kernel_stride = tuple(int(x) for x in kernel_stride)
   if stepsize is None:
     flat_kernels = dictionary.reshape(dictionary.shape[0], -1)
     stepsize = lipschitz_ops.fista_stepsize(flat_kernels, lipschitz_method)
+  if formulation == "pallas":
+    if early_stopping_epsilon is None:
+      from vtc_tpu.ops.pallas_conv_fista import conv_fista_solve_pallas
+      padding_static = (None if padding_dims is None else
+                        tuple(tuple(int(x) for x in p)
+                              for p in padding_dims))
+      return conv_fista_solve_pallas(
+          images_padded, dictionary, sparsity_weight, num_iters, stepsize,
+          kernel_stride=kernel_stride, padding=padding_static,
+          initial_codes=initial_codes, variant=variant,
+          nonneg=bool(nonnegative_only), hard=bool(hard_threshold),
+          interpret=jax.default_backend() != "tpu")
+    # early stopping needs the cross-tile mean test: XLA gram path
+    formulation = "gram"
   sh, sw = code_spatial_dims(
       images_padded.shape, dictionary.shape, kernel_stride)
   if initial_codes is None:
