@@ -261,8 +261,10 @@ def conv_fista_solve_pallas(images_padded, dictionary, sparsity_weight,
   if batch_tile is None:
     # scoped-VMEM cost scales with batch_tile * ells; tile 4 stays under
     # the 100M limit at the reference geometry (tile 5 does not), and
-    # measured throughput is flat across tiles 1-4
-    batch_tile = min(b, 4)
+    # measured throughput is flat across tiles 1-4.  Prefer a tile that
+    # divides b so no padded samples are computed.
+    batch_tile = next((t for t in (4, 3, 2) if b % t == 0), 1)
+    batch_tile = min(b, batch_tile)
   b_pad = round_up(b, batch_tile)
   tl = batch_tile * ells
 
