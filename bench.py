@@ -9,8 +9,9 @@ examples/train_sparse_coding.py:20-27,63-68): 16x16 patches (n=256),
 dictionary update with the Hessian-diagonal EMA, Lipschitz stepsize
 recomputed from the current dictionary EVERY batch (the reference's
 per-batch symeig semantics; we track the top Gram eigenvalue with a
-warm-started power iteration -- 12 refresh steps per batch from the
-eigenvector carried through the scan, <=2e-4 relative of eigvalsh).
+warm-started power iteration -- 2 refresh steps per batch from an
+exact-eigenpair seed carried through the scan, ~1e-6 relative of
+per-batch eigvalsh in steady state, identical to 12 steps/batch).
 
 Measurement: K train steps run as ONE compiled on-device program (data
 resident in HBM, zero Python in the loop); wall-clock over several
@@ -44,9 +45,10 @@ FISTA_ITERS = 25
 
 def build_epoch_fn(raw_step):
   """Scan the fused step with the Lipschitz eigenvector carried through
-  the scan: the dictionary drifts slowly, so 12 warm power iterations per
-  step track the exact Lipschitz constant to ~1e-4 relative at a
-  fraction of the cold 50-iteration cost (~40% of the step at b=250)."""
+  the scan: the dictionary drifts slowly, so 2 warm power iterations per
+  step from an exact-eigenpair seed track the exact Lipschitz constant
+  to ~1e-6 relative (the refresh is sequential matvec latency, so fewer
+  iterations buy step time directly)."""
   import jax
   import jax.numpy as jnp
 
@@ -55,7 +57,7 @@ def build_epoch_fn(raw_step):
   def epoch(dictionary, hessian, eigvec, data, sw, n_it, upd_step):
     def body(carry, batch):
       d, h, v = carry
-      eigval, v = lip.power_iterate(d, v, num_iters=12)
+      eigval, v = lip.power_iterate(d, v, num_iters=2)
       d, h, _ = raw_step(d, h, batch, sw, n_it, upd_step, 1,
                          1.0 / eigval)
       return (d, h, v), ()
@@ -108,10 +110,9 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
   d = jnp.asarray(dictionary)
   h = jnp.asarray(hessian)
-  # one cold 50-iteration solve seeds the carried eigenvector; the scan
-  # then only refreshes it
-  _, v = lip.power_iterate(d, jnp.asarray(
-      rng.randn(N).astype(np.float32)), num_iters=50)
+  # an exact eigenpair seeds the carried eigenvector (no cold-start
+  # transient); the scan then only refreshes it
+  _, v = lip.top_gram_eigenpair(d)
   data = jnp.asarray(data)
   args = (jnp.float32(0.008), jnp.int32(FISTA_ITERS), jnp.float32(0.1))
 

@@ -16,7 +16,7 @@ from vtc_tpu.training import sparse_coding as sc
 
 def _reference_segment(d0, h0, v0, batches, sw, n_it, upd_step,
                        upd_niters, variant, update_alg, nonneg=False,
-                       hard=False, power_iters=12):
+                       hard=False, power_iters=2):
   raw = sc.build_raw_step_fn(
       "fully-connected", variant, update_alg, nonneg=nonneg,
       hard_threshold=hard, fc_formulation="gram",
@@ -132,7 +132,7 @@ def test_tiled_multi_update_iters_rejected(rng):
 
 def _reference_group_segment(d0, h0, v0, batches, groups, sw, n_it,
                              upd_step, upd_niters, variant, update_alg,
-                             power_iters=12):
+                             power_iters=2):
   from vtc_tpu.analysis_transforms.fully_connected import (
       subspace_ista_fista)
   raw = sc.build_raw_step_fn(

@@ -80,6 +80,23 @@ def power_iterate(matrix, v, num_iters: int = 4):
     return v @ (gram @ v), v
 
 
+@jax.jit
+def top_gram_eigenpair(matrix):
+  """Exact (top_eigenvalue, unit_eigenvector) of the Gram of ``matrix``
+  via eigh on the smaller Gram.
+
+  The intended warm-tracking seed: an exact eigenpair removes the
+  cold-start transient entirely (a random-seeded power-50 start on a
+  Marchenko-Pastur-edge spectrum can be ~1e-1 relative off for tens of
+  steps), after which 2 refresh iterations per training step hold the
+  estimate at ~1e-6 relative of per-step eigvalsh (measured, see
+  BENCH_NOTES.md)."""
+  with matmul_precision():
+    gram = _smaller_gram(matrix)
+    vals, vecs = jnp.linalg.eigh(gram)
+    return vals[-1], vecs[:, -1]
+
+
 def top_gram_eigenvalue(matrix, method: str = "eigvalsh"):
   """Dispatch on method in {'eigvalsh', 'power'}."""
   if method == "eigvalsh":

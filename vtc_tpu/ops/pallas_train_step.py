@@ -520,7 +520,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                           "subspace_sc_cheap_quadratic"
                           "_descent"),
                       upd_num_iters=1, hard=False,
-                      renormalize=True, power_iters=12,
+                      renormalize=True, power_iters=2,
                       lowest_code_val=0.001,
                       interpret=False):
   k, b, n = batches.shape
@@ -605,7 +605,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                upd_stepsize, *, variant="fista",
                                update_alg="sc_cheap_quadratic_descent",
                                upd_num_iters=1, nonneg=False, hard=False,
-                               renormalize=True, power_iters=12,
+                               renormalize=True, power_iters=2,
                                lowest_code_val=0.001, interpret=False,
                                batch_tile=None):
   """Run `batches.shape[0]` fused train steps in one kernel launch.

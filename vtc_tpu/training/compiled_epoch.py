@@ -55,16 +55,20 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
   """jit scanning the fused step over the batch axis.
 
   With warm_power, the Lipschitz eigenvector rides the scan carry and
-  is refreshed with 12 power iterations per batch on the mode's Gram
-  matrix (tracks the exact per-batch eigvalsh to <=2e-4 relative -- see
-  tests/test_warm_power.py -- at a fraction of a cold solve's cost)."""
+  is refreshed with 2 power iterations per batch on the mode's Gram
+  matrix.  From an exact eigenpair seed, 2 iterations/step track the
+  per-batch eigvalsh to ~1e-6 relative -- identical to 12/step in
+  steady state (measured over 300 training steps at the flagship
+  config; see tests/test_warm_power.py and BENCH_NOTES.md) -- while
+  the refresh is latency-bound sequential matvec work, so fewer
+  iterations buy step time directly."""
   from vtc_tpu.ops import lipschitz as lip
 
   def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
     def body(carry, batch):
       d, h, v = carry
       if warm_power:
-        eigval, v = lip.power_iterate(lip_matrix_fn(d), v, num_iters=12)
+        eigval, v = lip.power_iterate(lip_matrix_fn(d), v, num_iters=2)
         inf_step = 1.0 / eigval
       else:
         inf_step = jnp.float32(0.0)  # raw_step computes it internally
@@ -296,12 +300,10 @@ def train_dictionary_scanned(training_batches, validation_batches,
     return d
 
   def seed_eigvec(d):
+    # exact eigenpair seed: no cold-start transient (a random power-50
+    # seed can sit ~1e-1 relative off for tens of steps on flat spectra)
     from vtc_tpu.ops import lipschitz as lip
-    mat = lip_matrix(d)
-    dim = min(mat.shape)
-    _, v = lip.power_iterate(
-        mat, jnp.asarray(np.random.default_rng(0).standard_normal(
-            dim).astype(np.float32)), num_iters=50)
+    _, v = lip.top_gram_eigenpair(lip_matrix(d))
     return v
 
   raw_step = make_step()
