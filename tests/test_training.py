@@ -250,3 +250,22 @@ def test_ica_scanned_matches_perbatch(rng, tmp_path):
           logging_folder_fullpath=tmp_path / "ica_scan")))
   np.testing.assert_allclose(fast, ref, atol=2e-5)
   assert (tmp_path / "ica_scan" / "checkpoint_dictionary_iter_6").exists()
+  # the literal per-batch-solve path must also match
+  exact = np.asarray(ica_trainer.train_dictionary_scanned(
+      np.stack(list(data)), d0, dict(params, warm_inverse=False)))
+  np.testing.assert_allclose(exact, ref, atol=2e-5)
+
+
+def test_ica_warm_inverse_residual(rng):
+  """Newton-Schulz refinement holds an fp-level inverse residual under
+  natural-gradient-scale dictionary drift."""
+  import jax.numpy as jnp
+  from vtc_tpu.analysis_transforms.fully_connected import invertible_linear
+  n = 24
+  d = np.linalg.qr(rng.randn(n, n))[0].astype(np.float32)
+  x = invertible_linear.exact_inverse(jnp.asarray(d))
+  for _ in range(30):
+    d = d + (0.01 / np.sqrt(n)) * rng.randn(n, n).astype(np.float32) @ d
+    x = invertible_linear.newton_refine_inverse(jnp.asarray(d), x)
+    resid = np.max(np.abs(np.asarray(x) @ d - np.eye(n)))
+    assert resid < 1e-5, resid

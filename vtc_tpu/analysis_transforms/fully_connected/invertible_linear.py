@@ -26,6 +26,33 @@ def _solve_ortho(images, dictionary):
     return images @ dictionary.T
 
 
+@jax.jit
+def exact_inverse(dictionary):
+  """D^{-1} via LU -- the warm-tracking seed (once per training run)."""
+  with matmul_precision():
+    return jnp.linalg.inv(dictionary)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5):
+  """Warm inverse tracking for training loops (Newton-Schulz).
+
+  ``X <- X (2I - D X)`` squares the residual ``r = ||I - D X||`` per
+  iteration, and each iteration is two (n, n) MXU matmuls -- unlike the
+  LU solve, which is latency-bound on TPU.  ICA's natural-gradient
+  update moves the dictionary multiplicatively by O(stepsize) per batch,
+  so a warm estimate enters each step with r <~ a few tenths and leaves
+  5 refinements (r -> r^32) at fp-level residual; codes computed as ``X_batch @ Dinv``
+  then match the exact per-batch solve far below the 1e-4 parity bar
+  (tests/test_training.py::test_ica_warm_inverse_*)."""
+  with matmul_precision():
+    x = inverse_estimate
+    eye2 = 2.0 * jnp.eye(dictionary.shape[0], dtype=x.dtype)
+    for _ in range(num_iters):
+      x = x @ (eye2 - dictionary @ x)
+    return x
+
+
 def run(images, dictionary, orthonormal=False):
   """Infer codes via the exact inverse of a square dictionary.
 
