@@ -42,12 +42,23 @@ def _solve(images, dictionary, sparsity_weight, num_iters, stepsize,
   threshold_fn = thresholds.select(nonnegative_only, hard_threshold)
 
   with matmul_precision():
+    prestep_fn = None
     if formulation == "gram":
       gram = dictionary @ dictionary.T
       corr = images @ dictionary.T
 
       def grad_fn(z):
         return z @ gram - corr
+
+      # fold the stepsize into the iteration operator once per solve:
+      # z - eta*(z G - c) == z + z @ (-eta G) + eta c (same fusion and
+      # association order as the whole-segment Pallas kernel,
+      # ops/pallas_train_step.py)
+      neg_eta_gram = -stepsize * gram
+      corr_eta = stepsize * corr
+
+      def prestep_fn(z):
+        return z + z @ neg_eta_gram + corr_eta
     else:
 
       def grad_fn(z):
@@ -58,7 +69,8 @@ def _solve(images, dictionary, sparsity_weight, num_iters, stepsize,
 
     return proximal_gradient_loop(
         grad_fn, prox_fn, initial_codes, stepsize, num_iters,
-        variant=variant, early_stopping_epsilon=early_stopping_epsilon)
+        variant=variant, early_stopping_epsilon=early_stopping_epsilon,
+        prestep_fn=prestep_fn)
 
 
 def run(images, dictionary, sparsity_weight, num_iters, variant="fista",

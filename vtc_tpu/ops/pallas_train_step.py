@@ -184,13 +184,24 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
         return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
       if nonneg:
         return jnp.maximum(x - lam_eta, 0.0)
-      return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
+      # soft shrink as x - clip(x): one min/max pair fewer VPU passes
+      # than sign(x)*max(|x|-t, 0)
+      return x - jnp.clip(x, -lam_eta, lam_eta)
 
+    # fold eta into the iteration operator ONCE: the gradient step
+    # z - eta*(z G - corr) becomes z + z @ (-eta G) + eta corr, saving
+    # two full-width VPU multiplies per iteration.  The identity term
+    # stays OUTSIDE the matmul so the MXU accumulation order matches
+    # the XLA gram path (fc ista_fista._solve) exactly -- folding it
+    # into the operator shifts per-iteration rounding enough to flip
+    # shrinkage boundaries vs the composed path.
+    neg_eta_gram = -eta * gram
+    corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z - eta * _dot(z, gram) + eta * corr)
+      codes = threshold(z + _dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next

@@ -48,6 +48,7 @@ def proximal_gradient_loop(
     *,
     variant: str = "fista",
     early_stopping_epsilon: Optional[float] = None,
+    prestep_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
   """Run the ISTA/FISTA loop; returns the final codes.
 
@@ -62,6 +63,13 @@ def proximal_gradient_loop(
     variant: 'ista' or 'fista' (static).
     early_stopping_epsilon: if not None (static decision), terminate when
       mean |delta codes| / stepsize < eps after the first iteration.
+    prestep_fn: optional fused replacement for the gradient step: when
+      given, the body computes ``prox(prestep_fn(z))`` instead of
+      ``prox(z - stepsize * grad_fn(z))``.  Lets linear-operator callers
+      fold the stepsize into the operator once per solve (e.g. the fc
+      gram path's ``z @ (I - eta G) + eta c``), which removes two
+      full-width elementwise passes per iteration; the early-stop delta
+      semantics are unchanged.
   """
   if variant not in ("ista", "fista"):
     raise ValueError("variant must be 'ista' or 'fista'")
@@ -73,7 +81,10 @@ def proximal_gradient_loop(
     return jnp.logical_and(state.k < num_iters, jnp.logical_not(state.stop))
 
   def body(state: SolverState):
-    codes = prox_fn(state.z - stepsize * grad_fn(state.z), stepsize)
+    if prestep_fn is not None:
+      codes = prox_fn(prestep_fn(state.z), stepsize)
+    else:
+      codes = prox_fn(state.z - stepsize * grad_fn(state.z), stepsize)
     delta = codes - state.old_codes
     if use_fista:
       t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * state.t_k**2)) / 2.0
