@@ -150,12 +150,12 @@ def test_tiled_multi_update_iters_rejected(rng):
 
 def _reference_group_segment(d0, h0, v0, batches, groups, sw, n_it,
                              upd_step, upd_niters, variant, update_alg,
-                             power_iters=2):
+                             power_iters=2, alignment_penalty=0.0):
   from vtc_tpu.analysis_transforms.fully_connected import (
       subspace_ista_fista)
   raw = sc.build_raw_step_fn(
       "fully-connected", "subspace_" + variant, update_alg,
-      group_assignments=groups, alignment_penalty=0.0,
+      group_assignments=groups, alignment_penalty=alignment_penalty,
       fc_formulation="gram", compute_stepsize_in_step=False)
   gi, vm = subspace_ista_fista.pack_group_indices(groups, d0.shape[0])
   d, h, v = jnp.asarray(d0), jnp.asarray(h0), jnp.asarray(v0)
@@ -200,15 +200,53 @@ def test_fused_group_segment_matches_composed_path(rng, update_alg):
     np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("update_alg", [
+    "subspace_sc_cheap_quadratic_descent",
+    "subspace_sc_steepest_descent"])
+def test_fused_group_segment_with_alignment_penalty(rng, update_alg):
+  """The in-kernel anti-alignment regularizer (dense co-membership-mask
+  formulation) must reproduce the XLA gather/segment-sum regularizer,
+  including overlapping groups (pairs co-member in two groups count
+  twice)."""
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_segment_supported, fused_group_train_segment_pallas)
+
+  s, n, b, k = 14, 16, 10, 3
+  groups = [[0, 1, 2, 3], [4, 5], [6, 7, 8], [9, 10, 11, 12], [13, 0],
+            [0, 1]]
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32)
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  gm = len(groups) * max(len(g) for g in groups)
+  v = rng.randn(min(gm, n)).astype(np.float32)
+
+  assert fused_group_segment_supported(
+      "subspace_fista", update_alg, groups, alignment_penalty=0.4,
+      batch_size=b, code_size=s, input_size=n)
+  want = _reference_group_segment(d, h, v, batches, groups, 0.05, 10,
+                                  0.1, 1, "fista", update_alg,
+                                  alignment_penalty=0.4)
+  got = fused_group_train_segment_pallas(
+      d, h, v, batches, 0.05, 10, 0.1, group_assignments=groups,
+      update_alg=update_alg, alignment_penalty=0.4, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)
+
+
 def test_fused_group_gate():
   from vtc_tpu.ops.pallas_train_step import fused_group_segment_supported
   groups = [[0, 1], [2, 3]]
   assert fused_group_segment_supported(
       "subspace_fista", "subspace_sc_cheap_quadratic_descent", groups,
       batch_size=250, code_size=4, input_size=16)
-  assert not fused_group_segment_supported(  # penalty -> XLA path
+  assert fused_group_segment_supported(  # penalty now in-kernel
       "subspace_fista", "subspace_sc_cheap_quadratic_descent", groups,
       alignment_penalty=0.5)
+  assert not fused_group_segment_supported(  # ...but needs unit norms
+      "subspace_fista", "subspace_sc_cheap_quadratic_descent", groups,
+      alignment_penalty=0.5, renormalize=False)
   assert not fused_group_segment_supported(
       "fista", "sc_cheap_quadratic_descent", None)
 

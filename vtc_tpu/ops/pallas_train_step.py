@@ -38,6 +38,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -238,7 +239,7 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 def _make_group_kernel(variant, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val):
+                       lowest_code_val, use_reg=False):
   """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
   design as _make_kernel; the group structure enters as two static 0/1
   matrices so every ragged operation is an MXU matmul:
@@ -247,12 +248,19 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
            codes_s = codes_gm @ gsel (duplicate-summed unpack).
     expand (GM, G): group-norm shrinkage via squared-sum + broadcast
            matmuls (see ops/pallas_group_fista.py).
-  Alignment penalty 0 only (the reference's fast path); penalty != 0
-  falls back to the scan-of-ops path."""
+  With ``use_reg`` the within-group anti-alignment regularizer runs
+  in-kernel too: for unit-norm dictionaries its gradient is
+  sum_j A_ij sign(C_ij) (D_j - C_ij D_i) with C = D D^T and A the
+  static zero-diagonal co-membership COUNT matrix (overlapping groups
+  contribute once per shared group) -- i.e. S @ D - rowsum(S*C) * D
+  with S = A * sign(C): one extra (s, s) Gram + matmul per update
+  iteration, no gathers (dict_update_rules/fully_connected/
+  _subspace_common.py is the reference formulation)."""
   use_fista = variant == "fista"
 
-  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
-             expand_ref, x_ref, d_out, h_out, v_out, codes_out):
+  def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
+              expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
+              codes_out):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -324,6 +332,15 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     def update_body(_, d):
       resid = _dot(codes, d) - images
       grad = _tdot(codes, resid) * inv_b
+      if use_reg:
+        # anti-alignment regularizer (unit-norm form; see docstring).
+        # Zero-padded rows have zero cosines -> sign 0 -> no effect.
+        penalty = scalars_ref[3]
+        cmat = _dot_t(d, d)
+        smat = comem_ref[:] * jnp.sign(cmat)
+        reg = (_dot(smat, d)
+               - jnp.sum(smat * cmat, axis=1, keepdims=True) * d)
+        grad = grad + penalty * reg
       if uses_hessian:
         grad = grad / scale
       d = d - upd_step * grad
@@ -334,6 +351,15 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
 
     d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body,
                                  dictionary)
+
+  if use_reg:
+    return _kernel
+
+  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
+             expand_ref, x_ref, d_out, h_out, v_out, codes_out):
+    return _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref,
+                   gsel_ref, expand_ref, None, x_ref, d_out, h_out,
+                   v_out, codes_out)
 
   return kernel
 
@@ -455,7 +481,8 @@ def _group_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad, use_n_gram):
 def fused_group_segment_supported(inference_alg, update_alg,
                                   group_assignments, *,
                                   alignment_penalty=0.0, batch_size=None,
-                                  code_size=None, input_size=None):
+                                  code_size=None, input_size=None,
+                                  renormalize=True):
   """True when `fused_group_train_segment_pallas` covers this config."""
   if group_assignments is None:
     return False
@@ -464,8 +491,9 @@ def fused_group_segment_supported(inference_alg, update_alg,
   if update_alg not in ("subspace_sc_steepest_descent",
                         "subspace_sc_cheap_quadratic_descent"):
     return False
-  if alignment_penalty != 0.0:
-    return False  # the anti-alignment regularizer stays on the XLA path
+  if alignment_penalty != 0.0 and not renormalize:
+    # the in-kernel regularizer uses the unit-norm gradient form
+    return False
   if None in (batch_size, code_size, input_size):
     return True
   num_groups = len(group_assignments)
@@ -522,7 +550,8 @@ def fused_group_train_segment_pallas(dictionary, hessian, eigvec,
     jax.jit,
     static_argnames=("group_assignments", "variant", "update_alg",
                      "upd_num_iters", "hard", "renormalize",
-                     "power_iters", "lowest_code_val", "interpret"))
+                     "power_iters", "lowest_code_val",
+                     "alignment_penalty", "interpret"))
 def _fused_group_impl(dictionary, hessian, eigvec,
                       batches, sparsity_weight,
                       inf_num_iters, upd_stepsize, *,
@@ -532,8 +561,13 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                           "_descent"),
                       upd_num_iters=1, hard=False,
                       renormalize=True, power_iters=2,
-                      lowest_code_val=0.001,
+                      lowest_code_val=0.001, alignment_penalty=0.0,
                       interpret=False):
+  use_reg = float(alignment_penalty) != 0.0
+  if use_reg:
+    assert renormalize, (
+        "the in-kernel anti-alignment regularizer uses the unit-norm "
+        "gradient form; renormalize=False stays on the XLA path")
   k, b, n = batches.shape
   s = dictionary.shape[0]
   num_groups = len(group_assignments)
@@ -567,12 +601,25 @@ def _fused_group_impl(dictionary, hessian, eigvec,
 
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
-                       jnp.float32(1.0 / b)])
+                       jnp.float32(1.0 / b),
+                       jnp.float32(alignment_penalty)])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  if use_reg:
+    # zero-diagonal co-membership counts (overlapping groups add)
+    comem = np.zeros((s, s), np.float32)
+    for g in group_assignments:
+      for gi_ in g:
+        for gj_ in g:
+          if gi_ != gj_:
+            comem[gi_, gj_] += 1.0
+    comem_in = jnp.pad(jnp.asarray(comem),
+                       ((0, s_pad - s), (0, s_pad - s)))
 
   kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
                               int(upd_num_iters), int(power_iters),
-                              use_n_gram, float(lowest_code_val))
+                              use_n_gram, float(lowest_code_val),
+                              use_reg=use_reg)
   const = lambda i, *_: (0, 0)
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel,
@@ -585,6 +632,8 @@ def _fused_group_impl(dictionary, hessian, eigvec,
               pl.BlockSpec((1, dim_pad), const),
               pl.BlockSpec((gm_pad, s_pad), const),
               pl.BlockSpec((gm_pad, g_pad), const),
+          ] + ([pl.BlockSpec((s_pad, s_pad), const)] if use_reg
+               else []) + [
               pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
           ],
           out_specs=[
@@ -602,7 +651,8 @@ def _fused_group_impl(dictionary, hessian, eigvec,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
-  )(niter, scalars, d_in, h_in, v_in, gsel_in, expand_in, x_in)
+  )(niter, scalars, d_in, h_in, v_in, gsel_in, expand_in,
+    *((comem_in,) if use_reg else ()), x_in)
   return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])
 
 

@@ -103,9 +103,11 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
 
 
 def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
-                                renormalize, group_assignments):
-  """Subspace counterpart of _fused_segment_runner (alignment penalty
-  0; see ops/pallas_train_step.fused_group_train_segment_pallas)."""
+                                renormalize, group_assignments,
+                                alignment_penalty=0.0):
+  """Subspace counterpart of _fused_segment_runner (the anti-alignment
+  regularizer runs in-kernel too; see
+  ops/pallas_train_step.fused_group_train_segment_pallas)."""
   from vtc_tpu.ops.pallas_train_step import (
       fused_group_train_segment_pallas)
 
@@ -114,7 +116,8 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         group_assignments=group_assignments, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
-        renormalize=renormalize)
+        renormalize=renormalize,
+        alignment_penalty=float(alignment_penalty))
     return dictionary, hessian, eigvec
 
   return run
@@ -244,7 +247,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
               all_params.get("subspace_alignment_penalty", 0.0)),
           batch_size=training_batches.shape[1],
           code_size=dictionary.shape[0],
-          input_size=training_batches.shape[-1])
+          input_size=training_batches.shape[-1],
+          renormalize=bool(
+              all_params.get("renormalize_dictionary", True)))
     return fused_segment_supported(
         mode, inference_alg, update_alg,
         group_assignments=group_assignments,
@@ -420,7 +425,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 inference_alg[9:], update_alg, upd_niters,
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
-                group_assignments)
+                group_assignments,
+                alignment_penalty=float(
+                    all_params.get("subspace_alignment_penalty", 0.0)))
           else:
             runners[key] = _fused_segment_runner(
                 inference_alg, update_alg, upd_niters,
