@@ -121,11 +121,17 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
   float(jnp.sum(d1))  # true sync (block_until_ready is unreliable here)
   log(f"b={batch_size}: compile+first call {time.time() - t0:.1f}s")
 
-  t0 = time.time()
-  for _ in range(timed_calls):
-    d1, h1, v1 = epoch_fn(d1, h1, v1, data, *args)
-  float(jnp.sum(d1))  # one sync at the end; calls pipeline on-device
-  dt = time.time() - t0
+  # best of two timed blocks: the shared relay/chip shows occasional
+  # ~15% environment dips between runs, and best-of is the standard
+  # throughput estimator under one-sided noise
+  dt = None
+  for _block in range(2):
+    t0 = time.time()
+    for _ in range(timed_calls):
+      d1, h1, v1 = epoch_fn(d1, h1, v1, data, *args)
+    float(jnp.sum(d1))  # one sync at the end; calls pipeline on-device
+    bt = time.time() - t0
+    dt = bt if dt is None else min(dt, bt)
   patches = scan_steps * batch_size * timed_calls
   pps = patches / dt
   log(f"b={batch_size}: {patches} patches in {dt:.3f}s -> "
