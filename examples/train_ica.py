@@ -12,7 +12,8 @@ import numpy as np
 
 from vtc_tpu.data.dataset_generation import (BatchIterator,
                                              create_patch_training_set)
-from vtc_tpu.training.ica import train_dictionary
+from vtc_tpu.training.ica import (train_dictionary,
+                                  train_dictionary_scanned)
 from vtc_tpu.utils import defaults
 
 parser = argparse.ArgumentParser()
@@ -22,6 +23,11 @@ parser.add_argument("--batch-size", type=int, default=250)
 parser.add_argument("--epochs", type=int, default=10)
 parser.add_argument("--patch", type=int, default=16)
 parser.add_argument("--run-id", default="ica_example")
+parser.add_argument("--scanned", action="store_true",
+                    help="compiled-segment fast path: whole training "
+                         "segments as one lax.scan with warm "
+                         "Newton-Schulz inverse tracking (~5x the "
+                         "per-batch path on TPU)")
 args = parser.parse_args()
 
 PATCH = args.patch
@@ -56,7 +62,14 @@ rng = np.random.RandomState(0)
 d0 = np.linalg.qr(rng.standard_normal((N, N)))[0].astype(np.float32)
 
 print("Here we go!")
-final = train_dictionary(
-    BatchIterator(train["patches"], args.batch_size, seed=0), d0, params)
+if args.scanned:
+  k = train["patches"].shape[0] // args.batch_size
+  stacked = train["patches"][:k * args.batch_size].reshape(
+      k, args.batch_size, N).astype(np.float32)
+  final = train_dictionary_scanned(stacked, d0, params)
+else:
+  final = train_dictionary(
+      BatchIterator(train["patches"], args.batch_size, seed=0), d0,
+      params)
 print("Done; final dictionary", np.asarray(final).shape,
       "- logs in", logdir)
