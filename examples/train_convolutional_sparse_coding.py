@@ -17,6 +17,7 @@ import numpy as np
 from vtc_tpu.data.dataset_generation import (BatchIterator,
                                              create_patch_training_set)
 from vtc_tpu.ops.conv_shapes import get_padding_amt
+from vtc_tpu.training.compiled_epoch import train_dictionary_scanned
 from vtc_tpu.training.sparse_coding import train_dictionary
 from vtc_tpu.utils import defaults
 
@@ -31,6 +32,9 @@ parser.add_argument("--kernel-size", type=int, default=16)
 parser.add_argument("--stride", type=int, default=8)
 parser.add_argument("--num-kernels", type=int, default=64)
 parser.add_argument("--run-id", default="conv_sparse_coding_example")
+parser.add_argument("--scanned", action="store_true",
+                    help="compiled-segment fast path (whole segments "
+                         "as one lax.scan; no validation metrics)")
 args = parser.parse_args()
 
 K, STRIDE, IMG = args.kernel_size, args.stride, args.image_size
@@ -76,11 +80,21 @@ d0 = rng.randn(args.num_kernels, 1, K, K).astype(np.float32)
 d0 /= np.sqrt(np.sum(d0**2, axis=(1, 2, 3), keepdims=True))
 
 print("Here we go!")
-final = train_dictionary(
-    BatchIterator(train["patches"], args.batch_size, seed=0),
-    BatchIterator(val["patches"], min(args.batch_size * 4,
-                                      args.val_size),
-                  shuffle=False, drop_last=False),
-    d0, params)
+if args.scanned:
+  k = train["patches"].shape[0] // args.batch_size
+  stacked = train["patches"][:k * args.batch_size].reshape(
+      (k, args.batch_size) + train["patches"].shape[1:])
+  vb = max(min(args.batch_size, args.val_size), 1)
+  vk = max(val["patches"].shape[0] // vb, 1)
+  val_stacked = val["patches"][:vk * vb].reshape(
+      (vk, vb) + val["patches"].shape[1:])
+  final = train_dictionary_scanned(stacked, val_stacked, d0, params)
+else:
+  final = train_dictionary(
+      BatchIterator(train["patches"], args.batch_size, seed=0),
+      BatchIterator(val["patches"], min(args.batch_size * 4,
+                                        args.val_size),
+                    shuffle=False, drop_last=False),
+      d0, params)
 print("Done; final dictionary", np.asarray(final).shape,
       "- logs in", logdir)
