@@ -53,3 +53,29 @@ def test_resume_training_state(rng, tmp_path):
   assert state is not None
   assert int(state["train_iteration"]) == 6
   assert state["hessian_diagonal"].shape == (32,)
+
+
+def test_exact_resume_matches_uninterrupted(rng, tmp_path):
+  """all_params['resume_state'] continues an interrupted run exactly:
+  resuming from an epoch-boundary checkpoint (dictionary + Hessian EMA
+  + iteration counter, so mid-run schedule changes resolve at their
+  original global iterations) reproduces the uninterrupted run."""
+  data = _data(rng)
+  k = data.shape[0]
+  d0 = rng.randn(32, 32).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  sched = {"inference_param_schedule": {
+               0: {"sparsity_weight": 0.05, "num_iters": 10},
+               k + 1: {"sparsity_weight": 0.05, "num_iters": 15}}}
+  full = np.asarray(sc.train_dictionary(
+      data, None, d0, _params(sched)))
+  logdir = tmp_path / "interrupted"
+  sc.train_dictionary(data, None, d0, _params(dict(
+      sched, checkpoint_schedule={k},
+      logging_folder_fullpath=logdir)))
+  d_ck, state, it = ckpt_util.resume_training_state(logdir)
+  assert it == k
+  resumed = np.asarray(sc.train_dictionary(
+      data, None, d_ck, _params(dict(
+          sched, num_epochs=1, resume_state=state))))
+  np.testing.assert_allclose(resumed, full, atol=1e-6)

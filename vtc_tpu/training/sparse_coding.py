@@ -27,6 +27,10 @@ TPU-native architecture (differs from the reference's per-op Python loop):
       'lipschitz_method': 'eigvalsh' (default) | 'power'
       'fc_formulation': 'gram' (default, one-matmul iteration) |
           'direct' | 'pallas' (fused VMEM-resident kernel, TPU)
+      'resume_state': full-state sidecar dict from
+          utils.checkpoint.resume_training_state -- seeds the Hessian
+          EMA and the absolute iteration counter for exact continuation
+          of an interrupted run (num_epochs counts ADDITIONAL epochs)
 """
 import time
 from pathlib import Path
@@ -488,6 +492,32 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
   total_iter = 0
   sparsity_weight = inf_num_iters = None
   upd_stepsize = upd_num_iters = None
+
+  # exact resume: all_params['resume_state'] carries the full-state
+  # sidecar (utils.checkpoint.resume_training_state) -- Hessian EMA and
+  # the absolute iteration counter, so schedules / checkpoint events
+  # resolve at their original global iterations and the continuation is
+  # bit-identical to an uninterrupted run when the checkpoint sits on
+  # an epoch boundary.  num_epochs counts ADDITIONAL epochs.
+  resume_state = all_params.get("resume_state")
+  if resume_state is not None:
+    hessian = jnp.asarray(
+        np.asarray(resume_state["hessian_diagonal"]), jnp.float32)
+    total_iter = int(resume_state["train_iteration"])
+
+    def _active_entry(sched):
+      keys = [k for k in sched if k <= total_iter]
+      return sched[max(keys)] if keys else None
+
+    ent = _active_entry(inf_schedule)
+    if ent is not None:
+      sparsity_weight = float(ent["sparsity_weight"])
+      inf_num_iters = int(ent["num_iters"])
+    ent = _active_entry(upd_schedule)
+    if ent is not None:
+      upd_stepsize = float(ent["stepsize"])
+      upd_num_iters = int(ent["num_iters"])
+
   for epoch_idx in range(num_epochs):
     for batch in iterate_batches(training_image_dataset):
       if total_iter % print_interval == 0 and total_iter != 0:
