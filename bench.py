@@ -15,14 +15,21 @@ per-batch eigvalsh in steady state, identical to 12 steps/batch).
 
 Measurement: K train steps run as ONE compiled on-device program (data
 resident in HBM, zero Python in the loop); wall-clock over several
-calls after a warmup.  Two batch sizes are measured:
-  * b=250  -- the reference's own batch size (headline, vs_baseline),
-    run as ONE fused Pallas kernel per 1000-step segment (dictionary /
-    Hessian EMA / Lipschitz eigenvector VMEM-resident across steps,
-    batches streamed HBM->VMEM; ops/pallas_train_step.py)
-  * b=2048 -- TPU-saturating batch on the batch-tiled variant of the
-    same fused kernel: per-tile gradient accumulation in VMEM scratch,
-    update applied on each step's last tile (reported in "detail")
+calls after a warmup.  Headline: batch 250 (the reference's own batch
+size) as ONE fused Pallas kernel per 1000-step segment
+(ops/pallas_train_step.py).  The "detail" field additionally records
+the TPU-saturating batch-2048 fc path, the subspace (group-sparse)
+fused train step, and the convolutional train step (reference conv
+config: 64 16x16 kernels, stride 8, 256x256 images, batch 5/40) --
+each with derived model TFLOP/s and %-of-roofline so perf regressions
+on any of the three families are visible round over round.
+
+Roofline accounting: FLOPs per train step are ANALYTIC counts of the
+algorithm's matmul work (formulas in the *_step_flops functions below;
+elementwise work excluded), divided by measured step time.  The
+roofline denominator is the chip's bf16 MXU peak / 6, because every
+benchmarked matmul runs at `highest` (full-f32) precision, which the
+MXU executes as a 6-pass bf16x3 product (see BENCH_NOTES.md).
 
 Baseline: the reference publishes no numbers (BASELINE.md).  The
 vs_baseline denominator is a documented ANALYTIC ESTIMATE of the PyTorch
@@ -41,6 +48,84 @@ BASELINE_PATCHES_PER_SEC = 30_000.0  # documented estimate, see above
 N = 256          # 16x16 patches
 S = 256          # dictionary atoms
 FISTA_ITERS = 25
+
+# bf16 MXU peak TFLOP/s per chip by device kind (public spec sheets);
+# f32-'highest' matmuls are 6 bf16 passes, so the parity-precision
+# roofline is peak/6.
+_BF16_PEAKS = (
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5", 197.0),     # v5e / 'TPU v5 lite'
+    ("v4", 275.0),
+)
+
+
+def f32_roofline_tflops():
+  """Per-chip f32-'highest' matmul roofline, or None off-TPU."""
+  import jax
+  dev = jax.devices()[0]
+  if dev.platform != "tpu":
+    return None
+  kind = dev.device_kind.lower()
+  for tag, bf16_peak in _BF16_PEAKS:
+    if tag in kind:
+      return bf16_peak / 6.0
+  return None
+
+
+def roofline_fields(flops_per_step, steps_per_sec):
+  """Derived model TFLOP/s + % of the f32-parity roofline."""
+  tf = flops_per_step * steps_per_sec / 1e12
+  peak = f32_roofline_tflops()
+  out = {"model_tflops": round(tf, 2)}
+  if peak:
+    out["pct_f32_roofline"] = round(100.0 * tf / peak, 1)
+  return out
+
+
+def fc_step_flops(b, s=S, n=N, iters=FISTA_ITERS, upd_iters=1,
+                  power_iters=2):
+  """Matmul FLOPs of one fc train step (gram-formulation semantics):
+  Gram D@D^T, data projection X@D^T, `iters` FISTA iterations of z@G,
+  warm power-iteration matvecs, and the cheap-quad update's two
+  (b,s)x(s,n) matmuls per update iteration."""
+  return (2 * s * s * n            # G = D D^T
+          + 2 * b * n * s          # b-term X @ D^T
+          + iters * 2 * b * s * s  # z @ G per FISTA iteration
+          + power_iters * 4 * s * s      # warm Lipschitz matvecs
+          + upd_iters * 4 * b * s * n)   # codes@D + codes^T@resid
+
+
+def subspace_step_flops(b, s=S, n=N, num_groups=64, max_gs=4,
+                        iters=FISTA_ITERS, upd_iters=1):
+  """Matmul FLOPs of one subspace train step (packed one-matmul design,
+  ops/pallas_train_step.py group kernel): grouped-dictionary build and
+  code unpack as 0/1 matmuls, grouped Gram, per-iteration z@G plus the
+  two skinny group-norm matmuls, and the update."""
+  gm = num_groups * max_gs
+  g = num_groups
+  return (2 * gm * s * n           # grouped dictionary build (gsel @ D)
+          + 2 * gm * gm * n        # grouped Gram
+          + 2 * b * n * gm         # b-term
+          + iters * (2 * b * gm * gm + 4 * b * gm * g)  # z@G + group norms
+          + 2 * b * gm * s         # duplicate-summed unpack
+          + upd_iters * 4 * b * s * n)
+
+
+def conv_step_flops(b, iters=FISTA_ITERS, s=64, code_h=33, code_w=33,
+                    kernel_px=256, offsets=9, upd_iters=1):
+  """Matmul FLOPs of one conv train step (code-space gram formulation,
+  ops/conv_gram.py + conv_dict_gram.py): per-iteration channel-mix
+  interior (dense (s,s) mix over `offsets` spatial taps), the one-time
+  analysis b-term, and the update's code autocorrelations + image
+  correlation.  Border corrections and the small per-step gram build
+  are excluded (lower-bound accounting)."""
+  hw = code_h * code_w
+  interior = 2 * b * hw * s * s * offsets      # channel-mix per iteration
+  bterm = 2 * b * hw * s * kernel_px           # analysis A(mask * X)
+  update = interior + bterm                    # autocorrs + image corr
+  del upd_iters  # recombination per extra iteration is negligible
+  return iters * interior + bterm + update
 
 
 def build_epoch_fn(raw_step):
@@ -69,6 +154,22 @@ def build_epoch_fn(raw_step):
   return jax.jit(epoch)
 
 
+def _timed_best_of_two(run_once, timed_calls, sync):
+  """Best of two timed blocks: the shared relay/chip shows occasional
+  ~15% environment dips between runs, and best-of is the standard
+  throughput estimator under one-sided noise."""
+  dt = None
+  for _block in range(2):
+    t0 = time.time()
+    state = None
+    for _ in range(timed_calls):
+      state = run_once(state)
+    sync(state)  # one sync at the end; calls pipeline on-device
+    bt = time.time() - t0
+    dt = bt if dt is None else min(dt, bt)
+  return dt
+
+
 def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
             formulation="fused"):
   """Time `timed_calls` executions of a compiled scan over `scan_steps`
@@ -92,7 +193,8 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
     def epoch_fn(dictionary, hessian, eigvec, data, sw, n_it, upd_step):
       d, h, v, _ = fused_train_segment_pallas(
-          dictionary, hessian, eigvec, data, sw, n_it, upd_step)
+          dictionary, hessian, eigvec, data, sw, n_it, upd_step,
+          power_iters=2)  # exact-eigenpair seed below
       return d, h, v
   else:
     raw = build_raw_step_fn(
@@ -121,22 +223,120 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
   float(jnp.sum(d1))  # true sync (block_until_ready is unreliable here)
   log(f"b={batch_size}: compile+first call {time.time() - t0:.1f}s")
 
-  # best of two timed blocks: the shared relay/chip shows occasional
-  # ~15% environment dips between runs, and best-of is the standard
-  # throughput estimator under one-sided noise
-  dt = None
-  for _block in range(2):
-    t0 = time.time()
-    for _ in range(timed_calls):
-      d1, h1, v1 = epoch_fn(d1, h1, v1, data, *args)
-    float(jnp.sum(d1))  # one sync at the end; calls pipeline on-device
-    bt = time.time() - t0
-    dt = bt if dt is None else min(dt, bt)
+  def run_once(state):
+    dd, hh, vv = state if state is not None else (d1, h1, v1)
+    return epoch_fn(dd, hh, vv, data, *args)
+
+  dt = _timed_best_of_two(run_once, timed_calls,
+                          lambda st: float(jnp.sum(st[0])))
   patches = scan_steps * batch_size * timed_calls
   pps = patches / dt
   log(f"b={batch_size}: {patches} patches in {dt:.3f}s -> "
       f"{pps:,.0f} patches/s")
   return pps, dt
+
+
+def measure_subspace(batch_size, scan_steps, timed_calls=2,
+                     log=lambda *a: None):
+  """Subspace (group-sparse) fused train segment at the flagship config
+  (64 groups of 4, FISTA-25, cheap-quad update)."""
+  import jax
+  import jax.numpy as jnp
+
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+
+  groups = tuple(tuple(range(i, i + 4)) for i in range(0, S, 4))
+  rng = np.random.RandomState(0)
+  d0 = rng.randn(S, N).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  d = jnp.asarray(d0)
+  h = jnp.full((S,), 0.01, jnp.float32)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, S)
+  grouped = subspace_ista_fista.build_grouped_dictionary(d, gi, vm)
+  _, v = lip.top_gram_eigenpair(grouped)
+  data = jnp.asarray(
+      rng.randn(scan_steps, batch_size, N).astype(np.float32))
+
+  def run_once(state):
+    dd, hh, vv = state if state is not None else (d, h, v)
+    out = fused_group_train_segment_pallas(
+        dd, hh, vv, data, jnp.float32(0.008), jnp.int32(FISTA_ITERS),
+        jnp.float32(0.05), group_assignments=groups, power_iters=2)
+    return out[:3]
+
+  t0 = time.time()
+  st = run_once(None)
+  float(jnp.sum(st[0]))
+  log(f"subspace b={batch_size}: compile+first call {time.time()-t0:.1f}s")
+  dt = _timed_best_of_two(run_once, timed_calls,
+                          lambda s_: float(jnp.sum(s_[0])))
+  pps = scan_steps * batch_size * timed_calls / dt
+  log(f"subspace b={batch_size}: {pps:,.0f} patches/s")
+  return pps
+
+
+def measure_conv(batch_size, scan_steps, timed_calls=2,
+                 log=lambda *a: None):
+  """Convolutional train step at the reference conv config (64 16x16
+  kernels, stride 8, 256x256 images + analysis padding -> 33x33 code
+  maps), scanned over `scan_steps` batches resident in HBM."""
+  import jax
+  import jax.numpy as jnp
+
+  from vtc_tpu.ops import conv_shapes
+  from vtc_tpu.training.sparse_coding import build_raw_step_fn
+
+  kdim, stride, img, s = 16, (8, 8), 256, 64
+  pad = conv_shapes.get_padding_amt(img, kdim, stride[0])
+  padding = (pad, pad)
+  hw = img + pad[0] + pad[1]
+
+  raw = build_raw_step_fn(
+      "convolutional", "fista", "sc_cheap_quadratic_descent",
+      kernel_stride=stride, padding=padding)
+  step = jax.jit(raw, static_argnames=())
+
+  rng = np.random.RandomState(0)
+  d0 = rng.randn(s, 1, kdim, kdim).astype(np.float32)
+  d0 /= np.sqrt((d0 ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  d = jnp.asarray(d0)
+  h = jnp.full((s,), 0.01, jnp.float32)
+  key = jax.random.PRNGKey(0)
+  data = 0.3 * jax.random.normal(
+      key, (scan_steps, batch_size, 1, hw, hw), jnp.float32)
+  mask = conv_shapes.create_mask(data.shape[1:], padding, jnp.float32)
+  data = data * mask  # zero the analysis-padding border like real input
+  float(jnp.sum(data))  # materialize before timing
+
+  args = (jnp.float32(0.05), jnp.int32(FISTA_ITERS), jnp.float32(0.05),
+          1, jnp.float32(0.0))
+
+  @jax.jit
+  def epoch(dd, hh, batches):
+    def body(carry, batch):
+      d_, h_ = carry
+      d_, h_, _ = step(d_, h_, batch, *args)
+      return (d_, h_), ()
+    return jax.lax.scan(body, (dd, hh), batches)[0]
+
+  t0 = time.time()
+  st = epoch(d, h, data)
+  float(jnp.sum(st[0]))
+  log(f"conv b={batch_size}: compile+first call {time.time() - t0:.1f}s")
+
+  def run_once(state):
+    dd, hh = state if state is not None else st
+    return epoch(dd, hh, data)
+
+  dt = _timed_best_of_two(run_once, timed_calls,
+                          lambda s_: float(jnp.sum(s_[0])))
+  ips = scan_steps * batch_size * timed_calls / dt
+  log(f"conv b={batch_size}: {ips:,.0f} images/s")
+  return ips
 
 
 def main():
@@ -145,6 +345,7 @@ def main():
   def log(*a):
     print(*a, file=sys.stderr)
 
+  detail = {}
   if smoke:
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -162,6 +363,23 @@ def main():
     # TPU-saturating batch: the batch-tiled fused kernel (per-tile
     # gradient accumulation in VMEM scratch, update on the last tile)
     pps_big, _ = measure(2048, 64, timed_calls=3, log=log)
+    # the other two model families, with roofline accounting
+    pps_sub = measure_subspace(250, 1000, log=log)
+    ips_conv5 = measure_conv(5, 100, log=log)
+    ips_conv40 = measure_conv(40, 25, log=log)
+    detail["subspace_batch250"] = {
+        "patches_per_sec": round(pps_sub, 1),
+        **roofline_fields(subspace_step_flops(250), pps_sub / 250)}
+    detail["conv_batch5"] = {
+        "images_per_sec": round(ips_conv5, 1),
+        **roofline_fields(conv_step_flops(5), ips_conv5 / 5)}
+    detail["conv_batch40"] = {
+        "images_per_sec": round(ips_conv40, 1),
+        **roofline_fields(conv_step_flops(40), ips_conv40 / 40)}
+    detail["fc_batch250"] = roofline_fields(fc_step_flops(250),
+                                            pps_ref / 250)
+    detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
+                                             pps_big / 2048)
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "
@@ -174,6 +392,7 @@ def main():
           "batch2048_patches_per_sec": round(pps_big, 1),
           "baseline_estimate_patches_per_sec": BASELINE_PATCHES_PER_SEC,
           "fista_iters": FISTA_ITERS,
+          **detail,
       },
   }
   print(json.dumps(result))

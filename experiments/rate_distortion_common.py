@@ -64,6 +64,58 @@ def rd_point(train_codes, test_codes, synthesize_fn, test_images,
   }
 
 
+def external_jpeg_rd_curve(test_images, patch_hw, signal_range,
+                           qualities=(5, 10, 20, 35, 50, 75, 90)):
+  """RD points from a REAL external JPEG encoder (PIL/libjpeg) on the
+  same test data -- the external anchor the reference intended via
+  ffmpeg (reference experiments/rate_distortion_jpeg.py:225-229, whose
+  `quantization.ffmpeg_compute_RD_curve` module is absent upstream).
+
+  The test patches are tiled into one mosaic image per quality level
+  (encoding 8x8 patches as individual JPEG files would measure header
+  overhead, not coding efficiency), encoded with libjpeg, decoded, and
+  scored with the same pSNR/bits-per-pixel accounting as rd_point.
+  """
+  import io
+
+  from PIL import Image
+
+  ph, pw = patch_hw
+  num = test_images.shape[0]
+  cols = int(np.ceil(np.sqrt(num)))
+  rows = int(np.ceil(num / cols))
+  mosaic = np.zeros((rows * ph, cols * pw), np.float64)
+  for i in range(num):
+    r, c = divmod(i, cols)
+    mosaic[r * ph:(r + 1) * ph,
+           c * pw:(c + 1) * pw] = test_images[i].reshape(ph, pw)
+  # map to the 8-bit domain libjpeg codes in
+  lo, hi = mosaic.min(), mosaic.max()
+  scale = 255.0 / max(hi - lo, 1e-9)
+  img8 = np.clip(np.round((mosaic - lo) * scale), 0, 255).astype(np.uint8)
+  points = []
+  for q in qualities:
+    buf = io.BytesIO()
+    Image.fromarray(img8, mode="L").save(buf, format="JPEG", quality=q)
+    nbytes = buf.tell()
+    buf.seek(0)
+    dec = np.asarray(Image.open(buf), np.float64) / scale + lo
+    psnrs = []
+    for i in range(num):
+      r, c = divmod(i, cols)
+      rec = dec[r * ph:(r + 1) * ph, c * pw:(c + 1) * pw]
+      p = compute_pSNR(test_images[i].reshape(ph, pw), rec,
+                       manual_sig_mag=signal_range)
+      if p != np.inf:
+        psnrs.append(p)
+    points.append({
+        "rate_bits_per_pixel": 8.0 * nbytes / (num * ph * pw),
+        "psnr_db": float(np.mean(psnrs)),
+        "l0_fraction": float("nan"),
+    })
+  return points
+
+
 def save_rd_curve(points, labels, csv_path, png_path, title):
   """Write an RD curve CSV and a matplotlib PNG."""
   import matplotlib

@@ -14,7 +14,8 @@ from vtc_tpu.analysis_transforms.fully_connected import invertible_linear
 from vtc_tpu.data.dataset_generation import create_patch_training_set
 from vtc_tpu.utils import defaults, jpeg, matrix_zigzag
 
-from rate_distortion_common import rd_point, save_rd_curve
+from rate_distortion_common import (external_jpeg_rd_curve, rd_point,
+                                    save_rd_curve)
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--dataset", default="synthetic")
@@ -53,9 +54,19 @@ for quality_div in (0.25, 0.5, 1.0, 2.0, 4.0):
   print(f"  quality x{quality_div}: {p['rate_bits_per_pixel']:.3f} bpp "
         f"/ {p['psnr_db']:.2f} dB")
 
+# external anchor: a real libjpeg encode of the same test patches (the
+# ffmpeg comparison the reference intended, experiments/
+# rate_distortion_jpeg.py:225-229 -- its module is absent upstream)
+ext_points = external_jpeg_rd_curve(test_imgs, (PATCH, PATCH),
+                                    signal_range)
+for p in ext_points:
+  print(f"  libjpeg: {p['rate_bits_per_pixel']:.3f} bpp "
+        f"/ {p['psnr_db']:.2f} dB")
+
 outdir = defaults.logging_directory / "rate_distortion"
 outdir.mkdir(parents=True, exist_ok=True)
-save_rd_curve([points], ["JPEG (DCT + std binwidths)"],
+save_rd_curve([points, ext_points],
+              ["JPEG (DCT + std binwidths)", "libjpeg (PIL, external)"],
               outdir / "rd_jpeg.csv", outdir / "rd_jpeg.png",
               "JPEG baseline rate-distortion")
 print("wrote", outdir / "rd_jpeg.csv", "and .png")

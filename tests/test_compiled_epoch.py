@@ -35,6 +35,34 @@ def test_scanned_matches_perbatch_trainer(rng, tmp_path):
   np.testing.assert_allclose(fast, ref, atol=2e-5)
 
 
+def test_hbm_streaming_matches_resident(rng):
+  """all_params['hbm_chunk_steps'] with a host numpy dataset must give
+  the IDENTICAL trajectory to the device-resident path -- including
+  per-epoch shuffling (same jax.random permutation, applied host-side)
+  and a chunk size that does not divide the segment lengths."""
+  data = (0.3 * rng.randn(7, 16, 24)).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8},
+          4: {"sparsity_weight": 0.04, "num_iters": 10}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "fc_formulation": "gram",
+      "shuffle_each_epoch": True,
+  }
+  resident = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, dict(params)))
+  streamed = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data.copy(), data[:1], d0, dict(params, hbm_chunk_steps=3)))
+  np.testing.assert_allclose(streamed, resident, atol=1e-6)
+
+
 def test_scanned_default_warm_power_close_to_exact(rng):
   """The scanned trainer's default warm Lipschitz tracking should stay
   within trajectory noise of the exact per-batch eigvalsh path for a

@@ -72,6 +72,44 @@ def test_warm_start(rng):
   np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_early_stopping_matches_xla_path(rng):
+  """In-kernel early stopping (single-tile while_loop) must reproduce
+  the XLA gram path's stopped trajectory -- same stop iteration, codes
+  within the usual fp-association tolerance (the two paths fold eta
+  into the iteration differently) -- both when the threshold triggers
+  mid-run and when it never does."""
+  from vtc_tpu.analysis_transforms.fully_connected import ista_fista
+  x, d = _problem(rng, b=13, s=37, n=24)
+  lam = 0.1
+  step = float(np.asarray(lipschitz_ops.fista_stepsize(
+      d.astype(np.float32))))
+  for eps in (3e-2, 1e-9):  # triggers early / never triggers
+    want = np.asarray(ista_fista.run(
+        x.astype(np.float32), d.astype(np.float32), lam, 60,
+        stepsize=step, early_stopping_epsilon=eps, formulation="gram"))
+    got = np.asarray(fista_solve_pallas(
+        x.astype(np.float32), d.astype(np.float32), lam, 60, step,
+        early_stopping_epsilon=eps, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, err_msg=str(eps))
+  # the eps=3e-2 run really did stop early: it differs from the full run
+  full = np.asarray(fista_solve_pallas(
+      x.astype(np.float32), d.astype(np.float32), lam, 60, step,
+      interpret=True))
+  stopped = np.asarray(fista_solve_pallas(
+      x.astype(np.float32), d.astype(np.float32), lam, 60, step,
+      early_stopping_epsilon=3e-2, interpret=True))
+  assert np.max(np.abs(stopped - full)) > 1e-5
+
+
+def test_early_stopping_routing(rng):
+  """formulation='pallas' + early stopping no longer silently
+  downgrades when the batch fits one tile (and still falls back
+  cleanly when it cannot)."""
+  from vtc_tpu.ops.pallas_fista import early_stop_tile_fits
+  assert early_stop_tile_fits(250, 256)
+  assert not early_stop_tile_fits(300000, 1024)
+
+
 def test_num_iters_is_dynamic(rng):
   """Different num_iters values reuse one compilation (scalar prefetch),
   and more iterations converge closer to the long-run solution."""

@@ -52,7 +52,7 @@ def test_fused_segment_matches_composed_path(rng, variant, update_alg):
                              variant, update_alg)
   got1 = fused_train_segment_pallas(
       d, h, v, batches[:1], 0.05, 12, 0.1, variant=variant,
-      update_alg=update_alg, interpret=True)
+      update_alg=update_alg, power_iters=2, interpret=True)
   for w, g, name in zip(want1, got1, ["dict", "hessian", "eigvec",
                                       "codes"]):
     np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, err_msg=name)
@@ -64,7 +64,7 @@ def test_fused_segment_matches_composed_path(rng, variant, update_alg):
                             variant, update_alg)
   got = fused_train_segment_pallas(
       d, h, v, batches, 0.05, 12, 0.1, variant=variant,
-      update_alg=update_alg, interpret=True)
+      update_alg=update_alg, power_iters=2, interpret=True)
   chaotic = variant == "fista" and update_alg == (
       "sc_cheap_quadratic_descent")
   tols = {"dict": 2e-5, "hessian": 1e-3 if chaotic else 2e-5,
@@ -83,7 +83,7 @@ def test_fused_segment_overcomplete_and_multi_update(rng):
                             "fista", "sc_cheap_quadratic_descent")
   got = fused_train_segment_pallas(
       d, h, v, batches, 0.03, 8, 0.05, upd_num_iters=3,
-      interpret=True)
+      power_iters=2, interpret=True)
   for w, g in zip(want, got):
     np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
 
@@ -94,7 +94,7 @@ def test_fused_segment_nonneg(rng):
                             "fista", "sc_cheap_quadratic_descent",
                             nonneg=True)
   got = fused_train_segment_pallas(
-      d, h, v, batches, 0.05, 10, 0.1, nonneg=True, interpret=True)
+      d, h, v, batches, 0.05, 10, 0.1, nonneg=True, power_iters=2, interpret=True)
   for w, g in zip(want, got):
     np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
 
@@ -123,7 +123,7 @@ def test_fused_segment_batch_tiled(rng):
   want = _reference_segment(d, h, v, batches, 0.05, 12, 0.1, 1,
                             "fista", "sc_cheap_quadratic_descent")
   got = fused_train_segment_pallas(
-      d, h, v, batches, 0.05, 12, 0.1, batch_tile=8, interpret=True)
+      d, h, v, batches, 0.05, 12, 0.1, batch_tile=8, power_iters=2, interpret=True)
   for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
                                     "codes"]):
     np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, err_msg=name)
@@ -135,17 +135,30 @@ def test_fused_segment_batch_tiled_steepest(rng):
                             "fista", "sc_steepest_descent")
   got = fused_train_segment_pallas(
       d, h, v, batches, 0.04, 10, 0.08,
-      update_alg="sc_steepest_descent", batch_tile=8, interpret=True)
+      update_alg="sc_steepest_descent", batch_tile=8,
+      power_iters=2, interpret=True)
   for w, g in zip(want, got):
     np.testing.assert_allclose(np.asarray(g), w, atol=2e-5)
 
 
-def test_tiled_multi_update_iters_rejected(rng):
-  d, h, v, batches = _problem(rng, k=1, b=16)
-  with pytest.raises(ValueError):
-    fused_train_segment_pallas(d, h, v, batches, 0.05, 5, 0.1,
-                               upd_num_iters=2, batch_tile=8,
-                               interpret=True)
+def test_fused_segment_batch_tiled_multi_update_iters(rng):
+  """Gram-form accumulation (C = sum codes^T codes, B = sum codes^T X)
+  makes the tiled kernel's multi-iteration update EXACT: each descent
+  iteration's gradient (C D' - B)/b equals the reference's
+  full-batch codes^T (codes D' - X)/b at the current dictionary D'."""
+  d, h, v, batches = _problem(rng, k=2, b=30, s=24, n=16)
+  want = _reference_segment(d, h, v, batches, 0.05, 12, 0.1, 3,
+                            "fista", "sc_cheap_quadratic_descent")
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.1, upd_num_iters=3, batch_tile=8,
+      power_iters=2, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5, err_msg=name)
+  # the support gate no longer special-cases multi-iteration updates
+  assert fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=8192, code_size=256, input_size=256, upd_num_iters=3)
 
 
 def _reference_group_segment(d0, h0, v0, batches, groups, sw, n_it,
@@ -194,7 +207,7 @@ def test_fused_group_segment_matches_composed_path(rng, update_alg):
                                   0.1, 1, "fista", update_alg)
   got = fused_group_train_segment_pallas(
       d, h, v, batches, 0.05, 10, 0.1, group_assignments=groups,
-      update_alg=update_alg, interpret=True)
+      update_alg=update_alg, power_iters=2, interpret=True)
   for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
                                     "codes"]):
     np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)
@@ -229,7 +242,8 @@ def test_fused_group_segment_with_alignment_penalty(rng, update_alg):
                                   alignment_penalty=0.4)
   got = fused_group_train_segment_pallas(
       d, h, v, batches, 0.05, 10, 0.1, group_assignments=groups,
-      update_alg=update_alg, alignment_penalty=0.4, interpret=True)
+      update_alg=update_alg, alignment_penalty=0.4, power_iters=2,
+      interpret=True)
   for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
                                     "codes"]):
     np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)

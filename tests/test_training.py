@@ -269,3 +269,30 @@ def test_ica_warm_inverse_residual(rng):
     x = invertible_linear.newton_refine_inverse(jnp.asarray(d), x)
     resid = np.max(np.abs(np.asarray(x) @ d - np.eye(n)))
     assert resid < 1e-5, resid
+
+
+def test_ica_warm_inverse_guard_recovers_from_divergence(rng):
+  """The guarded refinement (used by the scanned trainer) must detect a
+  diverged estimate (||I - D X|| >= 1: Newton-Schulz blows up) and fall
+  back to the exact LU inverse instead of corrupting training."""
+  import jax.numpy as jnp
+  from vtc_tpu.analysis_transforms.fully_connected import invertible_linear
+  n = 24
+  d = np.linalg.qr(rng.randn(n, n))[0].astype(np.float32)
+  garbage = jnp.asarray(10.0 * rng.randn(n, n).astype(np.float32))
+  # unguarded refinement diverges from this seed...
+  bad = invertible_linear.newton_refine_inverse(jnp.asarray(d), garbage)
+  assert not np.all(np.isfinite(np.asarray(bad))) or np.max(
+      np.abs(np.asarray(bad) @ d - np.eye(n))) > 1.0
+  # ...the guard returns the exact inverse
+  x = invertible_linear.refine_inverse_guarded(jnp.asarray(d), garbage)
+  resid = np.max(np.abs(np.asarray(x) @ d - np.eye(n)))
+  assert resid < 1e-5, resid
+  # and on a HEALTHY estimate it returns the refined one (no LU detour):
+  # value equality with the unguarded path at fp level
+  near = invertible_linear.exact_inverse(jnp.asarray(d)) + 1e-3
+  np.testing.assert_array_equal(
+      np.asarray(invertible_linear.refine_inverse_guarded(
+          jnp.asarray(d), near)),
+      np.asarray(invertible_linear.newton_refine_inverse(
+          jnp.asarray(d), near)))

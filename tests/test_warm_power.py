@@ -29,6 +29,25 @@ def test_warm_power_tracks_exact_eigenvalue_under_drift(rng):
     assert abs(float(eigval) - exact) / exact < 2e-4, step
 
 
+def test_warm_power_tracks_under_aggressive_drift_at_default_iters(rng):
+  """The PUBLIC default refresh depth (12 iterations, the fused-kernel
+  power_iters default for callers that do NOT guarantee an exact
+  eigenpair seed) must hold the 2e-4 bound under 5x more aggressive
+  drift (~5% relative row change per step) than the flagship config's
+  exact-seeded 2-iteration policy is validated for above."""
+  s, n = 48, 32
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  _, v = lip.top_gram_eigenpair(jnp.asarray(d))
+  for step in range(40):
+    d = d - 0.01 * rng.randn(s, n).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    eigval, v = lip.power_iterate(jnp.asarray(d), v, num_iters=12)
+    exact = float(np.asarray(
+        lip.top_gram_eigenvalue_exact(jnp.asarray(d))))
+    assert abs(float(eigval) - exact) / exact < 2e-4, step
+
+
 def test_warm_power_trajectory_matches_exact_stable_rule(rng):
   """Full-scan equivalence on a NON-chaotic update rule (steepest
   descent, small stepsize): warm-4 power vs per-batch eigvalsh give the

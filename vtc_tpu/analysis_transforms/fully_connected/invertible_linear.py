@@ -53,6 +53,31 @@ def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5):
     return x
 
 
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def refine_inverse_guarded(dictionary, inverse_estimate,
+                           num_iters: int = 5, residual_tol=1e-3):
+  """`newton_refine_inverse` with a divergence guard.
+
+  Newton-Schulz only converges when the incoming residual
+  ``||I - D X|| < 1`` (in spectral norm); an extreme stepsize schedule
+  or an ill-conditioned dictionary can break that, and a diverged
+  inverse would corrupt training silently.  This variant checks
+  ``max|D X - I|`` AFTER refinement (one extra (n, n) matmul) and falls
+  back to the exact LU inverse when it exceeds ``residual_tol`` (a
+  healthy refreshed estimate sits at fp level, ~1e-6).  The fallback is
+  a ``lax.cond``, so the LU cost is only paid on the rare bad step.
+  """
+  with matmul_precision():
+    x = newton_refine_inverse(dictionary, inverse_estimate, num_iters)
+    eye = jnp.eye(dictionary.shape[0], dtype=x.dtype)
+    resid = jnp.max(jnp.abs(dictionary @ x - eye))
+    # NOT (resid < tol), not (resid > tol): a diverged estimate can
+    # produce a NaN residual, and NaN must take the fallback branch
+    return jax.lax.cond(jnp.logical_not(resid < residual_tol),
+                        lambda: jnp.linalg.inv(dictionary),
+                        lambda: x)
+
+
 def run(images, dictionary, orthonormal=False):
   """Infer codes via the exact inverse of a square dictionary.
 

@@ -108,14 +108,20 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
   if stepsize is None:
     stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
   if formulation == "pallas":
-    if early_stopping_epsilon is None:
-      from vtc_tpu.ops.pallas_fista import fista_solve_pallas
+    from vtc_tpu.ops.pallas_fista import (early_stop_tile_fits,
+                                          fista_solve_pallas)
+    if early_stopping_epsilon is None or early_stop_tile_fits(
+        images.shape[0], dictionary.shape[0]):
       return fista_solve_pallas(
           images, dictionary, sparsity_weight, num_iters, stepsize,
           initial_codes=initial_codes, variant=variant,
           nonneg=bool(nonnegative_only), hard=bool(hard_threshold),
-          interpret=jax.default_backend() != "tpu")
-    # early stopping needs the cross-tile mean test: XLA gram path
+          interpret=jax.default_backend() != "tpu",
+          early_stopping_epsilon=(
+              None if early_stopping_epsilon is None
+              else float(early_stopping_epsilon)))
+    # a batch too big for one VMEM tile cannot run the batch-global
+    # early-stop test in-kernel: XLA gram path
     formulation = "gram"
   if initial_codes is None:
     initial_codes = jnp.zeros(

@@ -22,10 +22,14 @@ operands to bfloat16 for ~3x MXU throughput at reduced (~1e-2) parity.
 Used automatically by the fc solver on TPU via formulation='pallas'
 (falls back to interpret mode off-TPU in tests).
 
-Reference semantics mirrored: fully_connected/ista_fista.py:100-146.
-Early stopping is NOT supported here (the global-mean stop test needs a
-cross-tile reduction every iteration); callers with
-early_stopping_epsilon use the XLA while_loop path instead.
+Reference semantics mirrored: fully_connected/ista_fista.py:100-146,
+including early stopping (``early_stopping_epsilon``): the loop becomes
+an in-kernel ``lax.while_loop`` whose predicate tests the batch-global
+mean |delta codes| / stepsize -- exact only when the whole batch lives
+in ONE grid tile (the global mean would otherwise need a cross-tile
+reduction every iteration, but tiles solve independently), so the
+caller sizes the tile to the batch and falls back to the XLA path when
+that exceeds VMEM (see ``early_stop_tile_fits``).
 """
 import functools
 
@@ -47,7 +51,8 @@ _PRECISIONS = {
 # accuracy.  (Mosaic rejects jax.lax.Precision.HIGH outright.)
 
 
-def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
+def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
+                 early_eps=None):
   use_fista = variant == "fista"
 
   def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, init_ref,
@@ -55,6 +60,7 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
+    inv_count = scalars_ref[2]  # 1 / (b * s), real (unpadded) sizes
     gram = gram_ref[:]
     corr = corr_ref[:]
     if use_bf16:
@@ -107,22 +113,61 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision):
         return z_next, codes, t_next
       return codes, codes, t_k
 
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule (fully_connected/ista_fista.py:135-144 /
+      # ops/solver.py): mean |codes - old_codes| / eta < eps after the
+      # first iteration.  The mean uses the REAL element count (padded
+      # rows/cols hold exact zeros through every iteration, so the
+      # padded sum equals the real sum).
+      def stop_cond(carry):
+        k, _, _, _, _, stop = carry
+        return jnp.logical_and(k < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        k, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = body(None, (z, old, t_k))
+        avg_delta = (jnp.sum(jnp.abs(codes - old)) * inv_count) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, k > 0)
+        return k + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     out_ref[:] = codes
 
   return kernel
 
 
+_EARLY_STOP_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def early_stop_tile_fits(batch_size, code_size):
+  """True when the whole batch fits one VMEM grid tile -- the exactness
+  condition for the in-kernel early-stopping while_loop (the stop test
+  is a batch-GLOBAL mean; independent tiles cannot share it)."""
+  from vtc_tpu.ops.pallas_common import SUBLANES
+  s_pad = round_up(code_size, _LANES)
+  b_pad = round_up(batch_size, SUBLANES)
+  # gram + (corr, init, out) tiles + ~2 loop transients
+  return 4 * (s_pad * s_pad + 6 * b_pad * s_pad) <= (
+      _EARLY_STOP_VMEM_BUDGET)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "nonneg", "hard", "use_bf16",
-                     "batch_tile", "interpret", "mxu_precision"))
+                     "batch_tile", "interpret", "mxu_precision",
+                     "early_stopping_epsilon"))
 def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
                        stepsize, *, initial_codes=None, variant="fista",
                        nonneg=False, hard=False, use_bf16=False,
                        batch_tile=256, interpret=False,
-                       mxu_precision="highest"):
+                       mxu_precision="highest",
+                       early_stopping_epsilon=None):
   """Solve the LASSO codes for a batch with the fused Pallas kernel.
 
   Args:
@@ -147,6 +192,14 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
   b, n = images.shape
   s = dictionary.shape[0]
   s_pad = round_up(s, _LANES)
+  if early_stopping_epsilon is not None:
+    # the stop test is batch-global: the whole batch must be ONE tile
+    # (callers check early_stop_tile_fits first)
+    from vtc_tpu.ops.pallas_common import SUBLANES
+    batch_tile = round_up(b, SUBLANES)
+    assert early_stop_tile_fits(b, s), (
+        "batch too large for single-tile early stopping; use the XLA "
+        "path (ista_fista.run falls back automatically)")
   b_pad = round_up(b, batch_tile)
 
   with matmul_precision():
@@ -163,11 +216,15 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
                    ((0, b_pad - b), (0, s_pad - s)))
 
   eta = jnp.asarray(stepsize, jnp.float32)
-  scalars = jnp.stack([eta, jnp.asarray(sparsity_weight,
-                                        jnp.float32) * eta])
+  scalars = jnp.stack([eta,
+                       jnp.asarray(sparsity_weight, jnp.float32) * eta,
+                       jnp.float32(1.0 / (b * s))])
   niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
 
-  kernel = _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision)
+  kernel = _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
+                        early_eps=(None
+                                   if early_stopping_epsilon is None
+                                   else float(early_stopping_epsilon)))
   grid = (b_pad // batch_tile,)
   out = pl.pallas_call(
       kernel,

@@ -31,8 +31,10 @@ fully_connected/ista_fista.py:100-146, sc_steepest_descent.py:37-43,
 sc_cheap_quadratic_descent.py:44-49, training/sparse_coding.py:154).
 
 Restrictions (callers fall back to the scan-of-ops path otherwise):
-fully-connected mode, no group sparsity, no early stopping, the whole
-batch in one VMEM tile (see `fused_segment_supported`).
+fully-connected mode, no group sparsity, no early stopping (see
+`fused_segment_supported`).  Batches beyond one VMEM tile run the
+batch-tiled variant (grid (step, tile)) with gram-form gradient
+accumulation, which supports any `upd_num_iters`.
 """
 import functools
 
@@ -81,7 +83,7 @@ def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
       + b_pad * s_pad          # codes out block
       + b_pad * n_pad)         # update residual
   if multi_tile:
-    buffers += s_pad * n_pad + s_pad * s_pad  # grad accumulator, G scratch
+    buffers += s_pad * n_pad + s_pad * s_pad  # B and C gram accumulators
   return 4 * buffers
 
 
@@ -125,15 +127,8 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
     return False
   if None in (batch_size, code_size, input_size):
     return True  # shape-independent eligibility
-  tile = _pick_batch_tile(batch_size, code_size, input_size)
-  if tile is None:
-    return False
-  if tile < round_up(batch_size, _SUBLANES) and upd_num_iters != 1:
-    # the tiled kernel accumulates the gradient across batch tiles
-    # against the step's initial dictionary, which only matches the
-    # reference semantics for a single update iteration
-    return False
-  return True
+  del upd_num_iters  # gram-form accumulation supports any count
+  return _pick_batch_tile(batch_size, code_size, input_size) is not None
 
 
 def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
@@ -365,19 +360,22 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
 
 
 def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
-                       power_iters, use_n_gram, lowest_code_val,
-                       num_tiles):
+                       upd_num_iters, power_iters, use_n_gram,
+                       lowest_code_val, num_tiles):
   """Batch-tiled variant: grid (step, tile) with tile fastest.  The
-  dictionary gradient decomposes over batch tiles --
-  sum_t codes_t^T (codes_t D - X_t) -- so each tile accumulates its
-  contribution into VMEM scratch and the update applies on the step's
-  last tile.  Single update iteration only (the accumulated gradient is
-  taken at the step's initial dictionary)."""
+  dictionary gradient is accumulated in GRAM form: with
+  C = sum_t codes_t^T codes_t and B = sum_t codes_t^T X_t in VMEM
+  scratch, the full-batch gradient at ANY dictionary D' is exactly
+  (C D' - B)/b -- so the step's last tile can run `upd_num_iters`
+  descent iterations against the updated dictionary (the same
+  semantics as the reference's multi-iteration update,
+  sc_cheap_quadratic_descent.py:44-49) without keeping any tile's
+  codes or images alive."""
   use_fista = variant == "fista"
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out,
-             gradacc, statacc, eta_ref):
+             cacc, bacc, statacc, eta_ref):
     step = pl.program_id(0)
     tile = pl.program_id(1)
 
@@ -409,7 +407,8 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       v = jax.lax.fori_loop(0, power_iters, power_body, v)
       v_out[:] = v
       eta_ref[0] = 1.0 / jnp.sum(_dot(v, power_gram) * v)
-      gradacc[:] = jnp.zeros_like(gradacc)
+      cacc[:] = jnp.zeros_like(cacc)
+      bacc[:] = jnp.zeros_like(bacc)
       statacc[:] = jnp.zeros_like(statacc)
 
     eta = eta_ref[0]
@@ -444,23 +443,182 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     if uses_hessian:
       statacc[:] = statacc[:] + jnp.sum(codes * codes, axis=0,
                                         keepdims=True)
-    gradacc[:] = gradacc[:] + _tdot(codes, _dot(codes, dictionary)
-                                    - images)
+    cacc[:] = cacc[:] + _tdot(codes, codes)
+    bacc[:] = bacc[:] + _tdot(codes, images)
 
     @pl.when(tile == num_tiles - 1)
     def _():
-      grad = gradacc[:] * inv_b
+      cmat = cacc[:]
+      bmat = bacc[:]
       if uses_hessian:
         hessian = 0.99 * h_out[:] + (statacc[:] * inv_b) / 100.0
         h_out[:] = hessian
-        grad = grad / (jnp.transpose(hessian) + lowest_code_val)
-      d = dictionary - upd_step * grad
-      if renormalize:
-        norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
-        d = d / jnp.maximum(norms, 1e-30)
-      d_out[:] = d
+        scale = jnp.transpose(hessian) + lowest_code_val
+
+      def update_body(_, d):
+        grad = (_dot(cmat, d) - bmat) * inv_b
+        if uses_hessian:
+          grad = grad / scale
+        d = d - upd_step * grad
+        if renormalize:
+          norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+          d = d / jnp.maximum(norms, 1e-30)
+        return d
+
+      d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body,
+                                   dictionary)
 
   return kernel
+
+
+def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
+                             use_n_gram):
+  """Per-shard kernel for the data-parallel composition: warm Lipschitz
+  refresh + the full VMEM-resident FISTA solve + the shard's update
+  STATISTICS (C = codes^T codes, B = codes^T X, hessian stat), leaving
+  the psum + dictionary update to a thin XLA epilogue outside the
+  kernel (the update needs the cross-chip reduction, which runs over
+  ICI between kernel launches; see parallel/data_parallel.py
+  build_dp_fused_local_step)."""
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, d_ref, v_ref, x_ref,
+             codes_out, c_out, b_out, stat_out, v_out, eta_out):
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    dictionary = d_ref[:]
+    images = x_ref[:]
+    gram = _dot_t(dictionary, dictionary)
+    power_gram = _tdot(dictionary, dictionary) if use_n_gram else gram
+
+    v = v_ref[:]
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def power_body(_, vec):
+      w = _dot(vec, power_gram)
+      return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, power_iters, power_body, v)
+    v_out[:] = v
+    eigval = jnp.sum(_dot(v, power_gram) * v)
+    eta = 1.0 / eigval
+    eta_out[:] = eta.reshape(1, 1)
+    lam_eta = sw * eta
+
+    corr = _dot_t(images, dictionary)
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return x - jnp.clip(x, -lam_eta, lam_eta)
+
+    neg_eta_gram = -eta * gram
+    corr_eta = eta * corr
+    init = jnp.zeros_like(corr)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      codes = threshold(z + _dot(z, neg_eta_gram) + corr_eta)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    codes_out[:] = codes
+    c_out[:] = _tdot(codes, codes)
+    b_out[:] = _tdot(codes, images)
+    stat_out[:] = jnp.sum(codes * codes, axis=0, keepdims=True)
+
+  return kernel
+
+
+def fused_solve_stats_supported(batch_shard_size, code_size, input_size):
+  """True when the per-shard solve+stats kernel fits one VMEM tile."""
+  s_pad = round_up(code_size, _LANES)
+  n_pad = round_up(input_size, _LANES)
+  b_pad = round_up(batch_shard_size, _SUBLANES)
+  return _vmem_bytes(b_pad, s_pad, n_pad, code_size > input_size,
+                     multi_tile=True) <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("variant", "nonneg", "hard", "power_iters",
+                     "interpret"))
+def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
+                             inf_num_iters, *, variant="fista",
+                             nonneg=False, hard=False, power_iters=2,
+                             interpret=False):
+  """One fused kernel: warm Lipschitz refresh + FISTA solve + gram-form
+  update statistics for this batch (shard).
+
+  Returns (codes (b, s), cmat (s, s), bmat (s, n), stat (s,),
+  new_eigvec, eta).  The full-batch dictionary gradient at any D' is
+  exactly (sum_shards cmat @ D' - sum_shards bmat) / global_b, so a
+  data-parallel caller psums cmat/bmat/stat once per step and runs any
+  number of update iterations locally (identical math to the
+  single-device fused segment kernel's tiled variant)."""
+  b, n = batch.shape
+  s = dictionary.shape[0]
+  use_n_gram = s > n
+  dim = n if use_n_gram else s
+  s_pad = round_up(s, _LANES)
+  n_pad = round_up(n, _LANES)
+  dim_pad = round_up(dim, _LANES)
+  b_pad = round_up(b, _SUBLANES)
+
+  d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
+                 ((0, s_pad - s), (0, n_pad - n)))
+  v_in = jnp.pad(jnp.asarray(eigvec, jnp.float32).reshape(1, dim),
+                 ((0, 0), (0, dim_pad - dim)))
+  x_in = jnp.pad(jnp.asarray(batch, jnp.float32),
+                 ((0, b_pad - b), (0, n_pad - n)))
+  scalars = jnp.asarray(sparsity_weight, jnp.float32).reshape(1)
+  niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_solve_stats_kernel(variant, bool(nonneg), bool(hard),
+                                    int(power_iters), use_n_gram)
+  const = lambda *_: (0, 0)
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(1,),
+          in_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((b_pad, n_pad), const),
+          ],
+          out_specs=[
+              pl.BlockSpec((b_pad, s_pad), const),
+              pl.BlockSpec((s_pad, s_pad), const),
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((1, 1), const),
+          ]),
+      out_shape=[
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((s_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+  )(niter, scalars, d_in, v_in, x_in)
+  codes, cmat, bmat, stat, v_new, eta = out
+  return (codes[:b, :s], cmat[:s, :s], bmat[:s, :n], stat[0, :s],
+          v_new[0, :dim], eta[0, 0])
 
 
 def _group_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad, use_n_gram):
@@ -560,7 +718,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                           "subspace_sc_cheap_quadratic"
                           "_descent"),
                       upd_num_iters=1, hard=False,
-                      renormalize=True, power_iters=2,
+                      renormalize=True, power_iters=12,
                       lowest_code_val=0.001, alignment_penalty=0.0,
                       interpret=False):
   use_reg = float(alignment_penalty) != 0.0
@@ -666,7 +824,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                upd_stepsize, *, variant="fista",
                                update_alg="sc_cheap_quadratic_descent",
                                upd_num_iters=1, nonneg=False, hard=False,
-                               renormalize=True, power_iters=2,
+                               renormalize=True, power_iters=12,
                                lowest_code_val=0.001, interpret=False,
                                batch_tile=None):
   """Run `batches.shape[0]` fused train steps in one kernel launch.
@@ -679,6 +837,11 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     batches: (k, b, n) float32, each row a training batch.
     sparsity_weight, inf_num_iters, upd_stepsize: dynamic scalars
       (inf_num_iters changes never recompile -- scalar prefetch).
+    power_iters: warm Lipschitz refresh iterations per step.  The
+      default 12 is robust to an arbitrary (e.g. random) eigvec seed;
+      callers that seed with lipschitz.top_gram_eigenpair (the trainer,
+      bench.py) pass 2 -- measured identical tracking accuracy from an
+      exact seed (BENCH_NOTES.md UPDATE 5).
 
   Returns:
     (new_dictionary, new_hessian, new_eigvec, last_codes) where
@@ -697,9 +860,6 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     raise ValueError("shapes exceed the fused kernel's VMEM budget; "
                      "use the scan-of-steps path")
   multi_tile = tile < round_up(b, _SUBLANES)
-  if multi_tile and upd_num_iters != 1:
-    raise ValueError("the batch-tiled fused kernel supports "
-                     "upd_num_iters=1 only")
   b_pad = round_up(b, tile) if multi_tile else round_up(b, _SUBLANES)
   uses_hessian = update_alg == "sc_cheap_quadratic_descent"
 
@@ -734,7 +894,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     num_tiles = b_pad // tile
     kernel = _make_tiled_kernel(
         variant, nonneg, hard, uses_hessian, renormalize,
-        int(power_iters), use_n_gram, float(lowest_code_val), num_tiles)
+        int(upd_num_iters), int(power_iters), use_n_gram,
+        float(lowest_code_val), num_tiles)
     const = lambda i, t, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -752,7 +913,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
             pl.BlockSpec((tile, s_pad), lambda i, t, *_: (t, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((s_pad, n_pad), jnp.float32),  # grad accumulator
+            pltpu.VMEM((s_pad, s_pad), jnp.float32),  # C = sum codes^T codes
+            pltpu.VMEM((s_pad, n_pad), jnp.float32),  # B = sum codes^T X
             pltpu.VMEM((1, s_pad), jnp.float32),      # stat accumulator
             pltpu.SMEM((1,), jnp.float32),            # eta for the step
         ])

@@ -210,6 +210,63 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
   return local_step
 
 
+def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
+                              *, nonneg=False, hard_threshold=False,
+                              renormalize=True, upd_num_iters=1,
+                              lowest_code_val=0.001,
+                              axis_names=("data",), interpret=None):
+  """Per-device body composing the fused Pallas solve with DP.
+
+  Each device runs ONE kernel per step -- warm Lipschitz refresh + the
+  whole VMEM-resident FISTA solve + its shard's gram-form update
+  statistics (ops/pallas_train_step.fused_solve_stats_pallas) -- then
+  the only cross-chip traffic is one psum of (C, B, hessian-stat) over
+  ICI and the dictionary update runs replicated from the GLOBAL stats:
+  grad at D' = (sum C @ D' - sum B) / global_b, exactly the
+  single-device update for any number of update iterations.  fc only
+  (the conv/subspace DP paths stay on build_dp_local_step).
+
+  Signature: local_step(dictionary, hessian, eigvec, batch_shard, sw,
+  inf_num_iters, upd_stepsize) -> (dict, hessian, eigvec, codes).
+  The eigvec rides the caller's scan carry (replicated; the power
+  refresh runs on the replicated dictionary so every shard computes
+  the identical stepsize).
+  """
+  from vtc_tpu.ops.pallas_train_step import fused_solve_stats_pallas
+
+  uses_hessian = update_alg == "sc_cheap_quadratic_descent"
+  data_size = int(data_axis_size)
+
+  def local_step(dictionary, hessian, eigvec, batch_shard, sw, n_it,
+                 upd_step):
+    codes, cmat, bmat, stat, eigvec, _ = fused_solve_stats_pallas(
+        dictionary, eigvec, batch_shard, sw, n_it,
+        variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret))
+    global_b = batch_shard.shape[0] * data_size
+    cmat = jax.lax.psum(cmat, axis_names)
+    bmat = jax.lax.psum(bmat, axis_names)
+    with matmul_precision():
+      if uses_hessian:
+        hessian = 0.99 * hessian + (
+            jax.lax.psum(stat, axis_names) / global_b) / 100.0
+
+      def body(_, d):
+        grad = (cmat @ d - bmat) / global_b
+        if uses_hessian:
+          grad = grad / (hessian + lowest_code_val)[:, None]
+        d = d - upd_step * grad
+        if renormalize:
+          d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        return d
+
+      new_dict = jax.lax.fori_loop(0, upd_num_iters, body, dictionary)
+    return new_dict, hessian, eigvec, codes
+
+  return local_step
+
+
 def build_shard_map_train_step(mesh, mode, inference_alg, update_alg,
                                **config):
   """Explicit shard_map data-parallel fused step (see module docstring).

@@ -88,7 +88,10 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
   """Whole segment as ONE Pallas kernel launch (ops/pallas_train_step):
   dictionary/Hessian/eigenvector ride VMEM across all steps, batches
   stream HBM->VMEM with double buffering.  Same float32 semantics as
-  _segment_runner with warm_power + the 'gram' formulation."""
+  _segment_runner with warm_power + the 'gram' formulation.
+  power_iters=2 is safe HERE because the trainer always seeds the
+  eigvec with an exact eigenpair (seed_eigvec) and re-seeds after
+  dictionary jumps; the public kernel default stays at 12."""
   from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
 
   def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
@@ -96,7 +99,7 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         variant=variant, update_alg=update_alg,
         upd_num_iters=upd_niters, nonneg=nonneg, hard=hard,
-        renormalize=renormalize)
+        renormalize=renormalize, power_iters=2)
     return dictionary, hessian, eigvec
 
   return run
@@ -116,11 +119,42 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         group_assignments=group_assignments, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
-        renormalize=renormalize,
+        renormalize=renormalize, power_iters=2,
         alignment_penalty=float(alignment_penalty))
     return dictionary, hessian, eigvec
 
   return run
+
+
+def _dp_fused_segment_runner(local_step, mesh):
+  """Multi-chip segment with the fused Pallas solver: lax.scan of
+  [one solve+stats kernel per shard -> one psum of (C, B, stat) over
+  ICI -> replicated gram-form update] inside one shard_map.  The warm
+  Lipschitz eigenvector rides the scan carry (replicated -- every
+  shard refreshes it identically from the replicated dictionary), so
+  multi-chip DP keeps the same warm-tracking stepsize semantics and
+  per-chip kernel speed as the single-chip fused path."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.parallel.mesh import dp_axes
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    def body(carry, batch_shard):
+      d, h, v = carry
+      d, h, v, _ = local_step(d, h, v, batch_shard, sw, n_it, upd_step)
+      return (d, h, v), ()
+
+    (dictionary, hessian, eigvec), _ = jax.lax.scan(
+        body, (dictionary, hessian, eigvec), batches)
+    return dictionary, hessian, eigvec
+
+  rep = P()
+  axes = dp_axes(mesh)
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(rep, rep, rep, P(None, axes, None), rep, rep, rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
 
 
 def _dp_segment_runner(local_step, mesh, conv_mode):
@@ -166,6 +200,15 @@ def train_dictionary_scanned(training_batches, validation_batches,
   False) the samples are re-permuted ON DEVICE at every epoch boundary
   (one gather per epoch; the torch-DataLoader semantics reference users
   expect).  all_params['shuffle_seed'] controls the permutation stream.
+
+  Datasets larger than device memory: pass a HOST (numpy) array plus
+  all_params['hbm_chunk_steps'] = C.  Segments then stream to the
+  device in C-step chunks with one-chunk-ahead asynchronous
+  device_put double buffering (device footprint ~2 chunks; the
+  transfer of chunk i+1 hides behind chunk i's compute).  The
+  trajectory is IDENTICAL to the resident path -- including the
+  per-epoch shuffle, which uses the same jax.random permutation
+  applied host-side (tests/test_compiled_epoch.py).
   """
   assert 0 in all_params["inference_param_schedule"]
   assert 0 in all_params["dict_update_param_schedule"]
@@ -192,8 +235,22 @@ def train_dictionary_scanned(training_batches, validation_batches,
     from torch.utils.tensorboard import SummaryWriter
     tb_writer = SummaryWriter(str(logging_path))
 
-  training_batches = sc.as_device_array(training_batches)
+  # HBM streaming: with all_params['hbm_chunk_steps'] = C and a HOST
+  # (numpy) training array, the epoch is NOT made device-resident up
+  # front -- segments are fed to the compiled runners in C-step chunks
+  # with one-chunk-ahead async device_put double buffering, capping
+  # device memory at ~2 chunks while the transfer of chunk i+1 hides
+  # behind the compute of chunk i.  For datasets larger than HBM this
+  # is the production path (the reference's DataLoader mode streams
+  # per batch, training/sparse_coding.py:511-512).
+  stream_steps = all_params.get("hbm_chunk_steps")
+  if stream_steps is not None:
+    stream_steps = int(stream_steps)
+    training_batches = np.asarray(training_batches)
+  else:
+    training_batches = sc.as_device_array(training_batches)
   k = training_batches.shape[0]
+  b_per = training_batches.shape[1]
   total_iters = num_epochs * k
   shuffle_each_epoch = bool(all_params.get("shuffle_each_epoch", False))
   shuffle_key = jax.random.PRNGKey(
@@ -219,16 +276,39 @@ def train_dictionary_scanned(training_batches, validation_batches,
   # one shard_map (stepsize then comes from the in-step cold solve)
   data_parallel = all_params.get("data_parallel", False)
   dp_mesh = None
-  if data_parallel:
-    from vtc_tpu import parallel as vtc_parallel
-    dp_mesh = (data_parallel if hasattr(data_parallel, "shape")
-               else vtc_parallel.make_mesh())
-    if lipschitz_method == "power_warm":
-      lipschitz_method = "power"
-  warm_power = lipschitz_method == "power_warm"
+  dp_fused = False
   resolved_formulation = all_params.get(
       "fc_formulation",
       "pallas" if jax.default_backend() == "tpu" else "gram")
+  if data_parallel:
+    from vtc_tpu import parallel as vtc_parallel
+    from vtc_tpu.parallel.mesh import dp_axes
+    dp_mesh = (data_parallel if hasattr(data_parallel, "shape")
+               else vtc_parallel.make_mesh())
+    dp_size = 1
+    for a in dp_axes(dp_mesh):
+      dp_size *= dp_mesh.shape[a]
+    # fused-DP composition: each shard runs the whole-solve Pallas
+    # kernel, psums gram-form stats once per step, and updates
+    # replicated -- keeping warm Lipschitz tracking across the mesh
+    # (see parallel.build_dp_fused_local_step)
+    from vtc_tpu.ops.pallas_train_step import fused_solve_stats_supported
+    global_b = training_batches.shape[1]
+    dp_fused = (
+        lipschitz_method == "power_warm"
+        and resolved_formulation == "pallas"
+        and mode == "fully-connected"
+        and group_assignments is None
+        and inference_alg in ("ista", "fista")
+        and update_alg in ("sc_steepest_descent",
+                           "sc_cheap_quadratic_descent")
+        and global_b % dp_size == 0
+        and fused_solve_stats_supported(
+            global_b // dp_size, init_dictionary.shape[0],
+            training_batches.shape[-1]))
+    if not dp_fused and lipschitz_method == "power_warm":
+      lipschitz_method = "power"
+  warm_power = lipschitz_method == "power_warm"
 
   def fused_eligible(upd_niters_):
     """Whole-segment Pallas kernel: TPU + warm tracking + fc + a config
@@ -383,12 +463,35 @@ def train_dictionary_scanned(training_batches, validation_batches,
     del d, h
     return codes
 
+  # one-slot prefetch buffer for the streaming mode: holds the NEXT
+  # chunk's device array, device_put'ed right after the previous
+  # runner's (asynchronous) dispatch so the host->HBM transfer hides
+  # behind on-device compute
+  prefetched = {}
+
+  def _stage(pos_, chunk_):
+    if stream_steps is None:
+      return training_batches[pos_:pos_ + chunk_]
+    buf = prefetched.pop((pos_, chunk_), None)
+    if buf is None:
+      buf = jax.device_put(training_batches[pos_:pos_ + chunk_])
+    return buf
+
   for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
     handle_events(seg_start)
     if shuffle_each_epoch and seg_start % k == 0 and seg_start < (
         total_iters):
       shuffle_key, sub = jax.random.split(shuffle_key)
-      training_batches = _reshuffle(training_batches, sub)
+      if stream_steps is not None:
+        # host-side sample-level permutation (the device shuffle would
+        # require the epoch resident in HBM, defeating the streaming)
+        perm = np.asarray(jax.random.permutation(sub, k * b_per))
+        flat = training_batches.reshape((k * b_per,)
+                                        + training_batches.shape[2:])
+        training_batches = flat[perm].reshape(training_batches.shape)
+        prefetched.clear()
+      else:
+        training_batches = _reshuffle(training_batches, sub)
     if seg_end == seg_start:
       continue
     epoch = seg_start // k
@@ -413,12 +516,34 @@ def train_dictionary_scanned(training_batches, validation_batches,
         chunk = hi - pos
       else:
         chunk = 1 << ((hi - pos).bit_length() - 1)
+      if stream_steps is not None:
+        chunk = min(chunk, stream_steps)
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          runners[key] = _dp_segment_runner(
-              make_dp_local(upd_niters), dp_mesh,
-              mode == "convolutional")
+          if dp_fused:
+            from vtc_tpu.parallel.data_parallel import (
+                build_dp_fused_local_step)
+            from vtc_tpu.parallel.mesh import dp_axes
+            axes = dp_axes(dp_mesh)
+            size = 1
+            for a in axes:
+              size *= dp_mesh.shape[a]
+            runners[key] = _dp_fused_segment_runner(
+                build_dp_fused_local_step(
+                    size, inference_alg, update_alg,
+                    nonneg=bool(all_params.get("nonnegative_only",
+                                               False)),
+                    hard_threshold=bool(all_params.get("hard_threshold",
+                                                       False)),
+                    renormalize=bool(all_params.get(
+                        "renormalize_dictionary", True)),
+                    upd_num_iters=upd_niters, axis_names=axes),
+                dp_mesh)
+          else:
+            runners[key] = _dp_segment_runner(
+                make_dp_local(upd_niters), dp_mesh,
+                mode == "convolutional")
         elif use_fused:
           if group_assignments is not None:
             runners[key] = _fused_group_segment_runner(
@@ -437,11 +562,19 @@ def train_dictionary_scanned(training_batches, validation_batches,
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
+      staged = _stage(pos, chunk)
       dictionary, hessian, eigvec = runners[key](
-          dictionary, hessian, eigvec,
-          training_batches[pos:pos + chunk],
+          dictionary, hessian, eigvec, staged,
           jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
+      del staged
       pos += chunk
+      if stream_steps is not None and pos < hi:
+        # the runner call above is asynchronous: issue the next chunk's
+        # host->device transfer now so it overlaps the compute
+        nxt = min((hi - pos) if use_fused
+                  else 1 << ((hi - pos).bit_length() - 1), stream_steps)
+        prefetched[(pos, nxt)] = jax.device_put(
+            training_batches[pos:pos + nxt])
   handle_events(total_iters)  # trailing checkpoint/vis events
   if tb_writer is not None:
     tb_writer.flush()

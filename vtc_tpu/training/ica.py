@@ -127,14 +127,15 @@ def _segment_runner_tracked(upd_num_iters, refine_iters=5):
   per-batch LU solve (latency-bound on TPU) becomes five MXU matmul
   refinements of the carried D^{-1} estimate plus one codes matmul.
   Exact-parity grade: the natural gradient moves D by O(stepsize) per
-  batch, so the refreshed inverse holds fp-level residual (see
-  invertible_linear.newton_refine_inverse)."""
+  batch, so the refreshed inverse holds fp-level residual; a per-step
+  residual guard falls back to the exact LU inverse if refinement ever
+  diverges (see invertible_linear.refine_inverse_guarded)."""
   from vtc_tpu.ops.precision import matmul_precision
 
   def run(dictionary, dinv, batches, stepsize):
     def body(carry, batch):
       d, x = carry
-      x = invertible_linear.newton_refine_inverse(d, x, refine_iters)
+      x = invertible_linear.refine_inverse_guarded(d, x, refine_iters)
       with matmul_precision():
         codes = batch @ x
       d = ica_natural_gradient._update(d, codes, stepsize, upd_num_iters)
@@ -188,8 +189,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   # refresh with 5 Newton-Schulz matmul iterations per batch instead
   # of a per-batch LU solve (residual r -> r^32: fp-level even when an
   # aggressive schedule moves the dictionary tens of percent per batch;
-  # ten (n, n) matmuls still cost ~2 us vs ~100+ us for the LU).  all_params['warm_inverse']=False restores
-  # the literal per-batch solve.
+  # ten (n, n) matmuls still cost ~2 us vs ~100+ us for the LU).  A
+  # per-step residual check falls back to the exact LU inverse should
+  # refinement ever diverge (||I - D X|| >= 1 regime), so a bad
+  # inverse can never propagate.  all_params['warm_inverse']=False
+  # restores the literal per-batch solve.
   warm_inverse = bool(all_params.get("warm_inverse", True))
   dinv = (invertible_linear.exact_inverse(dictionary)
           if warm_inverse else None)
