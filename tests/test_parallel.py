@@ -81,7 +81,7 @@ def test_dp_fused_segment_matches_single_chip_fused(rng, update_alg):
   mesh = parallel.make_mesh(data=8)
   runner = _dp_fused_segment_runner(
       build_dp_fused_local_step(8, "fista", update_alg,
-                                upd_num_iters=2), mesh)
+                                upd_num_iters=2, power_iters=2), mesh)
   got = runner(jnp.asarray(d0), jnp.asarray(hess0), v0,
                jnp.asarray(batches), jnp.float32(0.05), jnp.int32(10),
                jnp.float32(0.1))

@@ -115,10 +115,22 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
     stepsize = lipschitz_ops.fista_stepsize(flat_kernels, lipschitz_method)
   if formulation == "pallas":
     if early_stopping_epsilon is None:
-      from vtc_tpu.ops.pallas_conv_fista import conv_fista_solve_pallas
       padding_static = (None if padding_dims is None else
                         tuple(tuple(int(x) for x in p)
                               for p in padding_dims))
+      from vtc_tpu.ops import pallas_conv_direct
+      if pallas_conv_direct.supported(images_padded.shape,
+                                      dictionary.shape, kernel_stride):
+        # block-matmul direct kernel: deep-contraction matmuls, no
+        # border corrections (fastest; needs kernel % stride == 0)
+        return pallas_conv_direct.conv_direct_solve_pallas(
+            images_padded, dictionary, sparsity_weight, num_iters,
+            stepsize, kernel_stride=kernel_stride,
+            padding=padding_static, initial_codes=initial_codes,
+            variant=variant, nonneg=bool(nonnegative_only),
+            hard=bool(hard_threshold),
+            interpret=jax.default_backend() != "tpu")
+      from vtc_tpu.ops.pallas_conv_fista import conv_fista_solve_pallas
       return conv_fista_solve_pallas(
           images_padded, dictionary, sparsity_weight, num_iters, stepsize,
           kernel_stride=kernel_stride, padding=padding_static,

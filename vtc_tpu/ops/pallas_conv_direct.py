@@ -1,0 +1,289 @@
+"""Fused direct-formulation Pallas kernel for the conv ISTA/FISTA solver.
+
+The conv iteration is grad(z) = A(mask * S(z)) - A(mask * X) (reference
+convolutional/ista_fista.py:152-195, with the padding mask folded in).
+When the kernel dims are MULTIPLES of the strides (the reference's own
+configuration: 16x16 kernels, stride 8), synthesis and analysis become
+BLOCK matmuls with a deep contraction and no border special-casing:
+
+  * the padded image splits into non-overlapping stride-sized blocks
+    (sv x sh pixels); a kh x kw kernel covers R = (kh/sv)*(kw/sh)
+    whole blocks, so
+
+      S(z)[block B] = sum_a Dpart[a]^T z[B - a]        (a in R offsets)
+      A(y)[code c]  = sum_a Dpart[a]   y[c + a]
+
+    with Dpart[a] the (s, c*sv*sh) kernel sub-block -- ONE
+    (c*sv*sh, R*s) and ONE (s, R*c*sv*sh) matmul per iteration whose
+    contraction depth R*64 >> s runs the MXU far better than the
+    9-offset (s, s) channel-mix gram operator (measured 44% vs 21% of
+    the f32-parity roofline at the reference geometry).
+  * the padding mask is applied ELEMENTWISE in image-block space --
+    no inclusion-exclusion border corrections at all (the gram
+    kernel's main complexity and cost, ops/pallas_conv_fista.py).
+
+Canvas layout (per sample, channels-in-sublanes): the block grid
+(Bh x Bw) plus (Ay-1, Ax-1) spare zero rows/cols flattens to ell
+lanes; the offset reads z[B - a] / y[c + a] are LANE ROTATES
+(pltpu.roll) of the whole tile -- outputs land at lane offset 0, so
+unlike shifted-slice matmul operands they trigger no Mosaic relayout
+on the matmul path.  Wrapped lanes land only in spare/halo positions,
+which the code/image masks zero every iteration.  The R rotated
+copies are stored into one VMEM scratch stack whose sublane offsets
+are aligned 64-multiples, then contracted in a single deep matmul.
+
+All state (z, momentum, correlation, masks, the stack) stays
+VMEM-resident across every iteration; grid is 1-d over batch tiles.
+``num_iters`` is a scalar-prefetch arg (schedule changes never
+recompile); matmuls run at HIGHEST precision (parity grade).
+
+Reference semantics mirrored: convolutional/ista_fista.py:100-195
+(zero/warm init, soft/nonneg/hard thresholds, FISTA momentum).  Early
+stopping and non-divisible geometry use the XLA / gram-kernel paths.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
+from vtc_tpu.ops.precision import matmul_precision
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _geometry(img_shape, dict_shape, kernel_stride):
+  b, c, hh, ww = img_shape
+  s, _, kh, kw = dict_shape
+  sv, sh_ = kernel_stride
+  ay, ax = kh // sv, kw // sh_
+  bh, bw = hh // sv, ww // sh_
+  code_h, code_w = bh - (ay - 1), bw - (ax - 1)
+  rc, wc = bh + (ay - 1), bw + (ax - 1)
+  ell = rc * wc
+  ells = round_up(ell, _LANES)
+  px = sv * sh_
+  rolls = tuple(a_y * wc + a_x for a_y in range(ay) for a_x in range(ax))
+  return dict(s=s, c=c, px=px, cpx=c * px, r=ay * ax, ay=ay, ax=ax,
+              sv=sv, sh=sh_, bh=bh, bw=bw, code_h=code_h, code_w=code_w,
+              rc=rc, wc=wc, ell=ell, ells=ells, rolls=rolls)
+
+
+def supported(img_shape, dict_shape, kernel_stride):
+  """True when the block-matmul geometry applies: kernel dims divide by
+  the strides, padded image dims divide by the strides, and the
+  per-part weight matrices stay MXU-sized."""
+  _, c, hh, ww = img_shape
+  s, _, kh, kw = dict_shape
+  sv, sh_ = kernel_stride
+  if kh % sv or kw % sh_ or hh % sv or ww % sh_:
+    return False
+  if c * sv * sh_ > 512 or s > 512:
+    return False
+  geo = _geometry(img_shape, dict_shape, kernel_stride)
+  return geo["code_h"] >= 1 and geo["code_w"] >= 1
+
+
+def _pick_batch_tile(b, geo):
+  """Largest tile whose VMEM working set fits (prefer divisors of b so
+  no padded samples are computed)."""
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rows = 5 * s + 2 * cpx + r * max(s, cpx)
+
+  def fits(t):
+    return 4 * rows * t * geo["ells"] <= int(_VMEM_LIMIT * 0.6)
+
+  best_div, best_any = None, None
+  for t in range(1, min(b, 32) + 1):
+    if fits(t):
+      best_any = t
+      if b % t == 0:
+        best_div = t
+  if best_div is not None and best_div >= max(1, (best_any or 1) // 2):
+    return best_div
+  return best_any
+
+
+def _pack_weights(dictionary, geo):
+  """(dstk, dall): synthesis (cpx, R*s) and analysis (s, R*cpx)."""
+  s, c = geo["s"], geo["c"]
+  sv, sh_ = geo["sv"], geo["sh"]
+  ay, ax = geo["ay"], geo["ax"]
+  # parts[a, ch, c, py, px] = D[ch, c, a_y*sv+py, a_x*sh+px]
+  d = dictionary.reshape(s, c, ay, sv, ax, sh_)
+  parts = d.transpose(2, 4, 0, 1, 3, 5).reshape(ay * ax, s, c * sv * sh_)
+  dstk = parts.transpose(2, 0, 1).reshape(geo["cpx"], geo["r"] * s)
+  dall = parts.transpose(1, 0, 2).reshape(s, geo["r"] * geo["cpx"])
+  return dstk, dall
+
+
+def _to_canvas(x, rows, geo, b_pad):
+  """(b, rows, gh, gw) -> (rows, b_pad*ells) canvas with spare zeros."""
+  b = x.shape[0]
+  gh, gw = x.shape[2], x.shape[3]
+  x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, geo["rc"] - gh),
+                  (0, geo["wc"] - gw)))
+  x = x.reshape(b_pad, rows, geo["ell"])
+  x = jnp.pad(x, ((0, 0), (0, 0), (0, geo["ells"] - geo["ell"])))
+  return x.transpose(1, 0, 2).reshape(rows, b_pad * geo["ells"])
+
+
+def _blockify(img, geo):
+  """(b, c, H, W) -> (b, cpx, Bh, Bw) stride-blocks with the pixel
+  index (c, py, px) in the row dim."""
+  b = img.shape[0]
+  x = img.reshape(b, geo["c"], geo["bh"], geo["sv"], geo["bw"],
+                  geo["sh"])
+  return x.transpose(0, 1, 3, 5, 2, 4).reshape(
+      b, geo["cpx"], geo["bh"], geo["bw"])
+
+
+def _make_kernel(variant, nonneg, hard, geo, batch_tile):
+  use_fista = variant == "fista"
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rolls = geo["rolls"]
+  ells = geo["ells"]
+  tl = batch_tile * ells
+
+  def dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_HIGHEST)
+
+  def kernel(niter_ref, scalars_ref, dstk_ref, dall_ref, mblk_ref,
+             zmask_ref, corr_ref, init_ref, out_ref, stack):
+    num_iters = niter_ref[0]
+    eta = scalars_ref[0]
+    lam_eta = scalars_ref[1]
+    dstk = dstk_ref[:]
+    dall = dall_ref[:]
+    corr = corr_ref[:]
+    # per-sample masks tiled across the batch tile (aligned concat)
+    mblk = jnp.concatenate([mblk_ref[:]] * batch_tile, axis=1)
+    zmask = jnp.concatenate([zmask_ref[:]] * batch_tile, axis=1)
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return x - jnp.clip(x, -lam_eta, lam_eta)
+
+    def body(_, carry):
+      z, old, t_k = carry
+      for i, roll in enumerate(rolls):
+        stack[i * s:(i + 1) * s, :] = pltpu.roll(z, roll % tl, 1)
+      img = dot(dstk, stack[0:r * s, :]) * mblk
+      for i, roll in enumerate(rolls):
+        stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
+            img, (-roll) % tl, 1)
+      grad = dot(dall, stack[0:r * cpx, :]) - corr
+      codes = zmask * threshold(z - eta * grad)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    init = init_ref[:]
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, body, (init, init, jnp.float32(1.0)))
+    out_ref[:] = codes
+
+  return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_stride", "padding", "variant", "nonneg",
+                     "hard", "batch_tile", "interpret"))
+def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
+                             num_iters, stepsize, *, kernel_stride,
+                             padding, initial_codes=None,
+                             variant="fista", nonneg=False, hard=False,
+                             batch_tile=None, interpret=False):
+  """Conv LASSO codes via the fused direct-formulation kernel.
+
+  Same contract as ops/pallas_conv_fista.conv_fista_solve_pallas; the
+  caller must check ``supported()`` first (geometry gate).
+  """
+  from vtc_tpu.ops import conv_shapes
+  from vtc_tpu.ops import convolutions as conv_ops
+
+  b = images_padded.shape[0]
+  geo = _geometry(images_padded.shape, dictionary.shape, kernel_stride)
+  s, cpx = geo["s"], geo["cpx"]
+  if batch_tile is None:
+    batch_tile = _pick_batch_tile(b, geo)
+  batch_tile = min(batch_tile, b)
+  b_pad = -(-b // batch_tile) * batch_tile
+  tl = batch_tile * geo["ells"]
+
+  with matmul_precision():
+    mask_img = conv_shapes.create_mask(images_padded.shape, padding,
+                                       images_padded.dtype)
+    corr_sp = conv_ops.analyze(mask_img * images_padded, dictionary,
+                               kernel_stride)          # (b, s, ch, cw)
+    dstk, dall = _pack_weights(dictionary, geo)
+
+  corr_cv = _to_canvas(corr_sp, s, geo, b_pad)
+  if initial_codes is None:
+    init_cv = jnp.zeros((s, b_pad * geo["ells"]), jnp.float32)
+  else:
+    init_cv = _to_canvas(jnp.asarray(initial_codes, jnp.float32), s,
+                         geo, b_pad)
+  # per-sample masks: image blocks + code-interior (create_mask may
+  # return a single broadcastable channel; expand to c)
+  mask_full = jnp.broadcast_to(
+      mask_img[:1], (1, geo["c"]) + tuple(images_padded.shape[2:]))
+  mblk_cv = _to_canvas(_blockify(mask_full, geo), cpx, geo, 1)
+  zmask_np = np.zeros((1, geo["rc"], geo["wc"]), np.float32)
+  zmask_np[0, :geo["code_h"], :geo["code_w"]] = 1.0
+  zmask_cv = _to_canvas(jnp.asarray(zmask_np)[None], 1, geo, 1)
+
+  eta = jnp.asarray(stepsize, jnp.float32)
+  scalars = jnp.stack(
+      [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta])
+  niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_kernel(variant, bool(nonneg), bool(hard), geo,
+                        batch_tile)
+  grid = (b_pad // batch_tile,)
+  bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0))
+  tile_spec = lambda rows: pl.BlockSpec((rows, tl), lambda i, *_: (0, i))
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=grid,
+          in_specs=[
+              bcast(dstk.shape),
+              bcast(dall.shape),
+              bcast((cpx, geo["ells"])),
+              bcast((1, geo["ells"])),
+              tile_spec(s),
+              tile_spec(s),
+          ],
+          out_specs=tile_spec(s),
+          scratch_shapes=[pltpu.VMEM(
+              (geo["r"] * max(s, cpx), tl), jnp.float32)]),
+      out_shape=jax.ShapeDtypeStruct((s, b_pad * geo["ells"]),
+                                     jnp.float32),
+      interpret=interpret,
+      compiler_params=(None if interpret else pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT)),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * 2 * s * geo["r"] * cpx * b_pad * geo["ell"] * 50,
+          bytes_accessed=4 * (3 * s * b_pad * geo["ell"]),
+          transcendentals=0),
+  )(niter, scalars, jnp.asarray(dstk), jnp.asarray(dall), mblk_cv,
+    zmask_cv, corr_cv, init_cv)
+
+  canv = out.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
+      s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
+  return canv[:b, :, :geo["code_h"], :geo["code_w"]]

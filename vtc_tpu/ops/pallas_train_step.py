@@ -554,7 +554,7 @@ def fused_solve_stats_supported(batch_shard_size, code_size, input_size):
                      "interpret"))
 def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                              inf_num_iters, *, variant="fista",
-                             nonneg=False, hard=False, power_iters=2,
+                             nonneg=False, hard=False, power_iters=12,
                              interpret=False):
   """One fused kernel: warm Lipschitz refresh + FISTA solve + gram-form
   update statistics for this batch (shard).

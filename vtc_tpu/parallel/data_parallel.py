@@ -213,7 +213,7 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
 def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
                               *, nonneg=False, hard_threshold=False,
                               renormalize=True, upd_num_iters=1,
-                              lowest_code_val=0.001,
+                              lowest_code_val=0.001, power_iters=12,
                               axis_names=("data",), interpret=None):
   """Per-device body composing the fused Pallas solve with DP.
 
@@ -242,6 +242,7 @@ def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
     codes, cmat, bmat, stat, eigvec, _ = fused_solve_stats_pallas(
         dictionary, eigvec, batch_shard, sw, n_it,
         variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
+        power_iters=power_iters,
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret))
     global_b = batch_shard.shape[0] * data_size

@@ -369,6 +369,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
             all_params.get("subspace_alignment_penalty", 0.0)),
         renormalize=bool(all_params.get("renormalize_dictionary", True)),
         fc_formulation=resolved_formulation,
+        conv_formulation=all_params.get("conv_formulation", "auto"),
         lipschitz_method=("power" if warm_power else lipschitz_method),
         compute_stepsize_in_step=not warm_power)
 
@@ -538,7 +539,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
                                                        False)),
                     renormalize=bool(all_params.get(
                         "renormalize_dictionary", True)),
-                    upd_num_iters=upd_niters, axis_names=axes),
+                    upd_num_iters=upd_niters, axis_names=axes,
+                    # 2 refresh iters is exact-seed-safe: this trainer
+                    # always seeds via seed_eigvec and re-seeds after
+                    # dictionary jumps (see _fused_segment_runner)
+                    power_iters=2),
                 dp_mesh)
           else:
             runners[key] = _dp_segment_runner(

@@ -115,7 +115,8 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
                       hard_threshold=False, kernel_stride=None,
                       padding=None, group_assignments=None,
                       alignment_penalty=0.0, renormalize=True,
-                      fc_formulation="gram", lipschitz_method="eigvalsh",
+                      fc_formulation="gram", conv_formulation="auto",
+                      lipschitz_method="eigvalsh",
                       compute_stepsize_in_step=True,
                       lowest_code_val=0.001):
   """Build the raw (unjitted) fused step for a static algorithm config.
@@ -127,7 +128,11 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
 
   ``inf_stepsize`` is ignored when compute_stepsize_in_step (the 1/L is
   computed from the current dictionary inside the program); otherwise it
-  must hold a precomputed 1/L.  Used directly by jit (build_train_step),
+  must hold a precomputed 1/L.  ``conv_formulation``: 'auto' (default:
+  the fused direct-formulation Pallas kernel on TPU when the geometry
+  supports it -- ops/pallas_conv_direct.py -- else the XLA code-space
+  gram operator), 'pallas' (force the kernel, interpret off-TPU), or
+  'gram' (force the XLA path).  Used directly by jit (build_train_step),
   by sharded pjit variants (vtc_tpu.parallel), and inside lax.scan epoch
   programs (vtc_tpu.training.compiled_epoch / bench.py).
   """
@@ -180,13 +185,27 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
     if compute_stepsize_in_step:
       stepsize = lipschitz_ops.fista_stepsize(
           dictionary.reshape(dictionary.shape[0], -1), lipschitz_method)
+    pad_static = (None if padding is None else
+                  tuple(tuple(int(x) for x in p) for p in padding))
+    if conv_formulation in ("auto", "pallas"):
+      # block-matmul direct kernel (deep-contraction matmuls, mask
+      # applied elementwise -- 2.7x the gram solve at the reference
+      # config); geometry-gated, TPU only under 'auto'
+      from vtc_tpu.ops import pallas_conv_direct
+      if pallas_conv_direct.supported(
+          batch.shape, dictionary.shape, tuple(kernel_stride)) and (
+              conv_formulation == "pallas"
+              or jax.default_backend() == "tpu"):
+        return pallas_conv_direct.conv_direct_solve_pallas(
+            batch, dictionary, sparsity_weight, num_iters, stepsize,
+            kernel_stride=tuple(kernel_stride), padding=pad_static,
+            variant=variant, nonneg=nonneg, hard=hard_threshold,
+            interpret=jax.default_backend() != "tpu")
     sh, sw = conv_ista_fista.code_spatial_dims(
         batch.shape, dictionary.shape, kernel_stride)
     init = jnp.zeros((batch.shape[0], dictionary.shape[0], sh, sw),
                      batch.dtype)
     mask = conv_shapes.create_mask(batch.shape, padding, batch.dtype)
-    pad_static = (None if padding is None else
-                  tuple(tuple(int(x) for x in p) for p in padding))
     return conv_ista_fista._solve(
         batch, dictionary, mask, sparsity_weight, num_iters, stepsize,
         init, tuple(kernel_stride), variant, nonneg, hard_threshold, None,
@@ -457,6 +476,7 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
           padding=padding, group_assignments=group_assignments,
           alignment_penalty=alignment_penalty, renormalize=renormalize,
           fc_formulation=fc_formulation,
+          conv_formulation=all_params.get("conv_formulation", "auto"),
           lipschitz_method=lipschitz_method,
           compute_stepsize_in_step=in_step_stepsize)
 
