@@ -83,3 +83,54 @@ def test_supported_gate():
       (2, 1, 13, 13), (6, 1, 4, 4), (2, 2))
   assert pallas_conv_direct.supported(
       (2, 1, 272, 272), (64, 1, 16, 16), (8, 8))
+
+@pytest.mark.parametrize("b,s,c,kdim,stride,img", [
+    (3, 6, 1, 4, 2, 12),
+    (2, 8, 2, 6, 3, 12),
+    (2, 6, 1, 4, 4, 12),     # R = 1, no overlap
+    (5, 64, 1, 16, 8, 48),   # reference config shape family
+])
+def test_block_dict_gradient_matches_autodiff(rng, b, s, c, kdim,
+                                              stride, img):
+  """The stride-block-space dictionary gradient (two deep matmuls
+  against the rolled code stack) == autodiff through the image-space
+  synthesis (ops/convolutions.dictionary_gradient)."""
+  from vtc_tpu.ops import convolutions as conv_ops
+  x, d, padding, _ = _setup(rng, b, s, c, kdim, stride, img)
+  ch = conv_shapes.code_dim_from_padded_img_dim(x.shape[2], kdim, stride)
+  cw = conv_shapes.code_dim_from_padded_img_dim(x.shape[3], kdim, stride)
+  codes = (rng.randn(b, s, ch, cw) *
+           (rng.rand(b, s, ch, cw) > 0.7)).astype(np.float32)
+  mask = conv_shapes.create_mask(x.shape, padding, jnp.float32)
+  want = np.asarray(conv_ops.dictionary_gradient(
+      jnp.asarray(x), jnp.asarray(codes), jnp.asarray(d),
+      (stride, stride), mask))
+  stats = pallas_conv_direct.build_block_update_stats(
+      jnp.asarray(x), jnp.asarray(codes), d.shape, (stride, stride),
+      padding)
+  got = np.asarray(pallas_conv_direct.dictionary_gradient_from_block_stats(
+      stats, jnp.asarray(d)))
+  np.testing.assert_allclose(got, want, atol=1e-4 * max(
+      1.0, float(np.abs(want).max())))
+
+
+@pytest.mark.parametrize("update_alg", ["sc_steepest_descent",
+                                        "sc_cheap_quadratic_descent"])
+def test_block_update_formulation_matches_gram(rng, update_alg):
+  """conv update rules: 'block' formulation == 'gram' over several
+  multi-iteration update steps."""
+  from vtc_tpu.dict_update_rules.convolutional import (
+      sc_cheap_quadratic_descent as cqd, sc_steepest_descent as sd)
+  x, d, padding, step = _setup(rng, 3, 8, 1, 4, 2, 12)
+  ch = conv_shapes.code_dim_from_padded_img_dim(x.shape[2], 4, 2)
+  codes = (rng.randn(3, 8, ch, ch) *
+           (rng.rand(3, 8, ch, ch) > 0.7)).astype(np.float32)
+  if update_alg == "sc_steepest_descent":
+    run = lambda f: sd.run(x, d, codes, (2, 2), padding, stepsize=0.05,
+                           num_iters=3, formulation=f)
+  else:
+    h = np.full((8,), 0.02, np.float32)
+    run = lambda f: cqd.run(x, d, codes, h, (2, 2), padding,
+                            stepsize=0.05, num_iters=3, formulation=f)
+  np.testing.assert_allclose(np.asarray(run("block")),
+                             np.asarray(run("gram")), atol=1e-5)

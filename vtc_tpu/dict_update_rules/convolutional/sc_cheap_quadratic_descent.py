@@ -26,7 +26,15 @@ def _update(images_padded, dictionary, codes, hessian_diagonal, mask,
             normalize_dictionary, padding=None, formulation="direct"):
   scale = (hessian_diagonal + lowest_code_val)[:, None, None, None]
 
-  if formulation == "gram":
+  if formulation == "block":
+    # stride-block-space gradient (ops/pallas_conv_direct.py): rolled
+    # code stack built once; two deep MXU matmuls per iteration
+    from vtc_tpu.ops import pallas_conv_direct
+    stats = pallas_conv_direct.build_block_update_stats(
+        images_padded, codes, dictionary.shape, kernel_stride, padding)
+    grad_fn = lambda d: (
+        pallas_conv_direct.dictionary_gradient_from_block_stats(stats, d))
+  elif formulation == "gram":
     # code-space gradient (ops/conv_dict_gram.py): D-independent stats
     # computed once, cheap per-iteration recombination
     from vtc_tpu.ops import conv_dict_gram
@@ -58,18 +66,25 @@ def run(images_padded, dictionary, codes, hessian_diagonal, kernel_stride,
         normalize_dictionary=True, formulation="auto"):
   """Cheap-quadratic descent steps on the convolutional dictionary.
 
-  formulation: 'gram' (code-space gradient) | 'direct' | 'auto'.
+  formulation: 'block' (stride-block-space gradient, fastest, needs
+  kernel % stride == 0) | 'gram' (code-space gradient) | 'direct' |
+  'auto' (block > gram > direct by geometry).
 
   Returns:
     (s, c, kh, kw) updated dictionary.
   """
   from vtc_tpu.ops import conv_dict_gram
+  from vtc_tpu.ops import pallas_conv_direct
   images_padded = jnp.asarray(images_padded, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   kernel_stride = tuple(int(x) for x in kernel_stride)
   if formulation == "auto":
-    formulation = ("gram" if conv_dict_gram.supported(
-        dictionary.shape, kernel_stride) else "direct")
+    if pallas_conv_direct.supported(images_padded.shape,
+                                    dictionary.shape, kernel_stride):
+      formulation = "block"
+    else:
+      formulation = ("gram" if conv_dict_gram.supported(
+          dictionary.shape, kernel_stride) else "direct")
   padding_static = (None if padding_dims is None else
                     tuple(tuple(int(x) for x in p) for p in padding_dims))
   mask = conv_shapes.create_mask(

@@ -30,7 +30,16 @@ def _renormalize_kernels(dictionary):
 def _update(images_padded, dictionary, codes, mask, kernel_stride, stepsize,
             num_iters, normalize_dictionary, padding=None,
             formulation="direct"):
-  if formulation == "gram":
+  if formulation == "block":
+    # stride-block-space gradient (ops/pallas_conv_direct.py): the
+    # D-independent rolled code stack is built ONCE; each iteration is
+    # two deep-contraction MXU matmuls (fastest; kernel % stride == 0)
+    from vtc_tpu.ops import pallas_conv_direct
+    stats = pallas_conv_direct.build_block_update_stats(
+        images_padded, codes, dictionary.shape, kernel_stride, padding)
+    grad_fn = lambda d: (
+        pallas_conv_direct.dictionary_gradient_from_block_stats(stats, d))
+  elif formulation == "gram":
     # code-space gradient (ops/conv_dict_gram.py): the D-independent
     # autocorrelations + image term are computed ONCE; each iteration is
     # a cheap recombination with the current dictionary
@@ -68,20 +77,27 @@ def run(images_padded, dictionary, codes, kernel_stride, padding_dims,
     codes: (b, s, sh, sw).
     kernel_stride: (stride_v, stride_h).
     padding_dims: ((lead_v, trail_v), (lead_h, trail_h)) or None.
-    formulation: 'gram' (code-space gradient, ops/conv_dict_gram.py),
-      'direct' (image-space autodiff), or 'auto' (gram when the
-      tile-overlap offset stack is small).
+    formulation: 'block' (stride-block-space matmul gradient,
+      ops/pallas_conv_direct.py — fastest, needs kernel % stride == 0),
+      'gram' (code-space gradient, ops/conv_dict_gram.py), 'direct'
+      (image-space autodiff), or 'auto' (block > gram > direct by
+      geometry).
 
   Returns:
     (s, c, kh, kw) updated dictionary.
   """
   from vtc_tpu.ops import conv_dict_gram
+  from vtc_tpu.ops import pallas_conv_direct
   images_padded = jnp.asarray(images_padded, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   kernel_stride = tuple(int(x) for x in kernel_stride)
   if formulation == "auto":
-    formulation = ("gram" if conv_dict_gram.supported(
-        dictionary.shape, kernel_stride) else "direct")
+    if pallas_conv_direct.supported(images_padded.shape,
+                                    dictionary.shape, kernel_stride):
+      formulation = "block"
+    else:
+      formulation = ("gram" if conv_dict_gram.supported(
+          dictionary.shape, kernel_stride) else "direct")
   padding_static = (None if padding_dims is None else
                     tuple(tuple(int(x) for x in p) for p in padding_dims))
   mask = conv_shapes.create_mask(

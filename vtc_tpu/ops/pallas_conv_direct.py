@@ -142,6 +142,84 @@ def _blockify(img, geo):
       b, geo["cpx"], geo["bh"], geo["bw"])
 
 
+def _rolled_stack(xcv, geo, batch_tile, sign):
+  """XLA mirror of the kernel's per-offset lane rotates: (rows, N) ->
+  (R*rows, N) with copy i rolled by sign*rolls[i] within each batch
+  tile.  sign=+1 is the synthesis read z[B - a]; sign=-1 the analysis
+  read y[c + a].  Wrapped lanes land only in spare/zero positions (same
+  invariant the kernel relies on: interior_max + max_roll = ell - 1 <
+  ells)."""
+  rows, n = xcv.shape
+  tl = batch_tile * geo["ells"]
+  x = xcv.reshape(rows, n // tl, tl)
+  return jnp.concatenate(
+      [jnp.roll(x, sign * r, axis=2) for r in geo["rolls"]],
+      axis=0).reshape(geo["r"] * rows, n)
+
+
+def _unpack_dstk(grad_dstk, geo, kernel_shape):
+  """(cpx, R*s) dstk-layout gradient -> (s, c, kh, kw) kernel layout
+  (exact inverse of the _pack_weights dstk permutation)."""
+  s, c, kh, kw = kernel_shape
+  parts = grad_dstk.reshape(geo["cpx"], geo["r"], s).transpose(1, 2, 0)
+  return parts.reshape(geo["ay"], geo["ax"], s, c, geo["sv"],
+                       geo["sh"]).transpose(2, 3, 0, 4, 1, 5).reshape(
+                           s, c, kh, kw)
+
+
+def _block_mask_canvas(images_shape, padding, geo):
+  """(cpx, ells) single-sample canvas of the 0/1 padding mask blocks."""
+  from vtc_tpu.ops import conv_shapes
+  mask_img = conv_shapes.create_mask(images_shape, padding, jnp.float32)
+  mask_full = jnp.broadcast_to(
+      mask_img[:1], (1, geo["c"]) + tuple(images_shape[2:]))
+  return mask_img, _to_canvas(_blockify(mask_full, geo), geo["cpx"],
+                              geo, 1)
+
+
+def build_block_update_stats(images_padded, codes, dict_shape,
+                             kernel_stride, padding):
+  """D-independent stats for the block-space dictionary gradient.
+
+  The conv kernel gradient (reference dict_update_rules/convolutional/
+  sc_steepest_descent.py:59-66) is the correlation of the codes with
+  the masked residual.  In stride-block space (see module docstring)
+  both the residual synthesis and the correlation are ONE deep
+  matmul each against the rolled code stack, which is D-independent and
+  computed here once per training step.  Requires ``supported()``.
+  """
+  b = images_padded.shape[0]
+  geo = _geometry(images_padded.shape, dict_shape, kernel_stride)
+  batch_tile = _pick_batch_tile(b, geo)
+  b_pad = -(-b // batch_tile) * batch_tile
+  with matmul_precision():
+    mask_img, mblk_cv = _block_mask_canvas(images_padded.shape, padding,
+                                           geo)
+    xcv = _to_canvas(_blockify(mask_img * images_padded, geo),
+                     geo["cpx"], geo, b_pad)
+    zcv = _to_canvas(jnp.asarray(codes, jnp.float32), dict_shape[0],
+                     geo, b_pad)
+    zstack = _rolled_stack(zcv, geo, batch_tile, +1)
+  return dict(geo=geo, batch=b, xcv=xcv, zstack=zstack,
+              mblk=jnp.tile(mblk_cv, (1, b_pad)),
+              kernel_shape=tuple(dict_shape))
+
+
+def dictionary_gradient_from_block_stats(stats, dictionary):
+  """(s, c, kh, kw) masked-residual kernel gradient (batch-averaged),
+  == ops/convolutions.dictionary_gradient, as two block matmuls."""
+  geo = stats["geo"]
+  with matmul_precision():
+    dstk, _ = _pack_weights(dictionary, geo)
+    img = jnp.dot(dstk, stats["zstack"],
+                  precision=_HIGHEST) * stats["mblk"]
+    resid = img - stats["xcv"]
+    grad_dstk = jax.lax.dot_general(
+        resid, stats["zstack"], (((1,), (1,)), ((), ())),
+        precision=_HIGHEST) / stats["batch"]
+  return _unpack_dstk(grad_dstk, geo, stats["kernel_shape"])
+
+
 def _make_kernel(variant, nonneg, hard, geo, batch_tile):
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
@@ -212,9 +290,6 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
   Same contract as ops/pallas_conv_fista.conv_fista_solve_pallas; the
   caller must check ``supported()`` first (geometry gate).
   """
-  from vtc_tpu.ops import conv_shapes
-  from vtc_tpu.ops import convolutions as conv_ops
-
   b = images_padded.shape[0]
   geo = _geometry(images_padded.shape, dictionary.shape, kernel_stride)
   s, cpx = geo["s"], geo["cpx"]
@@ -225,23 +300,23 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
   tl = batch_tile * geo["ells"]
 
   with matmul_precision():
-    mask_img = conv_shapes.create_mask(images_padded.shape, padding,
-                                       images_padded.dtype)
-    corr_sp = conv_ops.analyze(mask_img * images_padded, dictionary,
-                               kernel_stride)          # (b, s, ch, cw)
+    # b-term A(mask * X) in block space: one deep matmul against the
+    # rolled image-block stack (the image-space analyze costs ~0.6 ms
+    # at b=5 through XLA's strided patch assembly; this is ~15 us).
+    # Spare-lane wrap garbage is confined to zmask-zeroed positions.
+    mask_img, mblk_cv = _block_mask_canvas(images_padded.shape, padding,
+                                           geo)
     dstk, dall = _pack_weights(dictionary, geo)
+    xcv = _to_canvas(_blockify(mask_img * images_padded, geo), cpx, geo,
+                     b_pad)
+    corr_cv = jnp.dot(dall, _rolled_stack(xcv, geo, batch_tile, -1),
+                      precision=_HIGHEST)
 
-  corr_cv = _to_canvas(corr_sp, s, geo, b_pad)
   if initial_codes is None:
     init_cv = jnp.zeros((s, b_pad * geo["ells"]), jnp.float32)
   else:
     init_cv = _to_canvas(jnp.asarray(initial_codes, jnp.float32), s,
                          geo, b_pad)
-  # per-sample masks: image blocks + code-interior (create_mask may
-  # return a single broadcastable channel; expand to c)
-  mask_full = jnp.broadcast_to(
-      mask_img[:1], (1, geo["c"]) + tuple(images_padded.shape[2:]))
-  mblk_cv = _to_canvas(_blockify(mask_full, geo), cpx, geo, 1)
   zmask_np = np.zeros((1, geo["rc"], geo["wc"]), np.float32)
   zmask_np[0, :geo["code_h"], :geo["code_w"]] = 1.0
   zmask_cv = _to_canvas(jnp.asarray(zmask_np)[None], 1, geo, 1)

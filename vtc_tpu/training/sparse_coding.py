@@ -240,11 +240,18 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
           jnp.float32(lowest_code_val), renormalize)
     # convolutional
     from vtc_tpu.ops import conv_dict_gram
+    from vtc_tpu.ops import pallas_conv_direct
     mask = conv_shapes.create_mask(batch.shape, padding, batch.dtype)
     pad_static = (None if padding is None else
                   tuple(tuple(int(x) for x in p) for p in padding))
-    upd_formulation = ("gram" if conv_dict_gram.supported(
-        dictionary.shape, tuple(kernel_stride)) else "direct")
+    if pallas_conv_direct.supported(batch.shape, dictionary.shape,
+                                    tuple(kernel_stride)):
+      upd_formulation = "block"  # stride-block matmul gradient
+    elif conv_dict_gram.supported(dictionary.shape,
+                                  tuple(kernel_stride)):
+      upd_formulation = "gram"
+    else:
+      upd_formulation = "direct"
     if update_alg == "sc_steepest_descent":
       return conv_sd._update(batch, dictionary, codes, mask,
                              tuple(kernel_stride), upd_stepsize,
