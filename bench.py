@@ -114,12 +114,15 @@ def subspace_step_flops(b, s=S, n=N, num_groups=64, max_gs=4,
 
 def conv_step_flops(b, iters=FISTA_ITERS, s=64, code_h=33, code_w=33,
                     kernel_px=256, offsets=9, upd_iters=1):
-  """Matmul FLOPs of one conv train step (code-space gram formulation,
-  ops/conv_gram.py + conv_dict_gram.py): per-iteration channel-mix
+  """Matmul FLOPs of one conv train step: per-iteration channel-mix
   interior (dense (s,s) mix over `offsets` spatial taps), the one-time
-  analysis b-term, and the update's code autocorrelations + image
-  correlation.  Border corrections and the small per-step gram build
-  are excluded (lower-bound accounting)."""
+  analysis b-term, and the update's correlations.  Border corrections
+  and the small per-step gram build are excluded (lower-bound
+  accounting).  The direct/block formulation actually used on TPU
+  (ops/pallas_conv_direct.py) performs ~the same count — its
+  deep-contraction matmuls cover R*cpx = offsets-equivalent work over
+  the slightly larger spare-padded canvas — so this model serves both
+  formulations."""
   hw = code_h * code_w
   interior = 2 * b * hw * s * s * offsets      # channel-mix per iteration
   bterm = 2 * b * hw * s * kernel_px           # analysis A(mask * X)

@@ -232,13 +232,19 @@ def _make_kernel(variant, nonneg, hard, geo, batch_tile):
                    precision=_HIGHEST)
 
   def kernel(niter_ref, scalars_ref, dstk_ref, dall_ref, mblk_ref,
-             zmask_ref, corr_ref, init_ref, out_ref, stack):
+             zmask_ref, xcv_ref, init_ref, out_ref, stack):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
     dstk = dstk_ref[:]
     dall = dall_ref[:]
-    corr = corr_ref[:]
+    # b-term A(mask * X) computed in-kernel: the rolled image-block
+    # stack lives only in VMEM scratch (materializing it in HBM from
+    # XLA cost ~0.2 ms at b=5 / ~1 ms at b=40)
+    xcv = xcv_ref[:]
+    for i, roll in enumerate(rolls):
+      stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(xcv, (-roll) % tl, 1)
+    corr = dot(dall, stack[0:r * cpx, :])
     # per-sample masks tiled across the batch tile (aligned concat)
     mblk = jnp.concatenate([mblk_ref[:]] * batch_tile, axis=1)
     zmask = jnp.concatenate([zmask_ref[:]] * batch_tile, axis=1)
@@ -300,17 +306,14 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
   tl = batch_tile * geo["ells"]
 
   with matmul_precision():
-    # b-term A(mask * X) in block space: one deep matmul against the
-    # rolled image-block stack (the image-space analyze costs ~0.6 ms
-    # at b=5 through XLA's strided patch assembly; this is ~15 us).
-    # Spare-lane wrap garbage is confined to zmask-zeroed positions.
+    # the b-term A(mask * X) is computed inside the kernel from the
+    # image-block canvas (rolled stack stays in VMEM scratch); spare-
+    # lane wrap garbage is confined to zmask-zeroed positions
     mask_img, mblk_cv = _block_mask_canvas(images_padded.shape, padding,
                                            geo)
     dstk, dall = _pack_weights(dictionary, geo)
     xcv = _to_canvas(_blockify(mask_img * images_padded, geo), cpx, geo,
                      b_pad)
-    corr_cv = jnp.dot(dall, _rolled_stack(xcv, geo, batch_tile, -1),
-                      precision=_HIGHEST)
 
   if initial_codes is None:
     init_cv = jnp.zeros((s, b_pad * geo["ells"]), jnp.float32)
@@ -341,7 +344,7 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
               bcast(dall.shape),
               bcast((cpx, geo["ells"])),
               bcast((1, geo["ells"])),
-              tile_spec(s),
+              tile_spec(cpx),
               tile_spec(s),
           ],
           out_specs=tile_spec(s),
@@ -357,7 +360,7 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
           bytes_accessed=4 * (3 * s * b_pad * geo["ell"]),
           transcendentals=0),
   )(niter, scalars, jnp.asarray(dstk), jnp.asarray(dall), mblk_cv,
-    zmask_cv, corr_cv, init_cv)
+    zmask_cv, xcv, init_cv)
 
   canv = out.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
       s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
