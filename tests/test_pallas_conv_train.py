@@ -1,0 +1,177 @@
+"""Fused whole-segment CONV train kernel vs the composed XLA path
+(interpret mode on the CPU test mesh).  The invariant: one kernel launch
+over k batches must reproduce the scan of [power_iterate on the flat
+kernels -> raw conv step (gram solve + block update)] that the scanned
+conv trainer runs, to float tolerance."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vtc_tpu.ops import conv_shapes
+from vtc_tpu.ops import lipschitz as lip
+from vtc_tpu.ops.pallas_conv_train import (fused_conv_segment_supported,
+                                           fused_conv_train_segment_pallas)
+from vtc_tpu.training import sparse_coding as sc
+
+
+def _reference_segment(d0, h0, v0, batches, kernel_stride, padding, sw,
+                       n_it, upd_step, upd_niters, variant, update_alg,
+                       nonneg=False, hard=False, renormalize=True,
+                       power_iters=2):
+  raw = sc.build_raw_step_fn(
+      "convolutional", variant, update_alg, nonneg=nonneg,
+      hard_threshold=hard, renormalize=renormalize,
+      kernel_stride=kernel_stride, padding=padding,
+      conv_formulation="gram", compute_stepsize_in_step=False)
+  d, h, v = jnp.asarray(d0), jnp.asarray(h0), jnp.asarray(v0)
+  codes = None
+  for batch in batches:
+    eigval, v = lip.power_iterate(d.reshape(d.shape[0], -1), v,
+                                  num_iters=power_iters)
+    d, h, codes = raw(d, h, jnp.asarray(batch), jnp.float32(sw),
+                      jnp.int32(n_it), jnp.float32(upd_step),
+                      upd_niters, 1.0 / eigval)
+  return np.asarray(d), np.asarray(h), np.asarray(v), np.asarray(codes)
+
+
+def _assert_close(g, w, tol, name):
+  """Scale-aware comparison: on random data the flat-kernel Lipschitz
+  UNDERESTIMATES the conv operator's L, so FISTA legitimately diverges
+  and float32 rounding scales with the largest magnitudes mixed into
+  the dot products (documented measurement trap; both paths compute
+  identical math).  atol scales with max|want|."""
+  w = np.asarray(w)
+  np.testing.assert_allclose(
+      np.asarray(g), w, rtol=tol,
+      atol=tol * max(1.0, float(np.abs(w).max())), err_msg=name)
+
+
+def _problem(rng, k=3, b=3, s=8, c=1, kdim=4, stride=2, img=12):
+  pad = conv_shapes.get_padding_amt(img, kdim, stride)
+  padding = (pad, pad)
+  height = img + pad[0] + pad[1]
+  d = rng.randn(s, c, kdim, kdim).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  x = np.zeros((k, b, c, height, height), np.float32)
+  x[:, :, :, pad[0]:height - pad[1], pad[0]:height - pad[1]] = (
+      0.3 * rng.randn(k, b, c, img, img))
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v = rng.randn(min(s, c * kdim * kdim)).astype(np.float32)
+  return d, h, v, x, (stride, stride), padding
+
+
+@pytest.mark.parametrize("variant,update_alg", [
+    ("fista", "sc_cheap_quadratic_descent"),
+    ("fista", "sc_steepest_descent"),
+    ("ista", "sc_cheap_quadratic_descent"),
+])
+def test_fused_conv_segment_matches_composed_path(rng, variant,
+                                                  update_alg):
+  d, h, v, x, strides, padding = _problem(rng)
+  assert fused_conv_segment_supported(
+      x.shape[1:], d.shape, strides, variant, update_alg)
+  # single step: strict (no trajectory feedback)
+  want1 = _reference_segment(d, h, v, x[:1], strides, padding, 0.05,
+                             12, 0.1, 1, variant, update_alg)
+  got1 = fused_conv_train_segment_pallas(
+      d, h, v, x[:1], 0.05, 12, 0.1, kernel_stride=strides,
+      padding=padding, variant=variant, update_alg=update_alg,
+      power_iters=2, interpret=True)
+  for w, g, name in zip(want1, got1, ["dict", "hessian", "eigvec",
+                                      "codes"]):
+    _assert_close(g, w, 2e-5, name)
+  # multi-step trajectory (chaos-tolerant bounds for the cheap-quad
+  # Hessian EMA feedback, as in test_pallas_train_step)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 12,
+                            0.1, 1, variant, update_alg)
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.1, kernel_stride=strides,
+      padding=padding, variant=variant, update_alg=update_alg,
+      power_iters=2, interpret=True)
+  chaotic = update_alg == "sc_cheap_quadratic_descent"
+  tols = {"dict": 1e-4 if chaotic else 2e-5,
+          "hessian": 1e-3 if chaotic else 2e-5, "eigvec": 2e-5,
+          "codes": 5e-3 if chaotic else 2e-5}
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, tols[name], name)
+
+
+def test_fused_conv_segment_convergent_strict(rng):
+  """stride == kernel (R=1): the flat-kernel Lipschitz is EXACT, the
+  solve converges, and parity holds at strict per-element tolerance."""
+  d, h, v, x, strides, padding = _problem(rng, kdim=4, stride=4)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 12,
+                            0.1, 1, "fista", "sc_cheap_quadratic_descent")
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.1, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=2e-5,
+                               err_msg=name)
+
+
+def test_fused_conv_segment_multi_update_iters(rng):
+  """upd_num_iters > 1: the single-tile kernel recomputes the gradient
+  at the CURRENT dictionary each iteration (exact semantics)."""
+  d, h, v, x, strides, padding = _problem(rng, k=2)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.03, 8,
+                            0.05, 3, "fista",
+                            "sc_cheap_quadratic_descent")
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.03, 8, 0.05, kernel_stride=strides,
+      padding=padding, upd_num_iters=3, power_iters=2, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, 1e-4, name)
+
+
+def test_fused_conv_segment_batch_tiled(rng):
+  """Batch-tiled grid (step, tile): per-tile gradient/stat accumulation
+  with the update on the step's last tile must match the whole-batch
+  kernel AND the composed path, including a padded final tile (b=5,
+  tile=2)."""
+  d, h, v, x, strides, padding = _problem(rng, k=2, b=5)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 10,
+                            0.1, 1, "fista", "sc_cheap_quadratic_descent")
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 10, 0.1, kernel_stride=strides,
+      padding=padding, power_iters=2, batch_tile=2, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, 1e-4, name)
+
+
+def test_fused_conv_segment_nonneg_and_steepest_norenorm(rng):
+  d, h, v, x, strides, padding = _problem(rng, k=2)
+  for kwargs in (dict(nonneg=True), dict(renormalize=False)):
+    want = _reference_segment(
+        d, h, v, x, strides, padding, 0.05, 10, 0.1, 1, "fista",
+        "sc_steepest_descent", **kwargs)
+    got = fused_conv_train_segment_pallas(
+        d, h, v, x, 0.05, 10, 0.1, kernel_stride=strides,
+        padding=padding, update_alg="sc_steepest_descent",
+        power_iters=2, interpret=True, **kwargs)
+    for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                      "codes"]):
+      _assert_close(g, w, 2e-5, str((kwargs, name)))
+
+
+def test_supported_gate():
+  # reference config geometry: supported single-tile
+  assert fused_conv_segment_supported(
+      (5, 1, 272, 272), (64, 1, 16, 16), (8, 8), "fista",
+      "sc_cheap_quadratic_descent")
+  # kernel % stride != 0 -> geometry unsupported
+  assert not fused_conv_segment_supported(
+      (5, 1, 272, 272), (64, 1, 15, 15), (8, 8), "fista",
+      "sc_cheap_quadratic_descent")
+  # groups / wrong algs fall back
+  assert not fused_conv_segment_supported(
+      (5, 1, 272, 272), (64, 1, 16, 16), (8, 8), "fista",
+      "sc_cheap_quadratic_descent", group_assignments=[[0, 1]])
+  assert not fused_conv_segment_supported(
+      (5, 1, 272, 272), (64, 1, 16, 16), (8, 8), "subspace_fista",
+      "sc_cheap_quadratic_descent")

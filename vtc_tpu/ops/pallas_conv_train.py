@@ -1,0 +1,520 @@
+"""Whole CONV training segments as ONE fused Pallas TPU kernel.
+
+Convolutional counterpart of ops/pallas_train_step.py: the scanned conv
+trainer's hot loop (`power-refresh -> conv FISTA solve -> Hessian EMA ->
+dictionary update -> renormalize` per batch) previously ran as a
+lax.scan of separate ops, so the dictionary and the per-batch code
+canvases round-tripped HBM at every op boundary.  This kernel runs the
+ENTIRE segment on-core in the stride-block-space formulation of
+ops/pallas_conv_direct.py (kernel % stride == 0 geometry):
+
+  grid = (num_steps,) or (num_steps, batch_tiles) -- TPU grid cells
+        execute sequentially, so the packed dictionary (dstk), the
+        Hessian diagonal and the Lipschitz eigenvector live in
+        VMEM-resident output blocks that carry across steps; the
+        per-step image-block canvases stream HBM->VMEM with automatic
+        double buffering.
+  per step (all HIGHEST-precision MXU matmuls, state in VMEM):
+      dall  = per-part transposes of dstk       (analysis weights)
+      G     = dall dall^T                       (flat-kernel Gram)
+      v     = power^k(G, v); eta = 1/(v^T G v)  (warm Lipschitz)
+      corr  = dall @ rolled(xcv)                (b-term A(mask*X))
+      FISTA on the code canvas (pltpu.roll shifts, deep-contraction
+        matmuls -- identical math to conv_direct_solve_pallas)
+      h     = 0.99 h + mean_b(sum_spatial codes^2)/100   (conv EMA)
+      dstk <- renorm(dstk - lr * Fnorm_rescale(grad / (h + eps))),
+        with grad = (mask*(dstk@zstack) - xcv) @ zstack^T / b the
+        stride-block-space kernel gradient (== ops/pallas_conv_direct.
+        dictionary_gradient_from_block_stats), upd_num_iters times.
+
+Semantics are identical (same float32 contract) to the composition
+`lipschitz.power_iterate` + `training.sparse_coding.build_raw_step_fn`
+in convolutional mode with the block update formulation -- trajectory
+equivalence is tested in tests/test_pallas_conv_train.py.  Reference
+semantics mirrored: convolutional/ista_fista.py:100-195 (solve),
+dict_update_rules/convolutional/sc_steepest_descent.py:59-73 and
+sc_cheap_quadratic_descent.py:64-79 (masked-residual kernel gradient,
+Hessian scaling THEN Frobenius-norm rescale, per-kernel renorm),
+training/sparse_coding.py:158-161 (conv Hessian-diagonal EMA).
+
+Per-kernel reductions over the packed (cpx, R*s) dictionary layout
+(Hessian scaling, renormalization) are 0/1 selection-matrix matmuls
+(`sel` / `selT`), not gathers -- kernel j owns columns {r*s + j}.
+
+Batch tiling (grid (step, tile)): the kernel gradient is additive over
+batch tiles, so tiles accumulate `grad` / the Hessian statistic in VMEM
+scratch and the step's LAST tile applies the update.  Because the
+accumulated gradient is evaluated at the step's initial dictionary,
+the tiled variant requires upd_num_iters == 1 (the trainer's default;
+`fused_conv_segment_supported` gates this).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT, _blockify,
+                                            _block_mask_canvas,
+                                            _geometry, _pack_weights,
+                                            _to_canvas, _unpack_dstk,
+                                            supported as _geo_supported)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _dot_t(a, b):
+  """a @ b.T (contract the lane dims)."""
+  return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _tdot(a, b):
+  """a.T @ b (contract the sublane dims)."""
+  return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=_HI)
+
+
+def _fits(tile, geo):
+  """VMEM working set of one batch tile (solve + update buffers).
+
+  The 2.8x factor on the named-buffer row count calibrates for
+  Mosaic's scoped-stack accounting of loop-body transients (measured:
+  tile=10 at the reference geometry allocates 115.7 MB against a
+  named-buffer estimate of 42.6 MB)."""
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rows = 6 * s + 3 * cpx + r * max(s, cpx)
+  return 4 * rows * tile * geo["ells"] * 2.8 <= int(_VMEM_LIMIT * 0.9)
+
+
+def _pick_tile(b, geo):
+  """(tile, num_tiles): whole batch if it fits, else the largest
+  divisor-preferring tile (mirrors pallas_conv_direct._pick_batch_tile
+  but with the update working set included)."""
+  if _fits(b, geo):
+    return b, 1
+  best_div = best_any = None
+  for t in range(1, min(b, 32) + 1):
+    if _fits(t, geo):
+      best_any = t
+      if b % t == 0:
+        best_div = t
+  tile = (best_div if best_div is not None
+          and best_div >= max(1, (best_any or 1) // 2) else best_any)
+  if tile is None:
+    return None, None
+  return tile, -(-b // tile)
+
+
+def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
+                                 inference_alg, update_alg, *,
+                                 group_assignments=None,
+                                 upd_num_iters=1):
+  """True when `fused_conv_train_segment_pallas` covers this config."""
+  if group_assignments is not None:
+    return False
+  if inference_alg not in ("ista", "fista"):
+    return False
+  if update_alg not in ("sc_steepest_descent",
+                        "sc_cheap_quadratic_descent"):
+    return False
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  if not _geo_supported(img_shape, dict_shape, kernel_stride):
+    return False
+  geo = _geometry(img_shape, dict_shape, kernel_stride)
+  if geo["s"] > geo["r"] * geo["cpx"]:
+    return False  # flat-kernel Gram must be the (s, s) one
+  tile, num_tiles = _pick_tile(img_shape[0], geo)
+  if tile is None:
+    return False
+  # tiled gradient accumulation is evaluated at the step's initial
+  # dictionary: exact only for a single update iteration
+  return num_tiles == 1 or int(upd_num_iters) == 1
+
+
+def _selection_matrices(geo):
+  """sel (R*s, s) with sel[r*s+j, j] = 1; kernel j's per-part columns."""
+  s, r = geo["s"], geo["r"]
+  sel = np.zeros((r * s, s), np.float32)
+  for rr in range(r):
+    sel[rr * s + np.arange(s), np.arange(s)] = 1.0
+  return sel, np.ascontiguousarray(sel.T)
+
+
+def _placement_matrices(geo):
+  """pmats (R, cpx, R*cpx) with pmats[r, i, r*cpx+i] = 1: the analysis
+  weight matrix is the pure matmul accumulation
+    dall = sum_r dstk[:, r*s:(r+1)*s]^T @ pmats[r]
+  (per-part transpose + lane placement with no strided stores)."""
+  cpx, r = geo["cpx"], geo["r"]
+  p = np.zeros((r, cpx, r * cpx), np.float32)
+  for rr in range(r):
+    p[rr, np.arange(cpx), rr * cpx + np.arange(cpx)] = 1.0
+  return p
+
+
+def _make_tile_solver(variant, nonneg, hard, geo, tl):
+  """FISTA/ISTA solve of one batch tile on the code canvas (shared by
+  the segment kernel and the DP solve+stats kernel).  Returns
+  codes (s, tl); `stack` is the caller's VMEM scratch."""
+  use_fista = variant == "fista"
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rolls = geo["rolls"]
+
+  def solve(dstk, dallv, xcv, mblk, zmask, eta, lam_eta, num_iters,
+            stack):
+    for i, roll in enumerate(rolls):
+      stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(xcv, (-roll) % tl, 1)
+    corr = _dot(dallv, stack[0:r * cpx, :])
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return x - jnp.clip(x, -lam_eta, lam_eta)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      for i, roll in enumerate(rolls):
+        stack[i * s:(i + 1) * s, :] = pltpu.roll(z, roll % tl, 1)
+      img = _dot(dstk, stack[0:r * s, :]) * mblk
+      for i, roll in enumerate(rolls):
+        stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
+            img, (-roll) % tl, 1)
+      grad = _dot(dallv, stack[0:r * cpx, :]) - corr
+      codes = zmask * threshold(z - eta * grad)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    init = jnp.zeros((s, tl), jnp.float32)
+    _, codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    return codes
+
+  return solve
+
+
+def _build_dall(dstk, p_ref, s, r):
+  """Analysis weights as a pure matmul accumulation (per-part
+  transpose + lane placement; see _placement_matrices) -- dall is a
+  permutation of dstk."""
+  dallv = _tdot(dstk[:, 0:s], p_ref[0])
+  for rr in range(1, r):
+    dallv = dallv + _tdot(dstk[:, rr * s:(rr + 1) * s], p_ref[rr])
+  return dallv
+
+
+def _power_refresh(dallv, v_ref, power_iters):
+  """Warm Lipschitz refresh on the flat-kernel Gram D_flat D_flat^T
+  (rows of dall ARE the flattened kernels up to column order).
+  Returns eta; writes the refreshed eigenvector back to v_ref."""
+  gram = _dot_t(dallv, dallv)                        # (s, s)
+  v = v_ref[:]
+  v = v / jnp.sqrt(jnp.sum(v * v))
+
+  def power_body(_, vec):
+    w = _dot(vec, gram)
+    return w / jnp.sqrt(jnp.sum(w * w))
+
+  v = jax.lax.fori_loop(0, power_iters, power_body, v)
+  v_ref[:] = v
+  return 1.0 / jnp.sum(_dot(v, gram) * v)
+
+
+def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
+                         renormalize, upd_num_iters, power_iters,
+                         lowest_code_val, geo, batch_tile, num_tiles):
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rolls = geo["rolls"]
+  tl = batch_tile * geo["ells"]
+  multi = num_tiles > 1
+  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl)
+
+  def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
+             sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
+             d_out, h_out, v_out, codes_out,
+             stack, gradacc, statacc, eta_ref):
+    step = pl.program_id(0)
+    tile = pl.program_id(1) if multi else None
+
+    first = (step == 0) if tile is None else (step == 0) & (tile == 0)
+
+    @pl.when(first)
+    def _():
+      d_out[:] = dstk_ref[:]
+      h_out[:] = h_ref[:]
+      v_out[:] = v_ref[:]
+
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    upd_step = scalars_ref[1]
+    inv_b = scalars_ref[2]
+
+    dstk = d_out[:]
+    dallv = _build_dall(dstk, p_ref, s, r)
+
+    def refresh():
+      eta_ref[0] = _power_refresh(dallv, v_out, power_iters)
+      if multi:
+        gradacc[:] = jnp.zeros_like(gradacc)
+        statacc[:] = jnp.zeros_like(statacc)
+
+    if multi:
+      pl.when(tile == 0)(refresh)
+    else:
+      refresh()
+
+    eta = eta_ref[0]
+    xcv = xcv_ref[0]
+    mblk = mblk_ref[:]    # pre-tiled (cpx, tl) on the host side
+    zmask = zmask_ref[:]  # pre-tiled (1, tl)
+    codes = solve_tile(dstk, dallv, xcv, mblk, zmask, eta, sw * eta,
+                       num_iters, stack)
+    codes_out[:] = codes
+
+    # D-independent rolled code stack for the update (synthesis layout)
+    for i, roll in enumerate(rolls):
+      stack[i * s:(i + 1) * s, :] = pltpu.roll(codes, roll % tl, 1)
+    zstack = stack[0:r * s, :]
+    ones_row = jnp.ones((1, tl), jnp.float32)
+    stat = _dot_t(ones_row, codes * codes)           # (1, s) spatial sum
+
+    def finish(stat_sum, grad_at_init):
+      """Hessian EMA + update iterations (runs on the step's last
+      tile; grad_at_init is None in the single-tile variant, which
+      recomputes the gradient at the CURRENT dictionary each
+      iteration -- exact multi-iteration semantics)."""
+      if uses_hessian:
+        hessian = 0.99 * h_out[:] + (stat_sum * inv_b) / 100.0
+        h_out[:] = hessian
+        recip = 1.0 / (hessian + lowest_code_val)    # (1, s)
+        scale_row = _dot(recip, selt_ref[:])         # (1, R*s)
+
+      def update_body(_, d):
+        if grad_at_init is None:
+          img2 = _dot(d, zstack) * mblk
+          grad = _dot_t(img2 - xcv, zstack) * inv_b  # (cpx, R*s)
+        else:
+          grad = grad_at_init * inv_b
+        if uses_hessian:
+          grad = grad * scale_row
+        # dimensionless stepsize (reference sc_steepest_descent.py:68):
+        # rescale to the dictionary's Frobenius norm AFTER the Hessian
+        # scaling (division order, sc_cheap_quadratic_descent.py:72-75)
+        gn = jnp.sqrt(jnp.sum(grad * grad))
+        dn = jnp.sqrt(jnp.sum(d * d))
+        grad = grad * (dn / jnp.maximum(gn, 1e-30))
+        d = d - upd_step * grad
+        if renormalize:
+          colsq = jnp.sum(d * d, axis=0, keepdims=True)  # (1, R*s)
+          norms2 = _dot(colsq, sel_ref[:])               # (1, s)
+          inv = jax.lax.rsqrt(jnp.maximum(norms2, 1e-30))
+          d = d * _dot(inv, selt_ref[:])
+        return d
+
+      d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body, dstk)
+
+    if multi:
+      img2 = _dot(dstk, zstack) * mblk
+      gradacc[:] = gradacc[:] + _dot_t(img2 - xcv, zstack)
+      statacc[:] = statacc[:] + stat
+
+      @pl.when(tile == num_tiles - 1)
+      def _():
+        finish(statacc[:], gradacc[:])
+    else:
+      finish(stat, None)
+
+  return kernel
+
+
+def _segment_canvases(batches, geo, b_pad, mask_img):
+  """(k, b, c, H, W) -> (k, cpx, b_pad*ells) per-step image-block
+  canvases of the masked images."""
+
+  def one(img_batch):
+    return _to_canvas(_blockify(mask_img * img_batch, geo), geo["cpx"],
+                      geo, b_pad)
+
+  return jax.vmap(one)(batches)
+
+
+def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
+                                    batches, sparsity_weight,
+                                    inf_num_iters, upd_stepsize, *,
+                                    kernel_stride, padding,
+                                    variant="fista",
+                                    update_alg=(
+                                        "sc_cheap_quadratic_descent"),
+                                    upd_num_iters=1, nonneg=False,
+                                    hard=False, renormalize=True,
+                                    power_iters=12,
+                                    lowest_code_val=0.001,
+                                    batch_tile=None, interpret=False):
+  """Run `batches.shape[0]` fused conv train steps in one launch.
+
+  Args:
+    dictionary: (s, c, kh, kw) float32 kernels.
+    hessian: (s,) conv Hessian-diagonal EMA (ignored for steepest
+      descent).
+    eigvec: (s,) warm Lipschitz eigenvector of the flat-kernel Gram
+      (lipschitz.top_gram_eigenpair(D.reshape(s, -1)) seed).
+    batches: (k, b, c, H, W) float32 padded image batches.
+    kernel_stride / padding: static conv geometry (must pass
+      `fused_conv_segment_supported`).
+    power_iters: warm refresh iterations per step (12 robust default;
+      the trainer passes 2 from an exact seed, see
+      ops/pallas_train_step.fused_train_segment_pallas).
+
+  Returns:
+    (new_dictionary (s, c, kh, kw), new_hessian (s,), new_eigvec (s,),
+     last_codes (b, s, code_h, code_w) of the FINAL step).
+  """
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  padding_static = (None if padding is None else
+                    tuple(tuple(int(x) for x in p) for p in padding))
+  return _fused_conv_impl(
+      jnp.asarray(dictionary, jnp.float32),
+      jnp.asarray(hessian, jnp.float32),
+      jnp.asarray(eigvec, jnp.float32),
+      jnp.asarray(batches, jnp.float32),
+      jnp.asarray(sparsity_weight, jnp.float32),
+      jnp.asarray(inf_num_iters, jnp.int32),
+      jnp.asarray(upd_stepsize, jnp.float32),
+      kernel_stride=kernel_stride, padding=padding_static,
+      variant=variant, update_alg=update_alg,
+      upd_num_iters=int(upd_num_iters), nonneg=bool(nonneg),
+      hard=bool(hard), renormalize=bool(renormalize),
+      power_iters=int(power_iters),
+      lowest_code_val=float(lowest_code_val),
+      batch_tile=None if batch_tile is None else int(batch_tile),
+      interpret=bool(interpret))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_stride", "padding", "variant", "update_alg",
+                     "upd_num_iters", "nonneg", "hard", "renormalize",
+                     "power_iters", "lowest_code_val", "batch_tile",
+                     "interpret"))
+def _fused_conv_impl(dictionary, hessian, eigvec, batches,
+                     sparsity_weight, inf_num_iters, upd_stepsize, *,
+                     kernel_stride, padding, variant, update_alg,
+                     upd_num_iters, nonneg, hard, renormalize,
+                     power_iters, lowest_code_val, batch_tile,
+                     interpret):
+  k, b = batches.shape[0], batches.shape[1]
+  img_shape = batches.shape[1:]
+  geo = _geometry(img_shape, dictionary.shape, kernel_stride)
+  s, cpx = geo["s"], geo["cpx"]
+  if batch_tile is not None:
+    tile, num_tiles = min(batch_tile, b), -(-b // min(batch_tile, b))
+  else:
+    tile, num_tiles = _pick_tile(b, geo)
+  assert tile is not None, "caller must check fused_conv_segment_supported"
+  assert num_tiles == 1 or upd_num_iters == 1
+  b_pad = tile * num_tiles
+  tl = tile * geo["ells"]
+  uses_hessian = update_alg == "sc_cheap_quadratic_descent"
+
+  from vtc_tpu.ops.precision import matmul_precision
+  with matmul_precision():
+    mask_img, mblk_cv = _block_mask_canvas(img_shape, padding, geo)
+    dstk0, _ = _pack_weights(dictionary, geo)
+    xcv_all = _segment_canvases(batches, geo, b_pad, mask_img)
+
+  zmask_np = np.zeros((1, geo["rc"], geo["wc"]), np.float32)
+  zmask_np[0, :geo["code_h"], :geo["code_w"]] = 1.0
+  zmask_cv = _to_canvas(jnp.asarray(zmask_np)[None], 1, geo, 1)
+  sel, selt = _selection_matrices(geo)
+  pmats = _placement_matrices(geo)
+
+  h_in = hessian.reshape(1, s)
+  v_in = eigvec.reshape(1, s)
+  scalars = jnp.stack([sparsity_weight, upd_stepsize,
+                       jnp.float32(1.0 / b)])
+  niter = inf_num_iters.reshape(1)
+
+  kernel = _make_segment_kernel(
+      variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
+      power_iters, lowest_code_val, geo, tile, num_tiles)
+  grid = (k,) if num_tiles == 1 else (k, num_tiles)
+  if num_tiles == 1:
+    bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(
+        shape))
+    xcv_spec = pl.BlockSpec((1, cpx, tl), lambda i, *_: (i, 0, 0))
+    out_tile = lambda rows: pl.BlockSpec((rows, tl),
+                                         lambda i, *_: (0, 0))
+  else:
+    bcast = lambda shape: pl.BlockSpec(shape, lambda i, j, *_: (0,) *
+                                       len(shape))
+    xcv_spec = pl.BlockSpec((1, cpx, tl), lambda i, j, *_: (i, 0, j))
+    out_tile = lambda rows: pl.BlockSpec((rows, tl),
+                                         lambda i, j, *_: (0, j))
+
+  d_new, h_new, v_new, codes = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=grid,
+          in_specs=[
+              bcast(dstk0.shape),          # dstk
+              bcast((1, s)),               # hessian
+              bcast((1, s)),               # eigvec
+              bcast(pmats.shape),          # placement matrices
+              bcast(sel.shape),            # sel
+              bcast(selt.shape),           # selT
+              bcast((cpx, tl)),            # mblk (pre-tiled)
+              bcast((1, tl)),              # zmask (pre-tiled)
+              xcv_spec,
+          ],
+          out_specs=[
+              bcast(dstk0.shape),
+              bcast((1, s)),
+              bcast((1, s)),
+              out_tile(s),
+          ],
+          scratch_shapes=[
+              pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
+              pltpu.VMEM(dstk0.shape, jnp.float32),     # gradacc
+              pltpu.VMEM((1, s), jnp.float32),          # statacc
+              pltpu.SMEM((1,), jnp.float32),            # eta
+          ]),
+      out_shape=[
+          jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),
+          jax.ShapeDtypeStruct((1, s), jnp.float32),
+          jax.ShapeDtypeStruct((1, s), jnp.float32),
+          jax.ShapeDtypeStruct((s, b_pad * geo["ells"]), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=(None if interpret else pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT)),
+      cost_estimate=pl.CostEstimate(
+          flops=k * 2 * 2 * s * geo["r"] * cpx * b_pad * geo["ell"] * 30,
+          bytes_accessed=4 * k * (2 * cpx * b_pad * geo["ell"]),
+          transcendentals=0),
+  )(niter, scalars, jnp.asarray(dstk0), h_in, v_in, jnp.asarray(pmats),
+    jnp.asarray(sel), jnp.asarray(selt), jnp.tile(mblk_cv, (1, tile)),
+    jnp.tile(zmask_cv, (1, tile)), xcv_all)
+
+  new_dict = _unpack_dstk(d_new, geo, dictionary.shape)
+  canv = codes.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
+      s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
+  last_codes = canv[:b, :, :geo["code_h"], :geo["code_w"]]
+  return new_dict, h_new[0], v_new[0], last_codes

@@ -105,6 +105,28 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
   return run
 
 
+def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
+                               hard, renormalize, kernel_stride,
+                               padding):
+  """Convolutional counterpart of _fused_segment_runner: the whole
+  segment runs as one Pallas kernel in stride-block space
+  (ops/pallas_conv_train), with the packed dictionary / Hessian /
+  eigenvector VMEM-resident across steps and per-step image-block
+  canvases streamed with double buffering."""
+  from vtc_tpu.ops.pallas_conv_train import (
+      fused_conv_train_segment_pallas)
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    dictionary, hessian, eigvec, _ = fused_conv_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        kernel_stride=kernel_stride, padding=padding, variant=variant,
+        update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
+        hard=hard, renormalize=renormalize, power_iters=2)
+    return dictionary, hessian, eigvec
+
+  return run
+
+
 def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
                                 renormalize, group_assignments,
                                 alignment_penalty=0.0):
@@ -311,13 +333,26 @@ def train_dictionary_scanned(training_batches, validation_batches,
   warm_power = lipschitz_method == "power_warm"
 
   def fused_eligible(upd_niters_):
-    """Whole-segment Pallas kernel: TPU + warm tracking + fc + a config
-    one of the VMEM-resident kernels covers (ops/pallas_train_step)."""
+    """Whole-segment Pallas kernel: TPU + warm tracking + a config one
+    of the VMEM-resident kernels covers (ops/pallas_train_step for fc /
+    subspace, ops/pallas_conv_train for convolutional)."""
     from vtc_tpu.ops.pallas_train_step import (
         fused_group_segment_supported, fused_segment_supported)
     if not (dp_mesh is None and warm_power
-            and jax.default_backend() == "tpu"
-            and resolved_formulation == "pallas"
+            and jax.default_backend() == "tpu"):
+      return False
+    if mode == "convolutional":
+      if all_params.get("conv_formulation", "auto") not in ("auto",
+                                                            "pallas"):
+        return False
+      from vtc_tpu.ops.pallas_conv_train import (
+          fused_conv_segment_supported)
+      return fused_conv_segment_supported(
+          training_batches.shape[1:], dictionary.shape, kernel_stride,
+          inference_alg, update_alg,
+          group_assignments=group_assignments,
+          upd_num_iters=upd_niters_)
+    if not (resolved_formulation == "pallas"
             and mode == "fully-connected"):
       return False
     if group_assignments is not None:
@@ -550,7 +585,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 make_dp_local(upd_niters), dp_mesh,
                 mode == "convolutional")
         elif use_fused:
-          if group_assignments is not None:
+          if mode == "convolutional":
+            runners[key] = _fused_conv_segment_runner(
+                inference_alg, update_alg, upd_niters,
+                bool(all_params.get("nonnegative_only", False)),
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                kernel_stride, padding)
+          elif group_assignments is not None:
             runners[key] = _fused_group_segment_runner(
                 inference_alg[9:], update_alg, upd_niters,
                 bool(all_params.get("hard_threshold", False)),
