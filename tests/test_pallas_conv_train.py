@@ -175,3 +175,41 @@ def test_supported_gate():
   assert not fused_conv_segment_supported(
       (5, 1, 272, 272), (64, 1, 16, 16), (8, 8), "subspace_fista",
       "sc_cheap_quadratic_descent")
+
+
+def test_conv_solve_stats_matches_pieces(rng):
+  """The DP local-step kernel (solve + unaveraged block-space update
+  stats) must reproduce the composed pieces: power_iterate stepsize,
+  the gram solver's codes, the block-stats dictionary gradient, and
+  the Hessian statistic."""
+  import jax.numpy as jnp
+  from vtc_tpu.analysis_transforms.convolutional import ista_fista
+  from vtc_tpu.ops import pallas_conv_direct
+  from vtc_tpu.ops.pallas_conv_train import conv_solve_stats_pallas
+
+  d, h, v, x, strides, padding = _problem(rng, k=1)
+  del h
+  batch = x[0]
+  codes, grad_sum, stat, v_new, eta = conv_solve_stats_pallas(
+      d, v, batch, 0.05, 10, kernel_stride=strides, padding=padding,
+      power_iters=2, interpret=True)
+
+  eigval, v_want = lip.power_iterate(
+      jnp.asarray(d).reshape(d.shape[0], -1), jnp.asarray(v),
+      num_iters=2)
+  _assert_close(v_new, v_want, 2e-5, "eigvec")
+  _assert_close(eta, 1.0 / np.asarray(eigval), 2e-5, "eta")
+
+  codes_want = ista_fista.run(
+      batch, d, strides, padding, 0.05, 10, stepsize=1.0 / eigval,
+      formulation="gram")
+  _assert_close(codes, codes_want, 2e-5, "codes")
+
+  stats = pallas_conv_direct.build_block_update_stats(
+      jnp.asarray(batch), codes_want, d.shape, strides, padding)
+  grad_want = pallas_conv_direct.dictionary_gradient_from_block_stats(
+      stats, jnp.asarray(d))
+  _assert_close(grad_sum / batch.shape[0], grad_want, 2e-5, "grad")
+
+  stat_want = np.asarray(codes_want ** 2).sum(axis=(2, 3)).sum(axis=0)
+  _assert_close(stat, stat_want, 2e-5, "stat")

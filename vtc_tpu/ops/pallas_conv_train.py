@@ -518,3 +518,174 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
       s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
   last_codes = canv[:b, :, :geo["code_h"], :geo["code_w"]]
   return new_dict, h_new[0], v_new[0], last_codes
+
+
+def conv_solve_stats_supported(img_shape, dict_shape, kernel_stride,
+                               inference_alg, update_alg):
+  """True when `conv_solve_stats_pallas` covers this configuration
+  (the DP local step; gradient accumulation is always tile-exact here
+  because the update runs OUTSIDE the kernel at upd_num_iters
+  semantics of the caller's choosing against the psum'd gradient)."""
+  return fused_conv_segment_supported(
+      img_shape, dict_shape, kernel_stride, inference_alg, update_alg,
+      upd_num_iters=1)
+
+
+def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
+                       batch_tile, num_tiles):
+  s, cpx, r = geo["s"], geo["cpx"], geo["r"]
+  rolls = geo["rolls"]
+  tl = batch_tile * geo["ells"]
+  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl)
+
+  def kernel(niter_ref, scalars_ref, dstk_ref, v_ref, p_ref, mblk_ref,
+             zmask_ref, xcv_ref,
+             codes_out, grad_out, stat_out, v_out, eta_out,
+             stack, eta_ref):
+    tile = pl.program_id(0)
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+
+    dstk = dstk_ref[:]
+    dallv = _build_dall(dstk, p_ref, s, r)
+
+    @pl.when(tile == 0)
+    def _():
+      v_out[:] = v_ref[:]
+      eta = _power_refresh(dallv, v_out, power_iters)
+      eta_ref[0] = eta
+      eta_out[0, 0] = eta
+      grad_out[:] = jnp.zeros_like(grad_out)
+      stat_out[:] = jnp.zeros_like(stat_out)
+
+    eta = eta_ref[0]
+    xcv = xcv_ref[:]
+    mblk = mblk_ref[:]
+    zmask = zmask_ref[:]
+    codes = solve_tile(dstk, dallv, xcv, mblk, zmask, eta, sw * eta,
+                       num_iters, stack)
+    codes_out[:] = codes
+
+    # this tile's UNAVERAGED block-space gradient + Hessian statistic
+    # (additive over tiles AND over DP shards: the caller psums then
+    # divides by the global batch)
+    for i, roll in enumerate(rolls):
+      stack[i * s:(i + 1) * s, :] = pltpu.roll(codes, roll % tl, 1)
+    zstack = stack[0:r * s, :]
+    img = _dot(dstk, zstack) * mblk
+    grad_out[:] = grad_out[:] + _dot_t(img - xcv, zstack)
+    ones_row = jnp.ones((1, tl), jnp.float32)
+    stat_out[:] = stat_out[:] + _dot_t(ones_row, codes * codes)
+
+  return kernel
+
+
+def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
+                            inf_num_iters, *, kernel_stride, padding,
+                            variant="fista", nonneg=False, hard=False,
+                            power_iters=12, interpret=False):
+  """One fused kernel: warm Lipschitz refresh + the whole conv FISTA
+  solve + this batch's (shard's) block-space update statistics.
+
+  Returns (codes (b, s, ch, cw), grad_sum (s, c, kh, kw), stat (s,),
+  new_eigvec (s,), eta).  `grad_sum` is the UNAVERAGED masked-residual
+  kernel gradient summed over this batch; the full-batch gradient at
+  the solve dictionary is exactly sum_shards(grad_sum) / global_b, so
+  a data-parallel caller psums (grad_sum, stat) once per step and runs
+  the update replicated (ops/pallas_train_step.fused_solve_stats_pallas
+  is the fc counterpart).
+  """
+  kernel_stride = tuple(int(x) for x in kernel_stride)
+  padding_static = (None if padding is None else
+                    tuple(tuple(int(x) for x in p) for p in padding))
+  return _conv_solve_stats_impl(
+      jnp.asarray(dictionary, jnp.float32),
+      jnp.asarray(eigvec, jnp.float32),
+      jnp.asarray(batch, jnp.float32),
+      jnp.asarray(sparsity_weight, jnp.float32),
+      jnp.asarray(inf_num_iters, jnp.int32),
+      kernel_stride=kernel_stride, padding=padding_static,
+      variant=variant, nonneg=bool(nonneg), hard=bool(hard),
+      power_iters=int(power_iters), interpret=bool(interpret))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_stride", "padding", "variant", "nonneg",
+                     "hard", "power_iters", "interpret"))
+def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
+                           inf_num_iters, *, kernel_stride, padding,
+                           variant, nonneg, hard, power_iters,
+                           interpret):
+  b = batch.shape[0]
+  img_shape = batch.shape
+  geo = _geometry(img_shape, dictionary.shape, kernel_stride)
+  s, cpx = geo["s"], geo["cpx"]
+  tile, num_tiles = _pick_tile(b, geo)
+  assert tile is not None, "caller must check conv_solve_stats_supported"
+  b_pad = tile * num_tiles
+  tl = tile * geo["ells"]
+
+  from vtc_tpu.ops.precision import matmul_precision
+  with matmul_precision():
+    mask_img, mblk_cv = _block_mask_canvas(img_shape, padding, geo)
+    dstk0, _ = _pack_weights(dictionary, geo)
+    xcv = _to_canvas(_blockify(mask_img * batch, geo), cpx, geo, b_pad)
+
+  zmask_np = np.zeros((1, geo["rc"], geo["wc"]), np.float32)
+  zmask_np[0, :geo["code_h"], :geo["code_w"]] = 1.0
+  zmask_cv = _to_canvas(jnp.asarray(zmask_np)[None], 1, geo, 1)
+  pmats = _placement_matrices(geo)
+
+  scalars = sparsity_weight.reshape(1)
+  niter = inf_num_iters.reshape(1)
+
+  kernel = _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
+                              tile, num_tiles)
+  bcast = lambda shape: pl.BlockSpec(shape, lambda j, *_: (0,) *
+                                     len(shape))
+  tile_spec = lambda rows: pl.BlockSpec((rows, tl),
+                                        lambda j, *_: (0, j))
+  codes, grad, stat, v_new, eta = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(num_tiles,),
+          in_specs=[
+              bcast(dstk0.shape),
+              bcast((1, s)),
+              bcast(pmats.shape),
+              bcast((cpx, tl)),
+              bcast((1, tl)),
+              tile_spec(cpx),
+          ],
+          out_specs=[
+              tile_spec(s),
+              bcast(dstk0.shape),
+              bcast((1, s)),
+              bcast((1, s)),
+              bcast((1, 1)),
+          ],
+          scratch_shapes=[
+              pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
+              pltpu.SMEM((1,), jnp.float32),
+          ]),
+      out_shape=[
+          jax.ShapeDtypeStruct((s, b_pad * geo["ells"]), jnp.float32),
+          jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),
+          jax.ShapeDtypeStruct((1, s), jnp.float32),
+          jax.ShapeDtypeStruct((1, s), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=(None if interpret else pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT)),
+  )(niter, scalars, jnp.asarray(dstk0), eigvec.reshape(1, s),
+    jnp.asarray(pmats), jnp.tile(mblk_cv, (1, tile)),
+    jnp.tile(zmask_cv, (1, tile)), xcv)
+
+  grad_kernel = _unpack_dstk(grad, geo, dictionary.shape)
+  canv = codes.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
+      s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
+  codes_out = canv[:b, :, :geo["code_h"], :geo["code_w"]]
+  return codes_out, grad_kernel, stat[0], v_new[0], eta[0, 0]

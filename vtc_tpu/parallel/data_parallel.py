@@ -268,6 +268,67 @@ def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
   return local_step
 
 
+def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
+                                   update_alg, *, kernel_stride,
+                                   padding, nonneg=False,
+                                   hard_threshold=False,
+                                   renormalize=True,
+                                   lowest_code_val=0.001,
+                                   power_iters=12,
+                                   axis_names=("data",),
+                                   interpret=None):
+  """Convolutional counterpart of build_dp_fused_local_step.
+
+  Each device runs ONE stride-block-space kernel per step -- warm
+  Lipschitz refresh + the whole VMEM-resident conv FISTA solve + its
+  shard's unaveraged block-space update statistics
+  (ops/pallas_conv_train.conv_solve_stats_pallas) -- then the only
+  cross-chip traffic is one psum of (grad_sum, hessian-stat) over ICI
+  and the dictionary update runs replicated from the GLOBAL gradient:
+  sum_shards(grad_sum) / global_b is exactly the single-device
+  masked-residual kernel gradient (reference dict_update_rules/
+  convolutional/sc_cheap_quadratic_descent.py:64-79 semantics:
+  Hessian scaling, THEN Frobenius-norm rescale, per-kernel renorm).
+  Single update iteration (the gradient is evaluated at the step's
+  solve dictionary).
+
+  Signature: local_step(dictionary, hessian, eigvec, batch_shard, sw,
+  inf_num_iters, upd_stepsize) -> (dict, hessian, eigvec, codes).
+  """
+  from vtc_tpu.ops.pallas_conv_train import conv_solve_stats_pallas
+
+  uses_hessian = update_alg == "sc_cheap_quadratic_descent"
+  data_size = int(data_axis_size)
+
+  def local_step(dictionary, hessian, eigvec, batch_shard, sw, n_it,
+                 upd_step):
+    codes, grad_sum, stat, eigvec, _ = conv_solve_stats_pallas(
+        dictionary, eigvec, batch_shard, sw, n_it,
+        kernel_stride=kernel_stride, padding=padding,
+        variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
+        power_iters=power_iters,
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret))
+    global_b = batch_shard.shape[0] * data_size
+    grad = jax.lax.psum(grad_sum, axis_names) / global_b
+    with matmul_precision():
+      if uses_hessian:
+        hessian = 0.99 * hessian + (
+            jax.lax.psum(stat, axis_names) / global_b) / 100.0
+        grad = grad / (hessian + lowest_code_val)[:, None, None, None]
+      grad = grad * (jnp.linalg.norm(dictionary.ravel())
+                     / jnp.maximum(jnp.linalg.norm(grad.ravel()),
+                                   1e-30))
+      new_dict = dictionary - upd_step * grad
+      if renormalize:
+        norms = jnp.sqrt(jnp.sum(new_dict ** 2, axis=(1, 2, 3),
+                                 keepdims=True))
+        new_dict = new_dict / norms
+    return new_dict, hessian, eigvec, codes
+
+  return local_step
+
+
 def build_shard_map_train_step(mesh, mode, inference_alg, update_alg,
                                **config):
   """Explicit shard_map data-parallel fused step (see module docstring).

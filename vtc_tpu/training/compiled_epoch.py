@@ -148,14 +148,17 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
   return run
 
 
-def _dp_fused_segment_runner(local_step, mesh):
+def _dp_fused_segment_runner(local_step, mesh, conv_mode=False):
   """Multi-chip segment with the fused Pallas solver: lax.scan of
-  [one solve+stats kernel per shard -> one psum of (C, B, stat) over
-  ICI -> replicated gram-form update] inside one shard_map.  The warm
+  [one solve+stats kernel per shard -> one psum of the update stats
+  over ICI -> replicated update] inside one shard_map.  The warm
   Lipschitz eigenvector rides the scan carry (replicated -- every
   shard refreshes it identically from the replicated dictionary), so
   multi-chip DP keeps the same warm-tracking stepsize semantics and
-  per-chip kernel speed as the single-chip fused path."""
+  per-chip kernel speed as the single-chip fused path.  fc stats are
+  gram-form (C, B, stat); conv stats are the block-space gradient sum
+  (see parallel.build_dp_fused_local_step /
+  build_dp_conv_fused_local_step)."""
   from jax.sharding import PartitionSpec as P
 
   from vtc_tpu.parallel.mesh import dp_axes
@@ -172,9 +175,11 @@ def _dp_fused_segment_runner(local_step, mesh):
 
   rep = P()
   axes = dp_axes(mesh)
+  batch_spec = (P(None, axes, None, None, None) if conv_mode
+                else P(None, axes, None))
   sharded = jax.shard_map(
       run, mesh=mesh,
-      in_specs=(rep, rep, rep, P(None, axes, None), rep, rep, rep),
+      in_specs=(rep, rep, rep, batch_spec, rep, rep, rep),
       out_specs=(rep, rep, rep), check_vma=False)
   return jax.jit(sharded)
 
@@ -316,18 +321,31 @@ def train_dictionary_scanned(training_batches, validation_batches,
     # (see parallel.build_dp_fused_local_step)
     from vtc_tpu.ops.pallas_train_step import fused_solve_stats_supported
     global_b = training_batches.shape[1]
-    dp_fused = (
+    dp_fused_common = (
         lipschitz_method == "power_warm"
-        and resolved_formulation == "pallas"
-        and mode == "fully-connected"
         and group_assignments is None
         and inference_alg in ("ista", "fista")
         and update_alg in ("sc_steepest_descent",
                            "sc_cheap_quadratic_descent")
-        and global_b % dp_size == 0
-        and fused_solve_stats_supported(
-            global_b // dp_size, init_dictionary.shape[0],
-            training_batches.shape[-1]))
+        and global_b % dp_size == 0)
+    if mode == "fully-connected":
+      dp_fused = (
+          dp_fused_common
+          and resolved_formulation == "pallas"
+          and fused_solve_stats_supported(
+              global_b // dp_size, init_dictionary.shape[0],
+              training_batches.shape[-1]))
+    else:
+      from vtc_tpu.ops.pallas_conv_train import (
+          conv_solve_stats_supported)
+      dp_fused = (
+          dp_fused_common
+          and all_params.get("conv_formulation", "auto") in ("auto",
+                                                             "pallas")
+          and conv_solve_stats_supported(
+              (global_b // dp_size,) + training_batches.shape[2:],
+              init_dictionary.shape, kernel_stride, inference_alg,
+              update_alg))
     if not dp_fused and lipschitz_method == "power_warm":
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
@@ -390,7 +408,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
             all_params.get("subspace_alignment_penalty", 0.0)),
         renormalize=bool(all_params.get("renormalize_dictionary", True)),
         fc_formulation=all_params.get("fc_formulation", "gram"),
-        lipschitz_method=lipschitz_method,
+        # this runner computes the stepsize in-step (no warm carry):
+        # a dp_fused session falling back here (conv upd_num_iters > 1
+        # segments) downgrades warm tracking to plain power iteration
+        lipschitz_method=("power" if lipschitz_method == "power_warm"
+                          else lipschitz_method),
         upd_num_iters=upd_niters_)
 
   def make_step():
@@ -557,29 +579,40 @@ def train_dictionary_scanned(training_batches, validation_batches,
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          if dp_fused:
-            from vtc_tpu.parallel.data_parallel import (
-                build_dp_fused_local_step)
+          dp_fused_now = dp_fused and (
+              mode == "fully-connected" or upd_niters == 1)
+          if dp_fused_now:
             from vtc_tpu.parallel.mesh import dp_axes
             axes = dp_axes(dp_mesh)
             size = 1
             for a in axes:
               size *= dp_mesh.shape[a]
+            common = dict(
+                nonneg=bool(all_params.get("nonnegative_only", False)),
+                hard_threshold=bool(all_params.get("hard_threshold",
+                                                   False)),
+                renormalize=bool(all_params.get(
+                    "renormalize_dictionary", True)),
+                axis_names=axes,
+                # 2 refresh iters is exact-seed-safe: this trainer
+                # always seeds via seed_eigvec and re-seeds after
+                # dictionary jumps (see _fused_segment_runner)
+                power_iters=2)
+            if mode == "convolutional":
+              from vtc_tpu.parallel.data_parallel import (
+                  build_dp_conv_fused_local_step)
+              local = build_dp_conv_fused_local_step(
+                  size, inference_alg, update_alg,
+                  kernel_stride=kernel_stride, padding=padding,
+                  **common)
+            else:
+              from vtc_tpu.parallel.data_parallel import (
+                  build_dp_fused_local_step)
+              local = build_dp_fused_local_step(
+                  size, inference_alg, update_alg,
+                  upd_num_iters=upd_niters, **common)
             runners[key] = _dp_fused_segment_runner(
-                build_dp_fused_local_step(
-                    size, inference_alg, update_alg,
-                    nonneg=bool(all_params.get("nonnegative_only",
-                                               False)),
-                    hard_threshold=bool(all_params.get("hard_threshold",
-                                                       False)),
-                    renormalize=bool(all_params.get(
-                        "renormalize_dictionary", True)),
-                    upd_num_iters=upd_niters, axis_names=axes,
-                    # 2 refresh iters is exact-seed-safe: this trainer
-                    # always seeds via seed_eigvec and re-seeds after
-                    # dictionary jumps (see _fused_segment_runner)
-                    power_iters=2),
-                dp_mesh)
+                local, dp_mesh, mode == "convolutional")
           else:
             runners[key] = _dp_segment_runner(
                 make_dp_local(upd_niters), dp_mesh,
