@@ -286,28 +286,29 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
                  log=lambda *a: None):
   """Convolutional train step at the reference conv config (64 16x16
   kernels, stride 8, 256x256 images + analysis padding -> 33x33 code
-  maps), scanned over `scan_steps` batches resident in HBM."""
+  maps), scanned over `scan_steps` batches resident in HBM -- via the
+  whole-segment fused conv kernel the scanned trainer auto-selects
+  (ops/pallas_conv_train; warm Lipschitz tracking, exact eigenpair
+  seed)."""
   import jax
   import jax.numpy as jnp
 
   from vtc_tpu.ops import conv_shapes
-  from vtc_tpu.training.sparse_coding import build_raw_step_fn
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_conv_train import (
+      fused_conv_train_segment_pallas)
 
   kdim, stride, img, s = 16, (8, 8), 256, 64
   pad = conv_shapes.get_padding_amt(img, kdim, stride[0])
   padding = (pad, pad)
   hw = img + pad[0] + pad[1]
 
-  raw = build_raw_step_fn(
-      "convolutional", "fista", "sc_cheap_quadratic_descent",
-      kernel_stride=stride, padding=padding)
-  step = jax.jit(raw, static_argnames=())
-
   rng = np.random.RandomState(0)
   d0 = rng.randn(s, 1, kdim, kdim).astype(np.float32)
   d0 /= np.sqrt((d0 ** 2).sum(axis=(1, 2, 3), keepdims=True))
   d = jnp.asarray(d0)
   h = jnp.full((s,), 0.01, jnp.float32)
+  _, v = lip.top_gram_eigenpair(d.reshape(s, -1))
   key = jax.random.PRNGKey(0)
   data = 0.3 * jax.random.normal(
       key, (scan_steps, batch_size, 1, hw, hw), jnp.float32)
@@ -315,25 +316,21 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
   data = data * mask  # zero the analysis-padding border like real input
   float(jnp.sum(data))  # materialize before timing
 
-  args = (jnp.float32(0.05), jnp.int32(FISTA_ITERS), jnp.float32(0.05),
-          1, jnp.float32(0.0))
-
-  @jax.jit
-  def epoch(dd, hh, batches):
-    def body(carry, batch):
-      d_, h_ = carry
-      d_, h_, _ = step(d_, h_, batch, *args)
-      return (d_, h_), ()
-    return jax.lax.scan(body, (dd, hh), batches)[0]
+  def epoch(dd, hh, vv):
+    out = fused_conv_train_segment_pallas(
+        dd, hh, vv, data, jnp.float32(0.05), jnp.int32(FISTA_ITERS),
+        jnp.float32(0.05), kernel_stride=stride, padding=padding,
+        power_iters=2)
+    return out[:3]
 
   t0 = time.time()
-  st = epoch(d, h, data)
+  st = epoch(d, h, v)
   float(jnp.sum(st[0]))
   log(f"conv b={batch_size}: compile+first call {time.time() - t0:.1f}s")
 
   def run_once(state):
-    dd, hh = state if state is not None else st
-    return epoch(dd, hh, data)
+    dd, hh, vv = state if state is not None else st
+    return epoch(dd, hh, vv)
 
   dt = _timed_best_of_two(run_once, timed_calls,
                           lambda s_: float(jnp.sum(s_[0])))
