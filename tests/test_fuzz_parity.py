@@ -157,3 +157,70 @@ def test_fc_updates_random_configs(seed):
   got = np.asarray(sc_cheap_quadratic_descent.run(
       x, d, codes, hess, step, iters))
   np.testing.assert_allclose(got, ref, atol=TOL, rtol=TOL)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fused_conv_segment_random_geometry(seed):
+  """Whole-segment fused conv trainer vs the composed XLA path across
+  random divisible geometries (stride == kernel so the flat-kernel
+  Lipschitz is exact and the comparison is strict; overlapping
+  geometries are covered by tests/test_pallas_conv_train.py with
+  scale-aware bounds)."""
+  import jax.numpy as jnp
+  from vtc_tpu.ops import conv_shapes
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_conv_train import (
+      fused_conv_segment_supported, fused_conv_train_segment_pallas)
+  from vtc_tpu.training import sparse_coding as sc
+
+  rng = np.random.RandomState(400 + seed)
+  k = int(rng.randint(1, 4))
+  b = int(rng.randint(1, 6))
+  c = int(rng.randint(1, 3))
+  stride = int(rng.choice([2, 3, 4]))
+  kdim = stride
+  # s <= R*cpx keeps the (s, s) flat-kernel Gram the smaller one (the
+  # fused kernel's supported() gate)
+  s = int(rng.randint(3, max(4, c * stride * stride + 1)))
+  img = stride * int(rng.randint(3, 8))
+  variant = ("ista", "fista")[seed % 2]
+  update_alg = ("sc_steepest_descent",
+                "sc_cheap_quadratic_descent")[seed % 2]
+  upd_niters = int(rng.randint(1, 3))
+  lam = float(rng.uniform(0.02, 0.2))
+  iters = int(rng.randint(1, 15))
+
+  pad = conv_shapes.get_padding_amt(img, kdim, stride)
+  padding = (pad, pad)
+  height = img + pad[0] + pad[1]
+  d = rng.randn(s, c, kdim, kdim).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  x = np.zeros((k, b, c, height, height), np.float32)
+  x[:, :, :, pad[0]:height - pad[1], pad[0]:height - pad[1]] = (
+      0.3 * rng.randn(k, b, c, img, img))
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v = rng.randn(min(s, c * kdim * kdim)).astype(np.float32)
+  if not fused_conv_segment_supported(
+      x.shape[1:], d.shape, (stride, stride), variant, update_alg,
+      upd_num_iters=upd_niters):
+    pytest.skip("geometry not covered by the fused kernel")
+
+  raw = sc.build_raw_step_fn(
+      "convolutional", variant, update_alg,
+      kernel_stride=(stride, stride), padding=padding,
+      conv_formulation="gram", compute_stepsize_in_step=False)
+  dd, hh, vv = jnp.asarray(d), jnp.asarray(h), jnp.asarray(v)
+  for batch in x:
+    eigval, vv = lip.power_iterate(dd.reshape(s, -1), vv, num_iters=2)
+    dd, hh, codes = raw(dd, hh, jnp.asarray(batch), jnp.float32(lam),
+                        jnp.int32(iters), jnp.float32(0.05),
+                        upd_niters, 1.0 / eigval)
+
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, lam, iters, 0.05, kernel_stride=(stride, stride),
+      padding=padding, variant=variant, update_alg=update_alg,
+      upd_num_iters=upd_niters, power_iters=2, interpret=True)
+  for w, g, name in zip((dd, hh, vv, codes), got,
+                        ["dict", "hessian", "eigvec", "codes"]):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=TOL,
+                               rtol=TOL, err_msg=name)

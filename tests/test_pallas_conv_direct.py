@@ -134,3 +134,26 @@ def test_block_update_formulation_matches_gram(rng, update_alg):
                             stepsize=0.05, num_iters=3, formulation=f)
   np.testing.assert_allclose(np.asarray(run("block")),
                              np.asarray(run("gram")), atol=1e-5)
+
+
+def test_in_kernel_early_stopping_matches_gram(rng):
+  """formulation='pallas' + early_stopping_epsilon runs the in-kernel
+  while_loop (no gram downgrade) when the batch fits one tile, and the
+  stop trajectory matches the XLA gram path for a mid-run-triggering
+  eps and a never-triggering eps."""
+  from vtc_tpu.ops.pallas_conv_direct import early_stop_supported
+
+  x, d, padding, step = _setup(rng, 4, 6, 1, 4, 2, 12)
+  assert early_stop_supported(x.shape, d.shape, (2, 2))
+  # 0.2x damping: the flat-kernel L underestimates the overlapping
+  # conv operator's on random data, and a divergent FISTA would compare
+  # at meaningless scale (see tests/test_pallas_conv_train._assert_close)
+  for eps in (3e-2, 1e-12):
+    want = np.asarray(ista_fista.run(
+        x, d, (2, 2), padding, 0.02, 15, stepsize=0.2 * step,
+        early_stopping_epsilon=eps, formulation="gram"))
+    got = np.asarray(ista_fista.run(
+        x, d, (2, 2), padding, 0.02, 15, stepsize=0.2 * step,
+        early_stopping_epsilon=eps, formulation="pallas"))
+    np.testing.assert_allclose(got, want, atol=1e-4,
+                               err_msg=f"eps={eps}")

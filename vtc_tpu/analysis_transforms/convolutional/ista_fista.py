@@ -99,8 +99,9 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
       image-space fold/unfold in the hot loop; ops/conv_gram.py),
       'direct' (the reference's literal synthesize/mask/analyze
       iteration), or 'pallas' (fused VMEM-resident kernel,
-      ops/pallas_conv_fista.py -- fastest at small batches; early
-      stopping falls back to 'gram').
+      ops/pallas_conv_direct.py / pallas_conv_fista.py -- fastest;
+      early stopping runs in-kernel when the batch fits one VMEM
+      tile, else falls back to 'gram').
 
   Returns:
     (b, s, sh, sw) float32 codes.
@@ -114,22 +115,30 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
     flat_kernels = dictionary.reshape(dictionary.shape[0], -1)
     stepsize = lipschitz_ops.fista_stepsize(flat_kernels, lipschitz_method)
   if formulation == "pallas":
+    padding_static = (None if padding_dims is None else
+                      tuple(tuple(int(x) for x in p)
+                            for p in padding_dims))
+    from vtc_tpu.ops import pallas_conv_direct
+    if pallas_conv_direct.supported(images_padded.shape,
+                                    dictionary.shape, kernel_stride) and (
+        early_stopping_epsilon is None
+        or pallas_conv_direct.early_stop_supported(
+            images_padded.shape, dictionary.shape, kernel_stride)):
+      # block-matmul direct kernel: deep-contraction matmuls, no
+      # border corrections (fastest; needs kernel % stride == 0).
+      # Early stopping runs as an in-kernel while_loop on the
+      # batch-global mean |delta|/eta when the batch fits one tile.
+      return pallas_conv_direct.conv_direct_solve_pallas(
+          images_padded, dictionary, sparsity_weight, num_iters,
+          stepsize, kernel_stride=kernel_stride,
+          padding=padding_static, initial_codes=initial_codes,
+          variant=variant, nonneg=bool(nonnegative_only),
+          hard=bool(hard_threshold),
+          early_stopping_epsilon=(
+              None if early_stopping_epsilon is None
+              else float(early_stopping_epsilon)),
+          interpret=jax.default_backend() != "tpu")
     if early_stopping_epsilon is None:
-      padding_static = (None if padding_dims is None else
-                        tuple(tuple(int(x) for x in p)
-                              for p in padding_dims))
-      from vtc_tpu.ops import pallas_conv_direct
-      if pallas_conv_direct.supported(images_padded.shape,
-                                      dictionary.shape, kernel_stride):
-        # block-matmul direct kernel: deep-contraction matmuls, no
-        # border corrections (fastest; needs kernel % stride == 0)
-        return pallas_conv_direct.conv_direct_solve_pallas(
-            images_padded, dictionary, sparsity_weight, num_iters,
-            stepsize, kernel_stride=kernel_stride,
-            padding=padding_static, initial_codes=initial_codes,
-            variant=variant, nonneg=bool(nonnegative_only),
-            hard=bool(hard_threshold),
-            interpret=jax.default_backend() != "tpu")
       from vtc_tpu.ops.pallas_conv_fista import conv_fista_solve_pallas
       return conv_fista_solve_pallas(
           images_padded, dictionary, sparsity_weight, num_iters, stepsize,
@@ -137,7 +146,8 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
           initial_codes=initial_codes, variant=variant,
           nonneg=bool(nonnegative_only), hard=bool(hard_threshold),
           interpret=jax.default_backend() != "tpu")
-    # early stopping needs the cross-tile mean test: XLA gram path
+    # early stopping across batch tiles needs the cross-tile mean
+    # test: XLA gram path
     formulation = "gram"
   sh, sw = code_spatial_dims(
       images_padded.shape, dictionary.shape, kernel_stride)

@@ -220,7 +220,8 @@ def dictionary_gradient_from_block_stats(stats, dictionary):
   return _unpack_dstk(grad_dstk, geo, stats["kernel_shape"])
 
 
-def _make_kernel(variant, nonneg, hard, geo, batch_tile):
+def _make_kernel(variant, nonneg, hard, geo, batch_tile,
+                 early_eps=None, inv_count=None):
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
@@ -275,26 +276,65 @@ def _make_kernel(variant, nonneg, hard, geo, batch_tile):
       return codes, codes, t_k
 
     init = init_ref[:]
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule (convolutional/ista_fista.py via
+      # ops/solver.py): mean |codes - old_codes| / eta < eps after the
+      # first iteration.  The mean uses the REAL element count
+      # (b * s * code_h * code_w); spare/halo canvas positions and
+      # padded samples hold exact zeros through every iteration, so
+      # the canvas-wide sum equals the real sum.  Exact only when the
+      # whole batch lives in ONE grid tile (the caller gates).
+      def stop_cond(carry):
+        k, _, _, _, _, stop = carry
+        return jnp.logical_and(k < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        k, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = body(None, (z, old, t_k))
+        avg_delta = (jnp.sum(jnp.abs(codes - old)) * inv_count) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, k > 0)
+        return k + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     out_ref[:] = codes
 
   return kernel
 
 
+def early_stop_supported(img_shape, dict_shape, kernel_stride):
+  """True when the in-kernel early-stopping while_loop is exact: the
+  whole batch fits ONE grid tile (the batch-global mean cannot be
+  computed across tiles)."""
+  if not supported(img_shape, dict_shape, kernel_stride):
+    return False
+  geo = _geometry(img_shape, dict_shape, kernel_stride)
+  tile = _pick_batch_tile(img_shape[0], geo)
+  return tile is not None and tile >= img_shape[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_stride", "padding", "variant", "nonneg",
-                     "hard", "batch_tile", "interpret"))
+                     "hard", "batch_tile", "early_stopping_epsilon",
+                     "interpret"))
 def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
                              num_iters, stepsize, *, kernel_stride,
                              padding, initial_codes=None,
                              variant="fista", nonneg=False, hard=False,
-                             batch_tile=None, interpret=False):
+                             batch_tile=None,
+                             early_stopping_epsilon=None,
+                             interpret=False):
   """Conv LASSO codes via the fused direct-formulation kernel.
 
   Same contract as ops/pallas_conv_fista.conv_fista_solve_pallas; the
-  caller must check ``supported()`` first (geometry gate).
+  caller must check ``supported()`` first (geometry gate), and
+  ``early_stop_supported()`` when passing early_stopping_epsilon.
   """
   b = images_padded.shape[0]
   geo = _geometry(images_padded.shape, dictionary.shape, kernel_stride)
@@ -304,6 +344,9 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
   batch_tile = min(batch_tile, b)
   b_pad = -(-b // batch_tile) * batch_tile
   tl = batch_tile * geo["ells"]
+  if early_stopping_epsilon is not None:
+    assert b_pad == batch_tile, (
+        "in-kernel early stopping needs the whole batch in one tile")
 
   with matmul_precision():
     # the b-term A(mask * X) is computed inside the kernel from the
@@ -329,8 +372,11 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
       [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta])
   niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
 
-  kernel = _make_kernel(variant, bool(nonneg), bool(hard), geo,
-                        batch_tile)
+  kernel = _make_kernel(
+      variant, bool(nonneg), bool(hard), geo, batch_tile,
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)),
+      inv_count=1.0 / (b * s * geo["code_h"] * geo["code_w"]))
   grid = (b_pad // batch_tile,)
   bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0))
   tile_spec = lambda rows: pl.BlockSpec((rows, tl), lambda i, *_: (0, i))
