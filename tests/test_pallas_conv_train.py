@@ -213,3 +213,28 @@ def test_conv_solve_stats_matches_pieces(rng):
 
   stat_want = np.asarray(codes_want ** 2).sum(axis=(2, 3)).sum(axis=0)
   _assert_close(stat, stat_want, 2e-5, "stat")
+
+
+def test_fused_conv_segment_tiled_multi_update_gram_form(rng):
+  """Batch-tiled + upd_num_iters > 1: with a stride-block-uniform mask
+  the tiles accumulate gram-form stats (C_m, B_x) and the last tile
+  runs EXACT multi-iteration updates -- must match the composed path
+  and the supported() gate must accept the combination."""
+  d, h, v, x, strides, padding = _problem(rng, k=2, b=5)
+  assert all(p % strides[0] == 0 for pair in padding for p in pair)
+  assert fused_conv_segment_supported(
+      x.shape[1:], d.shape, strides, "fista",
+      "sc_cheap_quadratic_descent", upd_num_iters=3, padding=padding)
+  # without padding info the combination is conservatively rejected
+  # only when the batch actually tiles; at this size the whole batch
+  # fits one tile, so force tiling via batch_tile in the call below
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 10,
+                            0.1, 3, "fista",
+                            "sc_cheap_quadratic_descent")
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 10, 0.1, kernel_stride=strides,
+      padding=padding, upd_num_iters=3, power_iters=2, batch_tile=2,
+      interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, 1e-4, name)

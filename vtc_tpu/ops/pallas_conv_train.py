@@ -43,10 +43,14 @@ Per-kernel reductions over the packed (cpx, R*s) dictionary layout
 
 Batch tiling (grid (step, tile)): the kernel gradient is additive over
 batch tiles, so tiles accumulate `grad` / the Hessian statistic in VMEM
-scratch and the step's LAST tile applies the update.  Because the
-accumulated gradient is evaluated at the step's initial dictionary,
-the tiled variant requires upd_num_iters == 1 (the trainer's default;
-`fused_conv_segment_supported` gates this).
+scratch and the step's LAST tile applies the update.  With
+upd_num_iters == 1 the gradient accumulates directly (any mask); with
+more iterations and a stride-block-uniform mask (the reference
+config's padding is stride-aligned) the tiles instead accumulate the
+gram-form stats C_m = (Z o m) Z^T and B_x = X Z^T, whose recombination
+(D' C_m - B_x)/b is the exact gradient at ANY dictionary -- so the
+last tile runs exact multi-iteration updates
+(`fused_conv_segment_supported` gates the combination).
 """
 import functools
 
@@ -116,11 +120,29 @@ def _pick_tile(b, geo):
   return tile, -(-b // tile)
 
 
+def _mask_block_uniform(padding, kernel_stride):
+  """True when the padding mask is constant within every stride block
+  (each padding amount is a multiple of the corresponding stride), so
+  the mask factors as 1_cpx (x) m_lanes and the masked gradient has an
+  exact gram form (D' Zm Z^T)."""
+  if padding is None:
+    return True
+  (pv0, pv1), (ph0, ph1) = padding
+  sv, sh_ = kernel_stride
+  return (pv0 % sv == 0 and pv1 % sv == 0
+          and ph0 % sh_ == 0 and ph1 % sh_ == 0)
+
+
 def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
                                  inference_alg, update_alg, *,
                                  group_assignments=None,
-                                 upd_num_iters=1):
-  """True when `fused_conv_train_segment_pallas` covers this config."""
+                                 upd_num_iters=1, padding=None):
+  """True when `fused_conv_train_segment_pallas` covers this config.
+
+  ``padding`` (optional) enables the batch-tiled + upd_num_iters > 1
+  combination when the mask is stride-block-uniform (the reference
+  config's padding is stride-aligned); without it that combination is
+  conservatively rejected."""
   if group_assignments is not None:
     return False
   if inference_alg not in ("ista", "fista"):
@@ -137,9 +159,13 @@ def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
   tile, num_tiles = _pick_tile(img_shape[0], geo)
   if tile is None:
     return False
-  # tiled gradient accumulation is evaluated at the step's initial
-  # dictionary: exact only for a single update iteration
-  return num_tiles == 1 or int(upd_num_iters) == 1
+  if num_tiles == 1 or int(upd_num_iters) == 1:
+    return True
+  # batch-tiled + multi-iteration updates need the gram-form
+  # accumulators (C_m = Zm Z^T, B_x = X Z^T), exact only for a
+  # block-uniform mask
+  return padding is not None and _mask_block_uniform(
+      tuple(tuple(int(x) for x in p) for p in padding), kernel_stride)
 
 
 def _selection_matrices(geo):
@@ -239,7 +265,8 @@ def _power_refresh(dallv, v_ref, power_iters):
 
 def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
-                         lowest_code_val, geo, batch_tile, num_tiles):
+                         lowest_code_val, geo, batch_tile, num_tiles,
+                         gram_update=False):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
@@ -249,7 +276,7 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
              d_out, h_out, v_out, codes_out,
-             stack, gradacc, statacc, eta_ref):
+             stack, gradacc, statacc, eta_ref, cmacc):
     step = pl.program_id(0)
     tile = pl.program_id(1) if multi else None
 
@@ -274,6 +301,8 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
       if multi:
         gradacc[:] = jnp.zeros_like(gradacc)
         statacc[:] = jnp.zeros_like(statacc)
+        if gram_update:
+          cmacc[:] = jnp.zeros_like(cmacc)
 
     if multi:
       pl.when(tile == 0)(refresh)
@@ -295,11 +324,11 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
     ones_row = jnp.ones((1, tl), jnp.float32)
     stat = _dot_t(ones_row, codes * codes)           # (1, s) spatial sum
 
-    def finish(stat_sum, grad_at_init):
+    def finish(stat_sum, grad_fn):
       """Hessian EMA + update iterations (runs on the step's last
-      tile; grad_at_init is None in the single-tile variant, which
-      recomputes the gradient at the CURRENT dictionary each
-      iteration -- exact multi-iteration semantics)."""
+      tile).  grad_fn(d) is the masked-residual block-space gradient
+      at dictionary d -- exact multi-iteration semantics except the
+      grad-at-init accumulation variant (constant grad_fn)."""
       if uses_hessian:
         hessian = 0.99 * h_out[:] + (stat_sum * inv_b) / 100.0
         h_out[:] = hessian
@@ -307,11 +336,7 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
         scale_row = _dot(recip, selt_ref[:])         # (1, R*s)
 
       def update_body(_, d):
-        if grad_at_init is None:
-          img2 = _dot(d, zstack) * mblk
-          grad = _dot_t(img2 - xcv, zstack) * inv_b  # (cpx, R*s)
-        else:
-          grad = grad_at_init * inv_b
+        grad = grad_fn(d)
         if uses_hessian:
           grad = grad * scale_row
         # dimensionless stepsize (reference sc_steepest_descent.py:68):
@@ -331,15 +356,32 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
       d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body, dstk)
 
     if multi:
-      img2 = _dot(dstk, zstack) * mblk
-      gradacc[:] = gradacc[:] + _dot_t(img2 - xcv, zstack)
       statacc[:] = statacc[:] + stat
+      if gram_update:
+        # gram-form accumulators (block-uniform mask: M = 1_cpx (x) m,
+        # so (D'Z o M) Z^T = D' (Z o m) Z^T): grad at ANY dictionary
+        # D' is (D' C_m - B_x)/b, enabling exact multi-iteration
+        # updates on the last tile
+        m_row = mblk[0:1, :]
+        cmacc[:] = cmacc[:] + _dot_t(zstack * m_row, zstack)
+        gradacc[:] = gradacc[:] + _dot_t(xcv, zstack)  # B_x
 
-      @pl.when(tile == num_tiles - 1)
-      def _():
-        finish(statacc[:], gradacc[:])
+        @pl.when(tile == num_tiles - 1)
+        def _():
+          cm, bx = cmacc[:], gradacc[:]
+          finish(statacc[:],
+                 lambda d: (_dot(d, cm) - bx) * inv_b)
+      else:
+        img2 = _dot(dstk, zstack) * mblk
+        gradacc[:] = gradacc[:] + _dot_t(img2 - xcv, zstack)
+
+        @pl.when(tile == num_tiles - 1)
+        def _():
+          g0 = gradacc[:] * inv_b
+          finish(statacc[:], lambda d: g0)
     else:
-      finish(stat, None)
+      finish(stat, lambda d: _dot_t(_dot(d, zstack) * mblk - xcv,
+                                    zstack) * inv_b)
 
   return kernel
 
@@ -428,7 +470,10 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
   else:
     tile, num_tiles = _pick_tile(b, geo)
   assert tile is not None, "caller must check fused_conv_segment_supported"
-  assert num_tiles == 1 or upd_num_iters == 1
+  gram_update = (num_tiles > 1 and upd_num_iters > 1)
+  assert not gram_update or _mask_block_uniform(padding, kernel_stride), (
+      "batch-tiled multi-iteration updates need a stride-block-uniform "
+      "mask (caller must check fused_conv_segment_supported)")
   b_pad = tile * num_tiles
   tl = tile * geo["ells"]
   uses_hessian = update_alg == "sc_cheap_quadratic_descent"
@@ -453,7 +498,8 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
 
   kernel = _make_segment_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
-      power_iters, lowest_code_val, geo, tile, num_tiles)
+      power_iters, lowest_code_val, geo, tile, num_tiles,
+      gram_update=gram_update)
   grid = (k,) if num_tiles == 1 else (k, num_tiles)
   if num_tiles == 1:
     bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(
@@ -492,9 +538,11 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
           ],
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
-              pltpu.VMEM(dstk0.shape, jnp.float32),     # gradacc
+              pltpu.VMEM(dstk0.shape, jnp.float32),     # gradacc / B_x
               pltpu.VMEM((1, s), jnp.float32),          # statacc
               pltpu.SMEM((1,), jnp.float32),            # eta
+              pltpu.VMEM((geo["r"] * s, geo["r"] * s),
+                         jnp.float32),                  # C_m accumulator
           ]),
       out_shape=[
           jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),

@@ -369,7 +369,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
           training_batches.shape[1:], dictionary.shape, kernel_stride,
           inference_alg, update_alg,
           group_assignments=group_assignments,
-          upd_num_iters=upd_niters_)
+          upd_num_iters=upd_niters_, padding=padding)
     if not (resolved_formulation == "pallas"
             and mode == "fully-connected"):
       return False
