@@ -305,3 +305,52 @@ def test_dp_conv_fused_segment_matches_single_chip_fused(rng):
     np.testing.assert_allclose(
         np.asarray(g), w, rtol=2e-5,
         atol=2e-5 * max(1.0, float(np.abs(w).max())), err_msg=name)
+
+
+def test_dp_conv_fused_multi_update_matches_single_chip(rng):
+  """Conv fused-DP with upd_num_iters > 1: shards psum the gram-form
+  (C_m, B_x) stats and run exact multi-iteration replicated updates --
+  must match the single-chip whole-segment conv kernel (which uses the
+  same gram-form accumulators when batch-tiled)."""
+  from vtc_tpu.ops import conv_shapes
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_conv_train import (
+      fused_conv_train_segment_pallas)
+  from vtc_tpu.parallel.data_parallel import (
+      build_dp_conv_fused_local_step)
+  from vtc_tpu.training.compiled_epoch import _dp_fused_segment_runner
+
+  k, b, s, c, kdim, stride, img = 2, 8, 8, 1, 4, 2, 12
+  pad = conv_shapes.get_padding_amt(img, kdim, stride)
+  padding = (pad, pad)
+  assert all(p % stride == 0 for p in pad)
+  height = img + pad[0] + pad[1]
+  d0 = rng.randn(s, c, kdim, kdim).astype(np.float32)
+  d0 /= np.sqrt((d0 ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  x = np.zeros((k, b, c, height, height), np.float32)
+  x[:, :, :, pad[0]:height - pad[1], pad[0]:height - pad[1]] = (
+      0.3 * rng.randn(k, b, c, img, img))
+  hess0 = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  _, v0 = lip.top_gram_eigenpair(jnp.asarray(d0).reshape(s, -1))
+
+  want = fused_conv_train_segment_pallas(
+      jnp.asarray(d0), jnp.asarray(hess0), v0, jnp.asarray(x),
+      jnp.float32(0.05), jnp.int32(10), jnp.float32(0.1),
+      kernel_stride=(stride, stride), padding=padding,
+      upd_num_iters=3, power_iters=2, interpret=True)
+
+  mesh = parallel.make_mesh(data=8)
+  runner = _dp_fused_segment_runner(
+      build_dp_conv_fused_local_step(
+          8, "fista", "sc_cheap_quadratic_descent",
+          kernel_stride=(stride, stride), padding=padding,
+          upd_num_iters=3, power_iters=2),
+      mesh, conv_mode=True)
+  got = runner(jnp.asarray(d0), jnp.asarray(hess0), v0,
+               jnp.asarray(x), jnp.float32(0.05), jnp.int32(10),
+               jnp.float32(0.1))
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec"]):
+    w = np.asarray(w)
+    np.testing.assert_allclose(
+        np.asarray(g), w, rtol=2e-5,
+        atol=2e-5 * max(1.0, float(np.abs(w).max())), err_msg=name)

@@ -569,18 +569,25 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
 
 
 def conv_solve_stats_supported(img_shape, dict_shape, kernel_stride,
-                               inference_alg, update_alg):
+                               inference_alg, update_alg, *,
+                               upd_num_iters=1, padding=None):
   """True when `conv_solve_stats_pallas` covers this configuration
-  (the DP local step; gradient accumulation is always tile-exact here
-  because the update runs OUTSIDE the kernel at upd_num_iters
-  semantics of the caller's choosing against the psum'd gradient)."""
-  return fused_conv_segment_supported(
+  (the DP local step).  upd_num_iters == 1 always works (the psum'd
+  gradient is exact at the solve dictionary); more iterations need
+  the gram-form stats, i.e. a stride-block-uniform mask."""
+  if not fused_conv_segment_supported(
       img_shape, dict_shape, kernel_stride, inference_alg, update_alg,
-      upd_num_iters=1)
+      upd_num_iters=1):
+    return False
+  if int(upd_num_iters) == 1:
+    return True
+  return padding is not None and _mask_block_uniform(
+      tuple(tuple(int(x) for x in p) for p in padding),
+      tuple(int(x) for x in kernel_stride))
 
 
 def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
-                       batch_tile, num_tiles):
+                       batch_tile, num_tiles, emit_gram=False):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
@@ -588,7 +595,7 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
 
   def kernel(niter_ref, scalars_ref, dstk_ref, v_ref, p_ref, mblk_ref,
              zmask_ref, xcv_ref,
-             codes_out, grad_out, stat_out, v_out, eta_out,
+             codes_out, grad_out, stat_out, v_out, eta_out, cm_out,
              stack, eta_ref):
     tile = pl.program_id(0)
     num_iters = niter_ref[0]
@@ -605,6 +612,8 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
       eta_out[0, 0] = eta
       grad_out[:] = jnp.zeros_like(grad_out)
       stat_out[:] = jnp.zeros_like(stat_out)
+      if emit_gram:
+        cm_out[:] = jnp.zeros_like(cm_out)
 
     eta = eta_ref[0]
     xcv = xcv_ref[:]
@@ -614,14 +623,22 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
                        num_iters, stack)
     codes_out[:] = codes
 
-    # this tile's UNAVERAGED block-space gradient + Hessian statistic
-    # (additive over tiles AND over DP shards: the caller psums then
-    # divides by the global batch)
+    # this tile's UNAVERAGED block-space update statistics (additive
+    # over tiles AND over DP shards: the caller psums then divides by
+    # the global batch)
     for i, roll in enumerate(rolls):
       stack[i * s:(i + 1) * s, :] = pltpu.roll(codes, roll % tl, 1)
     zstack = stack[0:r * s, :]
-    img = _dot(dstk, zstack) * mblk
-    grad_out[:] = grad_out[:] + _dot_t(img - xcv, zstack)
+    if emit_gram:
+      # gram form (block-uniform mask): C_m = (Z o m) Z^T and
+      # B_x = X Z^T -- grad at ANY D' is (D' C_m - B_x)/b, so the
+      # caller can run multi-iteration updates after the psum
+      m_row = mblk[0:1, :]
+      cm_out[:] = cm_out[:] + _dot_t(zstack * m_row, zstack)
+      grad_out[:] = grad_out[:] + _dot_t(xcv, zstack)  # B_x
+    else:
+      img = _dot(dstk, zstack) * mblk
+      grad_out[:] = grad_out[:] + _dot_t(img - xcv, zstack)
     ones_row = jnp.ones((1, tl), jnp.float32)
     stat_out[:] = stat_out[:] + _dot_t(ones_row, codes * codes)
 
@@ -631,21 +648,33 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
 def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                             inf_num_iters, *, kernel_stride, padding,
                             variant="fista", nonneg=False, hard=False,
-                            power_iters=12, interpret=False):
+                            power_iters=12, gram_stats=False,
+                            interpret=False):
   """One fused kernel: warm Lipschitz refresh + the whole conv FISTA
   solve + this batch's (shard's) block-space update statistics.
 
-  Returns (codes (b, s, ch, cw), grad_sum (s, c, kh, kw), stat (s,),
-  new_eigvec (s,), eta).  `grad_sum` is the UNAVERAGED masked-residual
-  kernel gradient summed over this batch; the full-batch gradient at
-  the solve dictionary is exactly sum_shards(grad_sum) / global_b, so
-  a data-parallel caller psums (grad_sum, stat) once per step and runs
-  the update replicated (ops/pallas_train_step.fused_solve_stats_pallas
-  is the fc counterpart).
+  With ``gram_stats=False`` returns (codes (b, s, ch, cw),
+  grad_sum (s, c, kh, kw), stat (s,), new_eigvec (s,), eta):
+  `grad_sum` is the UNAVERAGED masked-residual kernel gradient summed
+  over this batch; the full-batch gradient at the solve dictionary is
+  exactly sum_shards(grad_sum) / global_b, so a data-parallel caller
+  psums (grad_sum, stat) once per step and runs a single update
+  replicated (ops/pallas_train_step.fused_solve_stats_pallas is the
+  fc counterpart).
+
+  With ``gram_stats=True`` (needs a stride-block-uniform mask, see
+  `_mask_block_uniform`) returns (codes, bx (cpx, R*s),
+  cm (R*s, R*s), stat, new_eigvec, eta) in PACKED block space: the
+  gradient at ANY dictionary D' is
+  (_pack_weights(D')[0] @ sum(cm) - sum(bx)) / global_b, enabling
+  multi-iteration replicated updates after the psum.
   """
   kernel_stride = tuple(int(x) for x in kernel_stride)
   padding_static = (None if padding is None else
                     tuple(tuple(int(x) for x in p) for p in padding))
+  if gram_stats:
+    assert _mask_block_uniform(padding_static, kernel_stride), (
+        "gram_stats needs a stride-block-uniform mask")
   return _conv_solve_stats_impl(
       jnp.asarray(dictionary, jnp.float32),
       jnp.asarray(eigvec, jnp.float32),
@@ -654,17 +683,18 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
       jnp.asarray(inf_num_iters, jnp.int32),
       kernel_stride=kernel_stride, padding=padding_static,
       variant=variant, nonneg=bool(nonneg), hard=bool(hard),
-      power_iters=int(power_iters), interpret=bool(interpret))
+      power_iters=int(power_iters), gram_stats=bool(gram_stats),
+      interpret=bool(interpret))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_stride", "padding", "variant", "nonneg",
-                     "hard", "power_iters", "interpret"))
+                     "hard", "power_iters", "gram_stats", "interpret"))
 def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
                            inf_num_iters, *, kernel_stride, padding,
                            variant, nonneg, hard, power_iters,
-                           interpret):
+                           gram_stats, interpret):
   b = batch.shape[0]
   img_shape = batch.shape
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -689,12 +719,12 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
   niter = inf_num_iters.reshape(1)
 
   kernel = _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
-                              tile, num_tiles)
+                              tile, num_tiles, emit_gram=gram_stats)
   bcast = lambda shape: pl.BlockSpec(shape, lambda j, *_: (0,) *
                                      len(shape))
   tile_spec = lambda rows: pl.BlockSpec((rows, tl),
                                         lambda j, *_: (0, j))
-  codes, grad, stat, v_new, eta = pl.pallas_call(
+  codes, grad, stat, v_new, eta, cm = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=2,
@@ -713,6 +743,7 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
               bcast((1, s)),
               bcast((1, s)),
               bcast((1, 1)),
+              bcast((geo["r"] * s, geo["r"] * s)),
           ],
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
@@ -724,6 +755,8 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
           jax.ShapeDtypeStruct((1, s), jnp.float32),
           jax.ShapeDtypeStruct((1, s), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
+          jax.ShapeDtypeStruct((geo["r"] * s, geo["r"] * s),
+                               jnp.float32),
       ],
       interpret=interpret,
       compiler_params=(None if interpret else pltpu.CompilerParams(
@@ -732,8 +765,10 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
     jnp.asarray(pmats), jnp.tile(mblk_cv, (1, tile)),
     jnp.tile(zmask_cv, (1, tile)), xcv)
 
-  grad_kernel = _unpack_dstk(grad, geo, dictionary.shape)
   canv = codes.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
       s, b_pad, geo["rc"], geo["wc"]).transpose(1, 0, 2, 3)
   codes_out = canv[:b, :, :geo["code_h"], :geo["code_w"]]
+  if gram_stats:
+    return codes_out, grad, cm, stat[0], v_new[0], eta[0, 0]
+  grad_kernel = _unpack_dstk(grad, geo, dictionary.shape)
   return codes_out, grad_kernel, stat[0], v_new[0], eta[0, 0]

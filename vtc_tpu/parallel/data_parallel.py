@@ -273,6 +273,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
                                    padding, nonneg=False,
                                    hard_threshold=False,
                                    renormalize=True,
+                                   upd_num_iters=1,
                                    lowest_code_val=0.001,
                                    power_iters=12,
                                    axis_names=("data",),
@@ -283,47 +284,76 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
   Lipschitz refresh + the whole VMEM-resident conv FISTA solve + its
   shard's unaveraged block-space update statistics
   (ops/pallas_conv_train.conv_solve_stats_pallas) -- then the only
-  cross-chip traffic is one psum of (grad_sum, hessian-stat) over ICI
-  and the dictionary update runs replicated from the GLOBAL gradient:
-  sum_shards(grad_sum) / global_b is exactly the single-device
-  masked-residual kernel gradient (reference dict_update_rules/
+  cross-chip traffic is one psum of the stats over ICI and the
+  dictionary update runs replicated (reference dict_update_rules/
   convolutional/sc_cheap_quadratic_descent.py:64-79 semantics:
   Hessian scaling, THEN Frobenius-norm rescale, per-kernel renorm).
-  Single update iteration (the gradient is evaluated at the step's
-  solve dictionary).
+  With upd_num_iters == 1 the psum'd quantity is the gradient itself
+  (exact at the solve dictionary, any mask); with more iterations the
+  shards psum the gram-form stats (C_m, B_x) -- requires a
+  stride-block-uniform mask -- and every iteration's gradient is the
+  exact (D' C_m - B_x)/global_b recombination.
 
   Signature: local_step(dictionary, hessian, eigvec, batch_shard, sw,
   inf_num_iters, upd_stepsize) -> (dict, hessian, eigvec, codes).
   """
+  from vtc_tpu.ops.pallas_conv_direct import (_geometry, _pack_weights,
+                                              _unpack_dstk)
   from vtc_tpu.ops.pallas_conv_train import conv_solve_stats_pallas
 
   uses_hessian = update_alg == "sc_cheap_quadratic_descent"
   data_size = int(data_axis_size)
+  upd_num_iters = int(upd_num_iters)
+  gram_stats = upd_num_iters > 1
 
   def local_step(dictionary, hessian, eigvec, batch_shard, sw, n_it,
                  upd_step):
-    codes, grad_sum, stat, eigvec, _ = conv_solve_stats_pallas(
-        dictionary, eigvec, batch_shard, sw, n_it,
-        kernel_stride=kernel_stride, padding=padding,
-        variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
-        power_iters=power_iters,
-        interpret=(jax.default_backend() != "tpu"
-                   if interpret is None else interpret))
+    interp = (jax.default_backend() != "tpu" if interpret is None
+              else interpret)
     global_b = batch_shard.shape[0] * data_size
-    grad = jax.lax.psum(grad_sum, axis_names) / global_b
+    if gram_stats:
+      codes, bx, cm, stat, eigvec, _ = conv_solve_stats_pallas(
+          dictionary, eigvec, batch_shard, sw, n_it,
+          kernel_stride=kernel_stride, padding=padding,
+          variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
+          power_iters=power_iters, gram_stats=True, interpret=interp)
+      bx = jax.lax.psum(bx, axis_names)
+      cm = jax.lax.psum(cm, axis_names)
+      geo = _geometry(batch_shard.shape, dictionary.shape,
+                      tuple(kernel_stride))
+      grad_fn = lambda d: _unpack_dstk(
+          (jnp.dot(_pack_weights(d, geo)[0], cm,
+                   precision=jax.lax.Precision.HIGHEST) - bx)
+          / global_b, geo, dictionary.shape)
+    else:
+      codes, grad_sum, stat, eigvec, _ = conv_solve_stats_pallas(
+          dictionary, eigvec, batch_shard, sw, n_it,
+          kernel_stride=kernel_stride, padding=padding,
+          variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
+          power_iters=power_iters, interpret=interp)
+      grad0 = jax.lax.psum(grad_sum, axis_names) / global_b
+      grad_fn = lambda d: grad0
     with matmul_precision():
       if uses_hessian:
         hessian = 0.99 * hessian + (
             jax.lax.psum(stat, axis_names) / global_b) / 100.0
-        grad = grad / (hessian + lowest_code_val)[:, None, None, None]
-      grad = grad * (jnp.linalg.norm(dictionary.ravel())
-                     / jnp.maximum(jnp.linalg.norm(grad.ravel()),
-                                   1e-30))
-      new_dict = dictionary - upd_step * grad
-      if renormalize:
-        norms = jnp.sqrt(jnp.sum(new_dict ** 2, axis=(1, 2, 3),
-                                 keepdims=True))
-        new_dict = new_dict / norms
+        scale = (hessian + lowest_code_val)[:, None, None, None]
+
+      def body(_, d):
+        grad = grad_fn(d)
+        if uses_hessian:
+          grad = grad / scale
+        grad = grad * (jnp.linalg.norm(d.ravel())
+                       / jnp.maximum(jnp.linalg.norm(grad.ravel()),
+                                     1e-30))
+        d = d - upd_step * grad
+        if renormalize:
+          norms = jnp.sqrt(jnp.sum(d ** 2, axis=(1, 2, 3),
+                                   keepdims=True))
+          d = d / norms
+        return d
+
+      new_dict = jax.lax.fori_loop(0, upd_num_iters, body, dictionary)
     return new_dict, hessian, eigvec, codes
 
   return local_step

@@ -579,8 +579,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          dp_fused_now = dp_fused and (
-              mode == "fully-connected" or upd_niters == 1)
+          if dp_fused and mode == "convolutional" and upd_niters > 1:
+            # multi-iteration conv DP updates psum gram-form stats:
+            # needs the stride-block-uniform mask
+            from vtc_tpu.ops.pallas_conv_train import (
+                _mask_block_uniform)
+            dp_fused_now = _mask_block_uniform(padding, kernel_stride)
+          else:
+            dp_fused_now = dp_fused
           if dp_fused_now:
             from vtc_tpu.parallel.mesh import dp_axes
             axes = dp_axes(dp_mesh)
@@ -604,7 +610,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
               local = build_dp_conv_fused_local_step(
                   size, inference_alg, update_alg,
                   kernel_stride=kernel_stride, padding=padding,
-                  **common)
+                  upd_num_iters=upd_niters, **common)
             else:
               from vtc_tpu.parallel.data_parallel import (
                   build_dp_fused_local_step)
