@@ -49,7 +49,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
+from vtc_tpu.ops.pallas_common import (LANES as _LANES, make_threshold,
+                                       pick_divisor_batch_tile,
+                                       round_up)
 from vtc_tpu.ops.precision import matmul_precision
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -97,15 +99,7 @@ def _pick_batch_tile(b, geo):
   def fits(t):
     return 4 * rows * t * geo["ells"] <= int(_VMEM_LIMIT * 0.6)
 
-  best_div, best_any = None, None
-  for t in range(1, min(b, 32) + 1):
-    if fits(t):
-      best_any = t
-      if b % t == 0:
-        best_div = t
-  if best_div is not None and best_div >= max(1, (best_any or 1) // 2):
-    return best_div
-  return best_any
+  return pick_divisor_batch_tile(b, fits)
 
 
 def _pack_weights(dictionary, geo):
@@ -250,14 +244,7 @@ def _make_kernel(variant, nonneg, hard, geo, batch_tile,
     mblk = jnp.concatenate([mblk_ref[:]] * batch_tile, axis=1)
     zmask = jnp.concatenate([zmask_ref[:]] * batch_tile, axis=1)
 
-    def threshold(x):
-      if hard:
-        if nonneg:
-          return jnp.where(x < lam_eta, 0.0, x)
-        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
-      if nonneg:
-        return jnp.maximum(x - lam_eta, 0.0)
-      return x - jnp.clip(x, -lam_eta, lam_eta)
+    threshold = make_threshold(nonneg, hard)
 
     def body(_, carry):
       z, old, t_k = carry
@@ -268,7 +255,7 @@ def _make_kernel(variant, nonneg, hard, geo, batch_tile,
         stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
             img, (-roll) % tl, 1)
       grad = dot(dall, stack[0:r * cpx, :]) - corr
-      codes = zmask * threshold(z - eta * grad)
+      codes = zmask * threshold(z - eta * grad, lam_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next

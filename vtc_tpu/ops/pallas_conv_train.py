@@ -60,6 +60,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_common import (make_threshold,
+                                       pick_divisor_batch_tile)
 from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT, _blockify,
                                             _block_mask_canvas,
                                             _geometry, _pack_weights,
@@ -95,10 +97,13 @@ def _fits(tile, geo):
   The 2.8x factor on the named-buffer row count calibrates for
   Mosaic's scoped-stack accounting of loop-body transients (measured:
   tile=10 at the reference geometry allocates 115.7 MB against a
-  named-buffer estimate of 42.6 MB)."""
+  named-buffer estimate of 42.6 MB).  The tile-independent (R*s, R*s)
+  gram accumulator (C_m, worst case) is budgeted explicitly."""
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rows = 6 * s + 3 * cpx + r * max(s, cpx)
-  return 4 * rows * tile * geo["ells"] * 2.8 <= int(_VMEM_LIMIT * 0.9)
+  fixed = 4 * (r * s) ** 2
+  return (4 * rows * tile * geo["ells"] * 2.8 + fixed
+          <= int(_VMEM_LIMIT * 0.9))
 
 
 def _pick_tile(b, geo):
@@ -107,14 +112,7 @@ def _pick_tile(b, geo):
   but with the update working set included)."""
   if _fits(b, geo):
     return b, 1
-  best_div = best_any = None
-  for t in range(1, min(b, 32) + 1):
-    if _fits(t, geo):
-      best_any = t
-      if b % t == 0:
-        best_div = t
-  tile = (best_div if best_div is not None
-          and best_div >= max(1, (best_any or 1) // 2) else best_any)
+  tile = pick_divisor_batch_tile(b, lambda t: _fits(t, geo))
   if tile is None:
     return None, None
   return tile, -(-b // tile)
@@ -197,20 +195,13 @@ def _make_tile_solver(variant, nonneg, hard, geo, tl):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
 
+  threshold = make_threshold(nonneg, hard)
+
   def solve(dstk, dallv, xcv, mblk, zmask, eta, lam_eta, num_iters,
             stack):
     for i, roll in enumerate(rolls):
       stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(xcv, (-roll) % tl, 1)
     corr = _dot(dallv, stack[0:r * cpx, :])
-
-    def threshold(x):
-      if hard:
-        if nonneg:
-          return jnp.where(x < lam_eta, 0.0, x)
-        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
-      if nonneg:
-        return jnp.maximum(x - lam_eta, 0.0)
-      return x - jnp.clip(x, -lam_eta, lam_eta)
 
     def fista_body(_, carry):
       z, old, t_k = carry
@@ -221,7 +212,7 @@ def _make_tile_solver(variant, nonneg, hard, geo, tl):
         stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
             img, (-roll) % tl, 1)
       grad = _dot(dallv, stack[0:r * cpx, :]) - corr
-      codes = zmask * threshold(z - eta * grad)
+      codes = zmask * threshold(z - eta * grad, lam_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -541,8 +532,9 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
               pltpu.VMEM(dstk0.shape, jnp.float32),     # gradacc / B_x
               pltpu.VMEM((1, s), jnp.float32),          # statacc
               pltpu.SMEM((1,), jnp.float32),            # eta
-              pltpu.VMEM((geo["r"] * s, geo["r"] * s),
-                         jnp.float32),                  # C_m accumulator
+              pltpu.VMEM(                               # C_m accumulator
+                  (geo["r"] * s, geo["r"] * s) if gram_update
+                  else (1, 1), jnp.float32),
           ]),
       out_shape=[
           jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),
@@ -743,7 +735,8 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
               bcast((1, s)),
               bcast((1, s)),
               bcast((1, 1)),
-              bcast((geo["r"] * s, geo["r"] * s)),
+              bcast((geo["r"] * s, geo["r"] * s) if gram_stats
+                    else (1, 1)),
           ],
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
@@ -755,8 +748,9 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
           jax.ShapeDtypeStruct((1, s), jnp.float32),
           jax.ShapeDtypeStruct((1, s), jnp.float32),
           jax.ShapeDtypeStruct((1, 1), jnp.float32),
-          jax.ShapeDtypeStruct((geo["r"] * s, geo["r"] * s),
-                               jnp.float32),
+          jax.ShapeDtypeStruct(
+              (geo["r"] * s, geo["r"] * s) if gram_stats else (1, 1),
+              jnp.float32),
       ],
       interpret=interpret,
       compiler_params=(None if interpret else pltpu.CompilerParams(

@@ -339,6 +339,10 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
             jax.lax.psum(stat, axis_names) / global_b) / 100.0
         scale = (hessian + lowest_code_val)[:, None, None, None]
 
+      # mirrors dict_update_rules/convolutional/*._update's body
+      # (Hessian scaling THEN Frobenius rescale, per-kernel renorm) --
+      # that loop takes a codes/images pair, this one the psum'd
+      # grad_fn; keep the two in sync
       def body(_, d):
         grad = grad_fn(d)
         if uses_hessian:

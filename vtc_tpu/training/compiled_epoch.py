@@ -451,6 +451,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
 
   raw_step = make_step()
   runners = {}
+  # DP runners that do NOT maintain the warm Lipschitz eigenvector
+  # carry (the psum-per-op scan): after a segment runs one of these,
+  # the eigvec is stale w.r.t. the trained dictionary and must be
+  # re-seeded before the next warm (fused) segment
+  cold_dp_runner_keys = set()
 
   dictionary = jnp.asarray(np.asarray(init_dictionary), jnp.float32)
   hessian = jnp.zeros(dictionary.shape[0], jnp.float32)
@@ -490,6 +495,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
         hessian = jnp.asarray(np.asarray(hessian)[keep])
         raw_step = make_step()
         runners = {}
+        cold_dp_runner_keys.clear()
       previous_dictionary = dictionary
     if it in ckpt_sched:
       from vtc_tpu.utils import checkpoint as ckpt_util
@@ -563,6 +569,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
     if eigvec is None:
       eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
     use_fused = dp_mesh is None and fused_eligible(upd_niters)
+    segment_ran_cold_dp = False
     pos = lo
     while pos < hi:
       # whole-segment Pallas runners launch the EXACT segment length
@@ -623,6 +630,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
             runners[key] = _dp_segment_runner(
                 make_dp_local(upd_niters), dp_mesh,
                 mode == "convolutional")
+            cold_dp_runner_keys.add(key)
         elif use_fused:
           if mode == "convolutional":
             runners[key] = _fused_conv_segment_runner(
@@ -652,6 +660,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
       dictionary, hessian, eigvec = runners[key](
           dictionary, hessian, eigvec, staged,
           jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
+      if key in cold_dp_runner_keys:
+        segment_ran_cold_dp = True
       del staged
       pos += chunk
       if stream_steps is not None and pos < hi:
@@ -661,6 +671,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   else 1 << ((hi - pos).bit_length() - 1), stream_steps)
         prefetched[(pos, nxt)] = jax.device_put(
             training_batches[pos:pos + nxt])
+    if segment_ran_cold_dp and warm_power:
+      # the cold runner trained the dictionary without refreshing the
+      # warm eigenvector; force an exact re-seed before the next
+      # fused segment (power_iters=2 there assumes an exact seed)
+      eigvec = None
   handle_events(total_iters)  # trailing checkpoint/vis events
   if tb_writer is not None:
     tb_writer.flush()
