@@ -236,6 +236,13 @@ def train_dictionary_scanned(training_batches, validation_batches,
   trajectory is IDENTICAL to the resident path -- including the
   per-epoch shuffle, which uses the same jax.random permutation
   applied host-side (tests/test_compiled_epoch.py).
+
+  On TPU, eligible configs auto-select whole-segment fused Pallas
+  kernels (fc/subspace: ops/pallas_train_step; convolutional:
+  ops/pallas_conv_train -- `fused_conv_segment_supported` gates the
+  geometry).  With all_params['data_parallel'], eligible configs run
+  the fused-DP composition (one solve+stats kernel per shard + one
+  stats psum per step); others scan the psum-per-op DP step.
   """
   assert 0 in all_params["inference_param_schedule"]
   assert 0 in all_params["dict_update_param_schedule"]
