@@ -143,6 +143,92 @@ def test_shard_map_dp_matches_single_device_subspace(rng):
   np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
 
 
+@pytest.mark.parametrize("update_alg,penalty", [
+    ("subspace_sc_steepest_descent", 0.0),
+    ("subspace_sc_cheap_quadratic_descent", 0.0),
+    ("subspace_sc_cheap_quadratic_descent", 0.2)])
+def test_dp_group_fused_segment_matches_single_chip(rng, update_alg,
+                                                    penalty):
+  """The subspace fused-DP composition (per-shard group solve+stats
+  Pallas kernel + one psum of gram-form stats + replicated subspace
+  update) must reproduce the single-chip whole-segment group kernel
+  over a multi-step segment, including the anti-alignment penalty
+  (computed replicated in the epilogue vs in-kernel single-chip)."""
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+  from vtc_tpu.parallel.data_parallel import (
+      build_dp_group_fused_local_step)
+  from vtc_tpu.training.compiled_epoch import _dp_fused_segment_runner
+
+  k, b, s, n = 3, 32, 16, 16
+  groups = tuple(tuple(range(i, i + 4)) for i in range(0, s, 4))
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  hess0 = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  batches = rng.randn(k, b, n).astype(np.float32)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, s)
+  grouped0 = subspace_ista_fista.build_grouped_dictionary(
+      jnp.asarray(d0), gi, vm)
+  _, v0 = lip.top_gram_eigenpair(grouped0)
+
+  want = fused_group_train_segment_pallas(
+      jnp.asarray(d0), jnp.asarray(hess0), v0, jnp.asarray(batches),
+      jnp.float32(0.05), jnp.int32(10), jnp.float32(0.1),
+      group_assignments=groups, update_alg=update_alg,
+      upd_num_iters=2, power_iters=2, alignment_penalty=penalty,
+      interpret=True)
+
+  mesh = parallel.make_mesh(data=8)
+  runner = _dp_fused_segment_runner(
+      build_dp_group_fused_local_step(
+          8, "subspace_fista", update_alg, group_assignments=groups,
+          alignment_penalty=penalty, upd_num_iters=2, power_iters=2),
+      mesh)
+  got = runner(jnp.asarray(d0), jnp.asarray(hess0), v0,
+               jnp.asarray(batches), jnp.float32(0.05), jnp.int32(10),
+               jnp.float32(0.1))
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec"]):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5,
+                               err_msg=name)
+
+
+def test_dp_group_fused_scanned_trainer_auto_select(rng):
+  """train_dictionary_scanned with data_parallel + groups + the pallas
+  formulation auto-selects the group fused-DP runner and matches the
+  single-device scanned trainer on the same data."""
+  from vtc_tpu.training import compiled_epoch
+
+  k, b, s, n = 4, 16, 16, 16
+  groups = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11],
+            [12, 13, 14, 15]]
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "subspace_fista",
+      "dictionary_update_algorithm":
+          "subspace_sc_cheap_quadratic_descent",
+      "group_assignments": groups,
+      "subspace_alignment_penalty": 0.1,
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8}},
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "fc_formulation": "pallas",  # forces the fused-DP path on CPU
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, data_parallel=parallel.make_mesh(data=8))))
+  np.testing.assert_allclose(dp, single, atol=2e-5)
+
+
 def test_shard_map_dp_matches_single_device_conv(rng):
   k, stride, img = 4, (2, 2), 8
   pad = ((2, 2), (2, 2))

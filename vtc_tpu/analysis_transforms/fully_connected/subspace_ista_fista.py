@@ -90,12 +90,19 @@ def _solve(images, grouped_dictionary, gather_inds, valid_mask,
   g, m = gather_inds.shape
 
   with matmul_precision():
+    grad_fn = prestep_fn = None
     if formulation == "gram":
       gram = grouped_dictionary @ grouped_dictionary.T
       corr = images @ grouped_dictionary.T
+      # fold the stepsize into the iteration operator once per solve
+      # (same fusion and accumulation-order note as the fc gram path,
+      # ista_fista.py): z - eta*(z G - c) == z + z @ (-eta G) + eta c.
+      neg_eta_gram = -stepsize * gram
+      corr_eta = stepsize * corr
 
-      def grad_fn(z):
-        return (z.reshape(b, g * m) @ gram - corr).reshape(b, g, m)
+      def prestep_fn(z):
+        z2 = z.reshape(b, g * m)
+        return (z2 + z2 @ neg_eta_gram + corr_eta).reshape(b, g, m)
     else:
 
       def grad_fn(z):
@@ -112,7 +119,8 @@ def _solve(images, grouped_dictionary, gather_inds, valid_mask,
 
     grouped_codes = proximal_gradient_loop(
         grad_fn, prox_fn, init_grouped, stepsize, num_iters,
-        variant=variant, early_stopping_epsilon=early_stopping_epsilon)
+        variant=variant, early_stopping_epsilon=early_stopping_epsilon,
+        prestep_fn=prestep_fn)
   if ret_summed:
     return unpack_codes_summed(grouped_codes, gather_inds, valid_mask,
                                code_size)

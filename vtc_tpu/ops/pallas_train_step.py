@@ -242,7 +242,13 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
            rows -- build_grouped_dictionary semantics) and
            codes_s = codes_gm @ gsel (duplicate-summed unpack).
     expand (GM, G): group-norm shrinkage via squared-sum + broadcast
-           matmuls (see ops/pallas_group_fista.py).
+           matmuls (see ops/pallas_group_fista.py; the folded E E^T
+           one-matmul prox was measured on-chip as a regression -- see
+           that module's docstring -- so the two-matmul form stays).
+  The stepsize is folded into the iteration operator once per step
+  (z + z @ (-eta G) + eta c, identity outside the matmul -- same
+  accumulation-order note as _make_kernel), saving two full-width VPU
+  multiplies per iteration.
   With ``use_reg`` the within-group anti-alignment regularizer runs
   in-kernel too: for unit-norm dictionaries its gradient is
   sum_j A_ij sign(C_ij) (D_j - C_ij D_i) with C = D D^T and A the
@@ -301,11 +307,13 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
       return x * _dot_t(scale, expand)            # scale @ expand.T
 
+    neg_eta_gram = -eta * gram
+    corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = prox(z - eta * _dot(z, gram) + eta * corr)
+      codes = prox(z + _dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -621,15 +629,214 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
           v_new[0, :dim], eta[0, 0])
 
 
+def _make_group_solve_stats_kernel(variant, hard, power_iters,
+                                   use_n_gram):
+  """Group-sparse counterpart of _make_solve_stats_kernel: warm
+  Lipschitz refresh on the grouped Gram + the whole VMEM-resident
+  group FISTA solve + this shard's gram-form update statistics
+  (C = codes^T codes, B = codes^T X, hessian stat) over the SUMMED
+  (b, s) codes.  The psum + subspace dictionary update stay in the XLA
+  epilogue (parallel/data_parallel.build_dp_group_fused_local_step);
+  the alignment regularizer depends only on the replicated dictionary,
+  so it needs no cross-chip reduction and runs in the epilogue too."""
+  use_fista = variant == "fista"
+
+  def kernel(niter_ref, scalars_ref, d_ref, v_ref, gsel_ref, expand_ref,
+             x_ref, codes_out, c_out, b_out, stat_out, v_out, eta_out):
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    dictionary = d_ref[:]
+    images = x_ref[:]
+    gsel = gsel_ref[:]
+    expand = expand_ref[:]
+    grouped = _dot(gsel, dictionary)              # (GM_pad, n_pad)
+    gram = _dot_t(grouped, grouped)               # (GM_pad, GM_pad)
+    power_gram = _tdot(grouped, grouped) if use_n_gram else gram
+
+    v = v_ref[:]
+    v = v / jnp.sqrt(jnp.sum(v * v))
+
+    def power_body(_, vec):
+      w = _dot(vec, power_gram)
+      return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, power_iters, power_body, v)
+    v_out[:] = v
+    eta = 1.0 / jnp.sum(_dot(v, power_gram) * v)
+    eta_out[:] = eta.reshape(1, 1)
+    lam_eta = sw * eta
+
+    corr = _dot_t(images, grouped)                # (b_pad, GM_pad)
+
+    def prox(x):
+      sums = _dot(x * x, expand)
+      norms = jnp.sqrt(sums)
+      safe = jnp.where(norms == 0.0, 1.0, norms)
+      if hard:
+        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+      else:
+        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+      return x * _dot_t(scale, expand)
+
+    neg_eta_gram = -eta * gram
+    corr_eta = eta * corr
+    init = jnp.zeros_like(corr)
+
+    def fista_body(_, carry):
+      z, old, t_k = carry
+      codes = prox(z + _dot(z, neg_eta_gram) + corr_eta)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return codes + beta * (codes - old), codes, t_next
+      return codes, codes, t_k
+
+    _, grouped_codes, _ = jax.lax.fori_loop(
+        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    codes = _dot(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes_out[:] = codes
+    c_out[:] = _tdot(codes, codes)
+    b_out[:] = _tdot(codes, images)
+    stat_out[:] = jnp.sum(codes * codes, axis=0, keepdims=True)
+
+  return kernel
+
+
+def _group_stats_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad,
+                            use_n_gram):
+  buffers = (
+      s_pad * n_pad                     # dictionary
+      + gm_pad * n_pad                  # grouped dictionary
+      + 2 * gm_pad * gm_pad             # grouped gram + folded -eta*gram
+      + (n_pad * n_pad if use_n_gram else 0)
+      + gm_pad * s_pad + gm_pad * g_pad  # gsel, expand
+      + b_pad * n_pad                   # X block
+      + 5 * b_pad * gm_pad              # corr, eta*corr, z, old, codes
+      + 2 * b_pad * s_pad               # summed codes + out block
+      + s_pad * s_pad + s_pad * n_pad   # C, B stat outputs
+      + b_pad * g_pad)                  # group norms
+  return 4 * buffers
+
+
+def fused_group_solve_stats_supported(batch_shard_size, code_size,
+                                      input_size, group_assignments):
+  """True when the per-shard group solve+stats kernel fits VMEM."""
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  gm = num_groups * max_gs
+  return _group_stats_vmem_bytes(
+      round_up(batch_shard_size, _SUBLANES), round_up(code_size, _LANES),
+      round_up(input_size, _LANES), round_up(gm, _LANES),
+      round_up(num_groups, _LANES),
+      gm > input_size) <= _VMEM_BUDGET_BYTES
+
+
+def fused_group_solve_stats_pallas(dictionary, eigvec, batch,
+                                   sparsity_weight, inf_num_iters, *,
+                                   group_assignments, variant="fista",
+                                   hard=False, power_iters=12,
+                                   interpret=False):
+  """One fused kernel: warm grouped-Lipschitz refresh + group FISTA
+  solve + gram-form update statistics for this batch (shard).
+
+  Returns (codes (b, s) summed, cmat (s, s), bmat (s, n), stat (s,),
+  new_eigvec (min(G*M, n),), eta).  Same DP contract as
+  fused_solve_stats_pallas: the full-batch subspace dictionary gradient
+  at any D' is (sum_shards cmat @ D' - sum_shards bmat) / global_b."""
+  groups = tuple(tuple(int(m) for m in g) for g in group_assignments)
+  return _fused_group_solve_stats_impl(
+      dictionary, eigvec, batch, sparsity_weight, inf_num_iters,
+      group_assignments=groups, variant=variant, hard=hard,
+      power_iters=power_iters, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_assignments", "variant", "hard",
+                     "power_iters", "interpret"))
+def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
+                                  sparsity_weight, inf_num_iters, *,
+                                  group_assignments, variant, hard,
+                                  power_iters, interpret):
+  b, n = batch.shape
+  s = dictionary.shape[0]
+  num_groups = len(group_assignments)
+  max_gs = max(len(g) for g in group_assignments)
+  gm = num_groups * max_gs
+  gsel = group_selection_matrix(group_assignments, s)
+  expand = group_expand_matrix(group_assignments)
+  use_n_gram = gm > n
+  dim = n if use_n_gram else gm
+
+  s_pad = round_up(s, _LANES)
+  n_pad = round_up(n, _LANES)
+  gm_pad = round_up(gm, _LANES)
+  g_pad = round_up(num_groups, _LANES)
+  dim_pad = round_up(dim, _LANES)
+  b_pad = round_up(b, _SUBLANES)
+
+  d_in = jnp.pad(jnp.asarray(dictionary, jnp.float32),
+                 ((0, s_pad - s), (0, n_pad - n)))
+  v_in = jnp.pad(jnp.asarray(eigvec, jnp.float32).reshape(1, dim),
+                 ((0, 0), (0, dim_pad - dim)))
+  gsel_in = jnp.pad(jnp.asarray(gsel),
+                    ((0, gm_pad - gm), (0, s_pad - s)))
+  expand_in = jnp.pad(jnp.asarray(expand, jnp.float32),
+                      ((0, gm_pad - gm), (0, g_pad - num_groups)))
+  x_in = jnp.pad(jnp.asarray(batch, jnp.float32),
+                 ((0, b_pad - b), (0, n_pad - n)))
+  scalars = jnp.asarray(sparsity_weight, jnp.float32).reshape(1)
+  niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_group_solve_stats_kernel(
+      variant, bool(hard), int(power_iters), use_n_gram)
+  const = lambda *_: (0, 0)
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(1,),
+          in_specs=[
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((gm_pad, s_pad), const),
+              pl.BlockSpec((gm_pad, g_pad), const),
+              pl.BlockSpec((b_pad, n_pad), const),
+          ],
+          out_specs=[
+              pl.BlockSpec((b_pad, s_pad), const),
+              pl.BlockSpec((s_pad, s_pad), const),
+              pl.BlockSpec((s_pad, n_pad), const),
+              pl.BlockSpec((1, s_pad), const),
+              pl.BlockSpec((1, dim_pad), const),
+              pl.BlockSpec((1, 1), const),
+          ]),
+      out_shape=[
+          jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((s_pad, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, dim_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+  )(niter, scalars, d_in, v_in, gsel_in, expand_in, x_in)
+  codes, cmat, bmat, stat, v_new, eta = out
+  return (codes[:b, :s], cmat[:s, :s], bmat[:s, :n], stat[0, :s],
+          v_new[0, :dim], eta[0, 0])
+
+
 def _group_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad, use_n_gram):
   buffers = (
       2 * s_pad * n_pad                 # dictionary in + out
       + gm_pad * n_pad                  # grouped dictionary
-      + gm_pad * gm_pad                 # grouped gram
+      + 2 * gm_pad * gm_pad             # grouped gram + folded -eta*gram
       + (n_pad * n_pad if use_n_gram else 0)
       + gm_pad * s_pad + gm_pad * g_pad  # gsel, expand
       + 2 * b_pad * n_pad               # X double buffer
-      + 4 * b_pad * gm_pad              # corr, z, old, grouped codes
+      + 5 * b_pad * gm_pad              # corr, eta*corr, z, old, codes
       + 2 * b_pad * s_pad               # summed codes + out block
       + b_pad * n_pad                   # update residual
       + b_pad * g_pad)                  # group norms

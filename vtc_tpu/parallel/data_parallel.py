@@ -268,6 +268,77 @@ def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
   return local_step
 
 
+def build_dp_group_fused_local_step(data_axis_size, inference_alg,
+                                    update_alg, *, group_assignments,
+                                    alignment_penalty=0.0,
+                                    hard_threshold=False,
+                                    renormalize=True, upd_num_iters=1,
+                                    lowest_code_val=0.001,
+                                    power_iters=12,
+                                    axis_names=("data",),
+                                    interpret=None):
+  """Subspace (group-sparse) counterpart of build_dp_fused_local_step.
+
+  Each device runs ONE kernel per step -- warm grouped-Lipschitz
+  refresh + the whole VMEM-resident group FISTA solve + its shard's
+  gram-form statistics over the summed (b, s) codes
+  (ops/pallas_train_step.fused_group_solve_stats_pallas) -- then one
+  psum of (C, B, hessian-stat) over ICI and the subspace dictionary
+  update runs replicated.  The anti-alignment regularizer depends only
+  on the (replicated) dictionary, so it adds no cross-chip traffic
+  (reference semantics: dict_update_rules/fully_connected/
+  subspace_sc_cheap_quadratic_descent.py:62-89).
+
+  Signature: local_step(dictionary, hessian, eigvec, batch_shard, sw,
+  inf_num_iters, upd_stepsize) -> (dict, hessian, eigvec, codes).
+  ``eigvec`` is the GROUPED Gram's warm eigenvector
+  (min(G*M, n),) -- seed with top_gram_eigenpair(grouped_dictionary).
+  """
+  from vtc_tpu.ops.pallas_train_step import fused_group_solve_stats_pallas
+
+  variant = inference_alg[9:]  # subspace_ista / subspace_fista
+  uses_hessian = update_alg == "subspace_sc_cheap_quadratic_descent"
+  data_size = int(data_axis_size)
+  groups = tuple(tuple(int(m) for m in g) for g in group_assignments)
+  code_size_hint = max(max(g) for g in groups) + 1
+  gather_inds, valid_mask = subspace_ista_fista.pack_group_indices(
+      groups, code_size_hint)
+
+  def local_step(dictionary, hessian, eigvec, batch_shard, sw, n_it,
+                 upd_step):
+    codes, cmat, bmat, stat, eigvec, _ = fused_group_solve_stats_pallas(
+        dictionary, eigvec, batch_shard, sw, n_it,
+        group_assignments=groups, variant=variant,
+        hard=hard_threshold, power_iters=power_iters,
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret))
+    global_b = batch_shard.shape[0] * data_size
+    cmat = jax.lax.psum(cmat, axis_names)
+    bmat = jax.lax.psum(bmat, axis_names)
+    with matmul_precision():
+      if uses_hessian:
+        hessian = 0.99 * hessian + (
+            jax.lax.psum(stat, axis_names) / global_b) / 100.0
+
+      def body(_, d):
+        grad = (cmat @ d - bmat) / global_b
+        if alignment_penalty != 0:
+          grad = grad + alignment_penalty * (
+              alignment_regularization_gradients(
+                  d, gather_inds, valid_mask, renormalize))
+        if uses_hessian:
+          grad = grad / (hessian + lowest_code_val)[:, None]
+        d = d - upd_step * grad
+        if renormalize:
+          d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        return d
+
+      new_dict = jax.lax.fori_loop(0, upd_num_iters, body, dictionary)
+    return new_dict, hessian, eigvec, codes
+
+  return local_step
+
+
 def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
                                    update_alg, *, kernel_stride,
                                    padding, nonneg=False,

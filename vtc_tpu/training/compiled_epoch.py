@@ -353,6 +353,22 @@ def train_dictionary_scanned(training_batches, validation_batches,
               (global_b // dp_size,) + training_batches.shape[2:],
               init_dictionary.shape, kernel_stride, inference_alg,
               update_alg))
+    # subspace fused-DP: per-shard group solve+stats kernel + one psum
+    # (parallel.build_dp_group_fused_local_step)
+    if (not dp_fused
+        and mode == "fully-connected" and group_assignments is not None
+        and lipschitz_method == "power_warm"
+        and inference_alg in ("subspace_ista", "subspace_fista")
+        and update_alg in ("subspace_sc_steepest_descent",
+                           "subspace_sc_cheap_quadratic_descent")
+        and not all_params.get("nonnegative_only", False)
+        and resolved_formulation == "pallas"
+        and global_b % dp_size == 0):
+      from vtc_tpu.ops.pallas_train_step import (
+          fused_group_solve_stats_supported)
+      dp_fused = fused_group_solve_stats_supported(
+          global_b // dp_size, init_dictionary.shape[0],
+          training_batches.shape[-1], group_assignments)
     if not dp_fused and lipschitz_method == "power_warm":
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
@@ -625,6 +641,17 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   size, inference_alg, update_alg,
                   kernel_stride=kernel_stride, padding=padding,
                   upd_num_iters=upd_niters, **common)
+            elif group_assignments is not None:
+              from vtc_tpu.parallel.data_parallel import (
+                  build_dp_group_fused_local_step)
+              group_common = dict(common)
+              group_common.pop("nonneg")  # no nonneg in the group prox
+              local = build_dp_group_fused_local_step(
+                  size, inference_alg, update_alg,
+                  group_assignments=group_assignments,
+                  alignment_penalty=float(all_params.get(
+                      "subspace_alignment_penalty", 0.0)),
+                  upd_num_iters=upd_niters, **group_common)
             else:
               from vtc_tpu.parallel.data_parallel import (
                   build_dp_fused_local_step)
