@@ -63,6 +63,43 @@ def test_hbm_streaming_matches_resident(rng):
   np.testing.assert_allclose(streamed, resident, atol=1e-6)
 
 
+def test_hbm_streaming_composes_with_data_parallel(rng):
+  """Streaming + data_parallel: chunks are device_put with the DP
+  runners' NamedSharding (batch axis over the data axes) and the
+  trajectory still matches the single-device resident path -- both
+  the fused-DP pallas composition and the psum-per-op scan."""
+  from vtc_tpu import parallel
+
+  data = (0.3 * rng.randn(8, 16, 24)).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  for formulation in ("pallas", "gram"):
+    params = {
+        "mode": "fully-connected",
+        "num_epochs": 2,
+        "code_inference_algorithm": "fista",
+        "inference_param_schedule": {
+            0: {"sparsity_weight": 0.05, "num_iters": 8}},
+        "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+        "dict_update_param_schedule": {
+            0: {"stepsize": 0.05, "num_iters": 1}},
+        "fc_formulation": formulation,
+        "shuffle_each_epoch": True,
+    }
+    if formulation == "gram":
+      # the psum-per-op DP scan recomputes the stepsize in-step; pin an
+      # exact method so resident and DP trajectories are comparable
+      params["lipschitz_method"] = "eigvalsh"
+    resident = np.asarray(compiled_epoch.train_dictionary_scanned(
+        data, data[:1], d0, dict(params)))
+    dp_streamed = np.asarray(compiled_epoch.train_dictionary_scanned(
+        data.copy(), data[:1], d0,
+        dict(params, hbm_chunk_steps=3,
+             data_parallel=parallel.make_mesh(data=8))))
+    np.testing.assert_allclose(dp_streamed, resident, atol=2e-5,
+                               err_msg=formulation)
+
+
 def test_scanned_default_warm_power_close_to_exact(rng):
   """The scanned trainer's default warm Lipschitz tracking should stay
   within trajectory noise of the exact per-batch eigvalsh path for a

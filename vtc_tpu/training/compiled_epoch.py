@@ -556,12 +556,32 @@ def train_dictionary_scanned(training_batches, validation_batches,
   # behind on-device compute
   prefetched = {}
 
+  # multi-chip streaming: transfer each chunk DIRECTLY to its target
+  # layout -- (steps replicated, batch axis sharded over the data
+  # axes, same spec the DP segment runners consume) -- so every chip's
+  # shard rides its own host->HBM DMA instead of the whole chunk
+  # landing on one device and being resharded by a collective
+  stream_sharding = None
+  if dp_mesh is not None:
+    from jax.sharding import NamedSharding, PartitionSpec
+    from vtc_tpu.parallel.mesh import dp_axes as _dp_axes
+    stream_sharding = NamedSharding(
+        dp_mesh, PartitionSpec(None, _dp_axes(dp_mesh)))
+    if stream_steps is None:
+      # resident multi-chip epoch: shard it over the mesh up front too
+      training_batches = jax.device_put(training_batches,
+                                        stream_sharding)
+
+  def _put(x):
+    return (jax.device_put(x) if stream_sharding is None
+            else jax.device_put(x, stream_sharding))
+
   def _stage(pos_, chunk_):
     if stream_steps is None:
       return training_batches[pos_:pos_ + chunk_]
     buf = prefetched.pop((pos_, chunk_), None)
     if buf is None:
-      buf = jax.device_put(training_batches[pos_:pos_ + chunk_])
+      buf = _put(training_batches[pos_:pos_ + chunk_])
     return buf
 
   for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
@@ -703,8 +723,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
         # host->device transfer now so it overlaps the compute
         nxt = min((hi - pos) if use_fused
                   else 1 << ((hi - pos).bit_length() - 1), stream_steps)
-        prefetched[(pos, nxt)] = jax.device_put(
-            training_batches[pos:pos + nxt])
+        prefetched[(pos, nxt)] = _put(training_batches[pos:pos + nxt])
     if segment_ran_cold_dp and warm_power:
       # the cold runner trained the dictionary without refreshing the
       # warm eigenvector; force an exact re-seed before the next
