@@ -1,0 +1,90 @@
+"""The batched/streamed/compiled dataset-encoding path must reproduce
+the one-shot solver exactly (it is the same solver, scanned), across
+tail padding, chunk boundaries, all three model families, and DP."""
+import numpy as np
+import pytest
+
+from vtc_tpu import parallel
+from vtc_tpu.encode import encode_dataset
+
+
+@pytest.mark.quick
+def test_fc_encode_matches_one_shot(rng):
+  from vtc_tpu.analysis_transforms.fully_connected import ista_fista
+
+  d = rng.randn(32, 24).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(53, 24).astype(np.float32)  # 53 = 4*13+1: ragged tail
+  want = np.asarray(ista_fista.run(data, d, 0.05, 20))
+  got = encode_dataset(data, d, 0.05, 20, batch_size=13,
+                       chunk_batches=2)
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_subspace_encode_matches_one_shot(rng):
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+
+  groups = [[0, 1, 2], [3, 4, 5], [6, 7], [8, 9, 10, 11]]
+  d = rng.randn(12, 16).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(40, 16).astype(np.float32)
+  want = np.asarray(subspace_ista_fista.run(data, d, groups, 0.05, 15))
+  got = encode_dataset(data, d, 0.05, 15, batch_size=16,
+                       chunk_batches=2, group_assignments=groups)
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_conv_encode_matches_one_shot(rng):
+  from vtc_tpu.analysis_transforms.convolutional import ista_fista
+
+  stride, pad = (2, 2), ((2, 2), (2, 2))
+  imgs = np.zeros((11, 1, 12, 12), np.float32)
+  imgs[:, :, 2:-2, 2:-2] = rng.randn(11, 1, 8, 8)
+  d = rng.randn(6, 1, 4, 4).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  want = np.asarray(ista_fista.run(imgs, d, stride, pad, 0.02, 10))
+  got = encode_dataset(imgs, d, 0.02, 10, mode="convolutional",
+                       batch_size=4, chunk_batches=2,
+                       kernel_stride=stride, padding=pad)
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dp_encode_matches_single_device(rng):
+  d = rng.randn(32, 24).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(70, 24).astype(np.float32)
+  single = encode_dataset(data, d, 0.05, 20, batch_size=16,
+                          chunk_batches=2)
+  dp = encode_dataset(data, d, 0.05, 20, batch_size=16,
+                      chunk_batches=2,
+                      data_parallel=parallel.make_mesh(data=8))
+  np.testing.assert_allclose(dp, single, atol=1e-5)
+
+
+def test_dp_encode_pallas_formulation(rng):
+  """The pallas kernels run per-shard inside shard_map (interpret mode
+  off-TPU) and match the gram path."""
+  d = rng.randn(16, 16).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(32, 16).astype(np.float32)
+  want = encode_dataset(data, d, 0.05, 12, batch_size=16,
+                        formulation="gram")
+  got = encode_dataset(data, d, 0.05, 12, batch_size=16,
+                       formulation="pallas",
+                       data_parallel=parallel.make_mesh(data=8))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_api_encode_batched_matches_direct(rng):
+  from vtc_tpu.api import SparseCoder
+
+  coder = SparseCoder(num_atoms=24, sparsity_weight=0.05,
+                      inference_iters=15)
+  patches = (0.5 * rng.randn(120, 16)).astype(np.float32)
+  coder.fit(patches, num_epochs=1, batch_size=40)
+  direct = np.asarray(coder.encode(patches))
+  batched = coder.encode(patches, batch_size=32)
+  np.testing.assert_allclose(batched, direct, atol=1e-5)

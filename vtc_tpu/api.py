@@ -70,16 +70,28 @@ class SparseCoder:
         d0, params)
     return self
 
-  def encode(self, patches, num_iters=None, **kwargs):
-    """(D, n) patches -> (D, s) sparse codes."""
+  def encode(self, patches, num_iters=None, batch_size=None, **kwargs):
+    """(D, n) patches -> (D, s) sparse codes.
+
+    With ``batch_size`` set, encoding runs through the batched /
+    streamed / compiled serving path (vtc_tpu.encode.encode_dataset):
+    one compiled scan per chunk, double-buffered host<->device
+    transfers, optional ``data_parallel`` mesh kwarg -- use this for
+    datasets larger than device memory."""
     from vtc_tpu.analysis_transforms.fully_connected import ista_fista
     assert self.dictionary is not None, "call fit() first"
+    variant = ("fista" if self.inference_algorithm == "fista"
+               else "ista")
+    iters = self.inference_iters if num_iters is None else num_iters
+    if batch_size is not None:
+      from vtc_tpu.encode import encode_dataset
+      return encode_dataset(
+          np.asarray(patches, np.float32), self.dictionary,
+          self.sparsity_weight, iters, batch_size=int(batch_size),
+          variant=variant, formulation=self.formulation, **kwargs)
     return ista_fista.run(
         np.asarray(patches, np.float32), self.dictionary,
-        self.sparsity_weight,
-        self.inference_iters if num_iters is None else num_iters,
-        variant=("fista" if self.inference_algorithm == "fista"
-                 else "ista"),
+        self.sparsity_weight, iters, variant=variant,
         formulation=self.formulation, **kwargs)
 
   def decode(self, codes):
