@@ -440,3 +440,44 @@ def test_dp_conv_fused_multi_update_matches_single_chip(rng):
     np.testing.assert_allclose(
         np.asarray(g), w, rtol=2e-5,
         atol=2e-5 * max(1.0, float(np.abs(w).max())), err_msg=name)
+
+
+def test_dp_ica_scanned_matches_single_device(rng):
+  """ICA DP: per-shard codes + one psum of the natural-gradient
+  statistic per step == single-device scanned trainer, for both the
+  warm-inverse and per-shard-LU paths."""
+  from vtc_tpu.training import ica as ica_trainer
+
+  n = 16
+  batches = (0.5 * rng.randn(6, 32, n)).astype(np.float32)
+  d0 = np.linalg.qr(rng.randn(n, n))[0].astype(np.float32)
+  params = {
+      "num_epochs": 2,
+      "dictionary_update_algorithm": "ica_natural_gradient",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.02, "num_iters": 1},
+          4: {"stepsize": 0.01, "num_iters": 2}},
+  }
+  for warm in (True, False):
+    single = np.asarray(ica_trainer.train_dictionary_scanned(
+        batches, d0, dict(params, warm_inverse=warm)))
+    dp = np.asarray(ica_trainer.train_dictionary_scanned(
+        batches, d0, dict(params, warm_inverse=warm,
+                          data_parallel=parallel.make_mesh(data=8))))
+    np.testing.assert_allclose(dp, single, atol=2e-5,
+                               err_msg=f"warm_inverse={warm}")
+
+
+def test_dp_pca_matches_single_device(rng):
+  """PCA DP: psum'd per-shard covariance + replicated SVD == the
+  single-device covariance branch."""
+  from vtc_tpu.training import pca as pca_trainer
+
+  data = rng.randn(320, 24).astype(np.float32)
+  data -= data.mean(axis=0)
+  single = np.asarray(pca_trainer.train_dictionary(data))
+  dp = np.asarray(pca_trainer.train_dictionary(
+      data, data_parallel=parallel.make_mesh(data=8)))
+  # principal directions match up to per-axis sign
+  overlap = np.abs(np.sum(single * dp, axis=1))
+  np.testing.assert_allclose(overlap, 1.0, atol=1e-3)

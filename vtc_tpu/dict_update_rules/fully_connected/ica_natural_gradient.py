@@ -14,17 +14,26 @@ import jax.numpy as jnp
 from vtc_tpu.ops.precision import matmul_precision
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
-def _update(dictionary, codes, stepsize, num_iters):
-  batch = codes.shape[0]
-  eye = jnp.eye(codes.shape[1], dtype=dictionary.dtype)
+def _update_from_stat(dictionary, stat, stepsize, num_iters):
+  """Ascent iterations from the precomputed batch-mean statistic
+  ``stat = codes^T sign(codes) / b`` (constant across iterations -- the
+  reference recomputes it from the same codes every iteration, same
+  value).  Data parallelism enters here: psum the per-shard SUMS and
+  divide by the global batch size, then iterate replicated."""
+  eye = jnp.eye(stat.shape[0], dtype=dictionary.dtype)
 
   def body(_, d):
-    natural = (codes.T @ jnp.sign(codes) / batch - eye) @ d
-    return d + stepsize * natural
+    return d + stepsize * ((stat - eye) @ d)
 
   with matmul_precision():
     return jax.lax.fori_loop(0, num_iters, body, dictionary)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _update(dictionary, codes, stepsize, num_iters):
+  with matmul_precision():
+    stat = codes.T @ jnp.sign(codes) / codes.shape[0]
+  return _update_from_stat(dictionary, stat, stepsize, num_iters)
 
 
 def run(dictionary, codes, stepsize=0.001, num_iters=1):

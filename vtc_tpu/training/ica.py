@@ -148,6 +148,52 @@ def _segment_runner_tracked(upd_num_iters, refine_iters=5):
   return jax.jit(run)
 
 
+def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
+                       refine_iters=5):
+  """Multi-chip ICA segment: lax.scan of [per-shard codes -> one psum
+  of the natural-gradient statistic codes^T sign(codes) -> replicated
+  update] inside one shard_map.  The statistic is a batch MEAN, so
+  psum of per-shard sums / global_b is exactly the single-device value
+  (up to float reduction order); the inverse tracking (or the LU
+  solve) depends only on the replicated dictionary and runs
+  replicated."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.precision import matmul_precision
+  from vtc_tpu.parallel.mesh import dp_axes
+
+  axes = dp_axes(mesh)
+  size = 1
+  for a in axes:
+    size *= mesh.shape[a]
+
+  def run(dictionary, dinv, batches, stepsize):
+    def body(carry, batch_shard):
+      d, x = carry
+      if warm_inverse:
+        x = invertible_linear.refine_inverse_guarded(d, x, refine_iters)
+        with matmul_precision():
+          codes = batch_shard @ x
+      else:
+        codes = invertible_linear._solve_nonortho(batch_shard, d)
+      global_b = batch_shard.shape[0] * size
+      with matmul_precision():
+        stat = jax.lax.psum(codes.T @ jnp.sign(codes), axes) / global_b
+      d = ica_natural_gradient._update_from_stat(
+          d, stat, stepsize, upd_num_iters)
+      return (d, x), ()
+
+    (dictionary, dinv), _ = jax.lax.scan(
+        body, (dictionary, dinv), batches)
+    return dictionary, dinv
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh, in_specs=(rep, rep, P(None, axes, None), rep),
+      out_specs=(rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def train_dictionary_scanned(training_batches, init_dictionary,
                              all_params):
   """Production fast path for ICA: whole training segments as one
@@ -155,6 +201,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   compiled_epoch.train_dictionary_scanned).  Same ``all_params`` schema
   as train_dictionary; ``training_batches`` is a stacked (k, b, n)
   array; returns the final dictionary.
+
+  Multi-chip: all_params['data_parallel'] = a jax.sharding.Mesh (or
+  True for the full default mesh) shards each batch over the mesh's
+  data axes; the only cross-chip traffic is one psum of the
+  natural-gradient statistic per step (see _segment_runner_dp).
   """
   assert 0 in all_params["dict_update_param_schedule"]
   assert all_params["dictionary_update_algorithm"] == (
@@ -198,6 +249,17 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   dinv = (invertible_linear.exact_inverse(dictionary)
           if warm_inverse else None)
 
+  data_parallel = all_params.get("data_parallel", False)
+  dp_mesh = None
+  if data_parallel:
+    from vtc_tpu import parallel as vtc_parallel
+    dp_mesh = (data_parallel if hasattr(data_parallel, "shape")
+               else vtc_parallel.make_mesh())
+    if dinv is None:
+      # the DP runner carries the inverse slot either way; unused when
+      # warm_inverse is off (codes come from the per-shard LU solve)
+      dinv = jnp.zeros_like(dictionary)
+
   stepsize = upd_niters = None
   runners = {}
   start = time.time()
@@ -224,9 +286,14 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       chunk = 1 << ((hi - pos).bit_length() - 1)
       key = (upd_niters, chunk)
       if key not in runners:
-        runners[key] = (_segment_runner_tracked(upd_niters)
-                        if warm_inverse else _segment_runner(upd_niters))
-      if warm_inverse:
+        if dp_mesh is not None:
+          runners[key] = _segment_runner_dp(upd_niters, dp_mesh,
+                                            warm_inverse)
+        else:
+          runners[key] = (_segment_runner_tracked(upd_niters)
+                          if warm_inverse
+                          else _segment_runner(upd_niters))
+      if warm_inverse or dp_mesh is not None:
         dictionary, dinv = runners[key](
             dictionary, dinv, training_batches[pos:pos + chunk],
             jnp.float32(stepsize))
