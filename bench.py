@@ -174,7 +174,7 @@ def _timed_best_of_two(run_once, timed_calls, sync):
 
 
 def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
-            formulation="fused"):
+            formulation="fused", mxu_bf16=False):
   """Time `timed_calls` executions of a compiled scan over `scan_steps`
   fused train steps.  The per-call host<->device round trip through the
   runtime costs ~30 ms here, so throughput is measured with large scans
@@ -197,7 +197,8 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
     def epoch_fn(dictionary, hessian, eigvec, data, sw, n_it, upd_step):
       d, h, v, _ = fused_train_segment_pallas(
           dictionary, hessian, eigvec, data, sw, n_it, upd_step,
-          power_iters=2)  # exact-eigenpair seed below
+          power_iters=2,  # exact-eigenpair seed below
+          mxu_bf16=mxu_bf16)
       return d, h, v
   else:
     raw = build_raw_step_fn(
@@ -380,6 +381,14 @@ def main():
                                             pps_ref / 250)
     detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
                                              pps_big / 2048)
+    # opt-in bf16 training-speed mode (all_params['train_precision'] =
+    # 'bf16'): hot-loop matmuls single-pass bf16.  NOT parity grade --
+    # reported as a separate detail row, never the headline
+    pps_bf16, _ = measure(250, 1000, timed_calls=4, log=log,
+                          mxu_bf16=True)
+    detail["fc_batch250_bf16_training_mode"] = {
+        "patches_per_sec": round(pps_bf16, 1),
+        "speedup_vs_f32_headline": round(pps_bf16 / pps_ref, 2)}
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

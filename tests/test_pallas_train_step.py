@@ -279,3 +279,56 @@ def test_tile_picker_low_waste():
     assert waste <= _SUBLANES * (b_pad // tile) / b, (b, tile, waste)
     assert waste < 0.03, (b, tile, waste)
   assert _pick_batch_tile(65536, 1024, 1024) is None
+
+
+def test_fused_segment_bf16_training_mode(rng):
+  """The opt-in bf16 training-speed mode (mxu_bf16=True) is NOT parity
+  grade, but the training trajectory must stay healthy: finite,
+  unit-norm rows, and a final-dictionary reconstruction quality close
+  to the f32 path's on the same segment (single-tile and batch-tiled
+  variants)."""
+  from vtc_tpu.analysis_transforms.fully_connected import ista_fista
+
+  sw = 0.05
+
+  def lasso_loss(d, x):
+    """The objective training minimizes: 0.5|x - cD|^2 + sw |c|_1."""
+    codes = np.asarray(ista_fista.run(x, d, sw, 25))
+    recon = codes @ np.asarray(d)
+    return float(np.mean(0.5 * np.sum((x - recon) ** 2, axis=1)
+                         + sw * np.sum(np.abs(codes), axis=1)))
+
+  # structured (sparse-synthesizable) data: pure noise at an aggressive
+  # stepsize diverges for f32 and bf16 alike, which tests nothing
+  s, n, k, b = 24, 16, 6, 16
+  basis = rng.randn(8, n)
+  w = rng.randn(k * b, 8) * 2.0
+  batches = (w @ basis + 0.2 * rng.randn(k * b, n)).astype(
+      np.float32).reshape(k, b, n)
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  h0 = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v0 = rng.randn(min(s, n)).astype(np.float32)
+
+  for tile in (None, 8):  # None = single-tile; 8 forces batch tiling
+    d, h, v = d0.copy(), h0.copy(), v0.copy()
+    # stepsize 0.01: the cheap-quad Hessian divide makes early steps
+    # ~100x effective (EMA starts near the 0.001 floor), so larger
+    # steps destabilize f32 and bf16 alike on a 6-step segment
+    d32 = fused_train_segment_pallas(
+        d, h, v, batches, sw, 12, 0.01, power_iters=2,
+        interpret=True, batch_tile=tile)[0]
+    dbf = fused_train_segment_pallas(
+        d, h, v, batches, sw, 12, 0.01, power_iters=2,
+        interpret=True, batch_tile=tile, mxu_bf16=True)[0]
+    dbf = np.asarray(dbf)
+    assert np.isfinite(dbf).all()
+    np.testing.assert_allclose(np.linalg.norm(dbf, axis=1), 1.0,
+                               atol=1e-5)
+    x = batches.reshape(-1, batches.shape[-1])
+    l32, lbf = lasso_loss(np.asarray(d32), x), lasso_loss(dbf, x)
+    l0 = lasso_loss(d0, x)
+    assert lbf < l0, (lbf, l0)          # it actually trains
+    assert lbf < 1.05 * l32 + 1e-6, (lbf, l32)  # and tracks the f32 run
+    # bf16 noise must stay update-scale, not blow up the trajectory
+    assert np.abs(dbf - np.asarray(d32)).max() < 0.1

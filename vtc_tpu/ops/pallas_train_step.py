@@ -73,6 +73,33 @@ def _tdot(a, b):
                              precision=_HI)
 
 
+# single-pass bf16 MXU variants (f32 accumulate) for the opt-in
+# training-speed mode (mxu_bf16): 1 MXU pass instead of HIGHEST's 6.
+# NOT parity grade (~1e-1 relative code error per solve; see
+# BENCH_NOTES precision-tier table) -- dictionary learning is
+# stochastic, so training tolerates it, but the default stays 'highest'.
+def _bf16(x):
+  return x.astype(jnp.bfloat16)
+
+
+def _dot_b(a, b):
+  return jax.lax.dot_general(_bf16(a), _bf16(b), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
+def _dot_t_b(a, b):
+  return jax.lax.dot_general(_bf16(a), _bf16(b), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
+def _tdot_b(a, b):
+  return jax.lax.dot_general(_bf16(a), _bf16(b), (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
 def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
   buffers = (
       2 * s_pad * n_pad        # dictionary in + out (state)
@@ -133,8 +160,15 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
 
 def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                  upd_num_iters, power_iters, use_n_gram,
-                 lowest_code_val):
+                 lowest_code_val, mxu_bf16=False):
   use_fista = variant == "fista"
+  # training-speed mode: hot-loop matmuls (corr, FISTA iteration,
+  # update residual/gradient) run single-pass bf16; the Gram build and
+  # power refresh stay HIGHEST (eta accuracy guards FISTA stability,
+  # and they are O(1/num_iters) of the step's MXU work)
+  dot_ = _dot_b if mxu_bf16 else _dot
+  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
+  tdot_ = _tdot_b if mxu_bf16 else _tdot
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out):
@@ -171,7 +205,7 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     eta = 1.0 / eigval
     lam_eta = sw * eta
 
-    corr = _dot_t(images, dictionary)               # (b_pad, s_pad)
+    corr = dot_t_(images, dictionary)               # (b_pad, s_pad)
 
     def threshold(x):
       if hard:
@@ -192,12 +226,14 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     # into the operator shifts per-iteration rounding enough to flip
     # shrinkage boundaries vs the composed path.
     neg_eta_gram = -eta * gram
+    if mxu_bf16:
+      neg_eta_gram = _bf16(neg_eta_gram)  # cast once, not per iteration
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z + _dot(z, neg_eta_gram) + corr_eta)
+      codes = threshold(z + dot_(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -216,8 +252,8 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       scale = jnp.transpose(hessian) + lowest_code_val  # (s_pad, 1)
 
     def update_body(_, d):
-      resid = _dot(codes, d) - images                 # (b_pad, n_pad)
-      grad = _tdot(codes, resid) * inv_b              # (s_pad, n_pad)
+      resid = dot_(codes, d) - images                 # (b_pad, n_pad)
+      grad = tdot_(codes, resid) * inv_b              # (s_pad, n_pad)
       if uses_hessian:
         grad = grad / scale
       d = d - upd_step * grad
@@ -369,7 +405,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
 
 def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val, num_tiles):
+                       lowest_code_val, num_tiles, mxu_bf16=False):
   """Batch-tiled variant: grid (step, tile) with tile fastest.  The
   dictionary gradient is accumulated in GRAM form: with
   C = sum_t codes_t^T codes_t and B = sum_t codes_t^T X_t in VMEM
@@ -380,6 +416,14 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   sc_cheap_quadratic_descent.py:44-49) without keeping any tile's
   codes or images alive."""
   use_fista = variant == "fista"
+  # training-speed tiering: ONLY corr + the FISTA iteration matmuls run
+  # bf16.  The gram-form stats (C, B) and the C D' - B update MUST stay
+  # HIGHEST: the gradient is a small difference of large matrices, so
+  # bf16 there is catastrophic cancellation (measured: LASSO loss 3x
+  # worse), unlike the single-tile kernel's residual-first form.  They
+  # run once per step -- negligible next to the iteration loop.
+  dot_ = _dot_b if mxu_bf16 else _dot
+  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out,
@@ -422,7 +466,7 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     eta = eta_ref[0]
     lam_eta = sw * eta
     images = x_ref[0]
-    corr = _dot_t(images, dictionary)
+    corr = dot_t_(images, dictionary)
 
     def threshold(x):
       if hard:
@@ -435,9 +479,11 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
     init = jnp.zeros_like(corr)
 
+    iter_gram = _bf16(gram) if mxu_bf16 else gram
+
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z - eta * _dot(z, gram) + eta * corr)
+      codes = threshold(z - eta * dot_(z, iter_gram) + eta * corr)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -1025,7 +1071,8 @@ def _fused_group_impl(dictionary, hessian, eigvec,
     jax.jit,
     static_argnames=("variant", "update_alg", "upd_num_iters", "nonneg",
                      "hard", "renormalize", "power_iters",
-                     "lowest_code_val", "interpret", "batch_tile"))
+                     "lowest_code_val", "interpret", "batch_tile",
+                     "mxu_bf16"))
 def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                sparsity_weight, inf_num_iters,
                                upd_stepsize, *, variant="fista",
@@ -1033,8 +1080,16 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                upd_num_iters=1, nonneg=False, hard=False,
                                renormalize=True, power_iters=12,
                                lowest_code_val=0.001, interpret=False,
-                               batch_tile=None):
+                               batch_tile=None, mxu_bf16=False):
   """Run `batches.shape[0]` fused train steps in one kernel launch.
+
+  ``mxu_bf16=True`` is the OPT-IN training-speed mode: the hot-loop
+  matmuls run single-pass bf16 (f32 accumulate) instead of the 6-pass
+  f32 'highest' emulation -- NOT parity grade (~1e-1 relative per-solve
+  code error), but dictionary learning is stochastic and the Gram build
+  + Lipschitz refresh stay full precision, so training stays stable.
+  The scanned trainer exposes it as all_params['train_precision'] =
+  'bf16'.
 
   Args:
     dictionary: (s, n) float32.
@@ -1102,7 +1157,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     kernel = _make_tiled_kernel(
         variant, nonneg, hard, uses_hessian, renormalize,
         int(upd_num_iters), int(power_iters), use_n_gram,
-        float(lowest_code_val), num_tiles)
+        float(lowest_code_val), num_tiles, mxu_bf16=bool(mxu_bf16))
     const = lambda i, t, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1129,7 +1184,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     kernel = _make_kernel(variant, nonneg, hard, uses_hessian,
                           renormalize, int(upd_num_iters),
                           int(power_iters), use_n_gram,
-                          float(lowest_code_val))
+                          float(lowest_code_val),
+                          mxu_bf16=bool(mxu_bf16))
     const = lambda i, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

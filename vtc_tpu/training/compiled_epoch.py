@@ -84,14 +84,16 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
 
 
 def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
-                          renormalize):
+                          renormalize, mxu_bf16=False):
   """Whole segment as ONE Pallas kernel launch (ops/pallas_train_step):
   dictionary/Hessian/eigenvector ride VMEM across all steps, batches
   stream HBM->VMEM with double buffering.  Same float32 semantics as
   _segment_runner with warm_power + the 'gram' formulation.
   power_iters=2 is safe HERE because the trainer always seeds the
   eigvec with an exact eigenpair (seed_eigvec) and re-seeds after
-  dictionary jumps; the public kernel default stays at 12."""
+  dictionary jumps; the public kernel default stays at 12.
+  ``mxu_bf16`` selects the opt-in bf16 training-speed mode
+  (all_params['train_precision'] = 'bf16'; not parity grade)."""
   from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
 
   def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
@@ -99,7 +101,7 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         variant=variant, update_alg=update_alg,
         upd_num_iters=upd_niters, nonneg=nonneg, hard=hard,
-        renormalize=renormalize, power_iters=2)
+        renormalize=renormalize, power_iters=2, mxu_bf16=mxu_bf16)
     return dictionary, hessian, eigvec
 
   return run
@@ -240,7 +242,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
   On TPU, eligible configs auto-select whole-segment fused Pallas
   kernels (fc/subspace: ops/pallas_train_step; convolutional:
   ops/pallas_conv_train -- `fused_conv_segment_supported` gates the
-  geometry).  With all_params['data_parallel'], eligible configs run
+  geometry).  all_params['train_precision'] = 'bf16' is the OPT-IN
+  training-speed mode for the fc fused segment: hot-loop matmuls run
+  single-pass bf16 (Gram build + Lipschitz refresh stay full
+  precision).  Not parity grade -- per-solve codes differ at the ~1e-1
+  relative level -- but the stochastic dictionary trajectory stays
+  healthy; the default 'highest' keeps the 1e-4 contract.  With all_params['data_parallel'], eligible configs run
   the fused-DP composition (one solve+stats kernel per shard + one
   stats psum per step); others scan the psum-per-op DP step.
   """
@@ -706,7 +713,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 inference_alg, update_alg, upd_niters,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)))
+                bool(all_params.get("renormalize_dictionary", True)),
+                mxu_bf16=(all_params.get("train_precision", "highest")
+                          == "bf16"))
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
