@@ -284,7 +284,7 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
 
 
 def measure_conv(batch_size, scan_steps, timed_calls=2,
-                 log=lambda *a: None):
+                 log=lambda *a: None, mxu_bf16=False):
   """Convolutional train step at the reference conv config (64 16x16
   kernels, stride 8, 256x256 images + analysis padding -> 33x33 code
   maps), scanned over `scan_steps` batches resident in HBM -- via the
@@ -321,7 +321,7 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
     out = fused_conv_train_segment_pallas(
         dd, hh, vv, data, jnp.float32(0.05), jnp.int32(FISTA_ITERS),
         jnp.float32(0.05), kernel_stride=stride, padding=padding,
-        power_iters=2)
+        power_iters=2, mxu_bf16=mxu_bf16)
     return out[:3]
 
   t0 = time.time()
@@ -389,6 +389,10 @@ def main():
     detail["fc_batch250_bf16_training_mode"] = {
         "patches_per_sec": round(pps_bf16, 1),
         "speedup_vs_f32_headline": round(pps_bf16 / pps_ref, 2)}
+    ips_conv40_bf16 = measure_conv(40, 25, log=log, mxu_bf16=True)
+    detail["conv_batch40_bf16_training_mode"] = {
+        "images_per_sec": round(ips_conv40_bf16, 1),
+        "speedup_vs_f32": round(ips_conv40_bf16 / ips_conv40, 2)}
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

@@ -238,3 +238,33 @@ def test_fused_conv_segment_tiled_multi_update_gram_form(rng):
   for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
                                     "codes"]):
     _assert_close(g, w, 1e-4, name)
+
+
+def test_fused_conv_segment_bf16_training_mode(rng):
+  """The opt-in bf16 training-speed mode must stay healthy on the conv
+  segment: finite, unit-norm kernels, and trajectory within
+  update-scale distance of the f32 run (convergent stride == kernel
+  geometry so the f32 trajectory itself is stable)."""
+  d, h, v, x, strides, padding = _problem(rng, k=6, kdim=4, stride=4)
+  d32 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True)[0]
+  dbf = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True, mxu_bf16=True)[0]
+  dbf = np.asarray(dbf)
+  assert np.isfinite(dbf).all()
+  norms = np.sqrt((dbf ** 2).sum(axis=(1, 2, 3)))
+  np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+  assert np.abs(dbf - np.asarray(d32)).max() < 0.1
+  # batch-tiled variant too (single-iteration update: residual form)
+  d32t = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True, batch_tile=1)[0]
+  dbft = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True, batch_tile=1,
+      mxu_bf16=True)[0]
+  dbft = np.asarray(dbft)
+  assert np.isfinite(dbft).all()
+  assert np.abs(dbft - np.asarray(d32t)).max() < 0.1

@@ -91,6 +91,27 @@ def _tdot(a, b):
                              precision=_HI)
 
 
+# single-pass bf16 MXU variants (f32 accumulate) for the opt-in
+# training-speed mode (mxu_bf16; see ops/pallas_train_step.py): used by
+# the solver's deep-contraction matmuls and the residual-form update.
+# The gram-form accumulators / C D' - B update stay HIGHEST (small
+# difference of large matrices: catastrophic cancellation in bf16).
+def _b16(x):
+  return x.astype(jnp.bfloat16)
+
+
+def _dot_b(a, b):
+  return jax.lax.dot_general(_b16(a), _b16(b), (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
+def _dot_t_b(a, b):
+  return jax.lax.dot_general(_b16(a), _b16(b), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
 def _fits(tile, geo):
   """VMEM working set of one batch tile (solve + update buffers).
 
@@ -187,13 +208,14 @@ def _placement_matrices(geo):
   return p
 
 
-def _make_tile_solver(variant, nonneg, hard, geo, tl):
+def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu_bf16=False):
   """FISTA/ISTA solve of one batch tile on the code canvas (shared by
   the segment kernel and the DP solve+stats kernel).  Returns
   codes (s, tl); `stack` is the caller's VMEM scratch."""
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
+  dot_ = _dot_b if mxu_bf16 else _dot
 
   threshold = make_threshold(nonneg, hard)
 
@@ -201,17 +223,17 @@ def _make_tile_solver(variant, nonneg, hard, geo, tl):
             stack):
     for i, roll in enumerate(rolls):
       stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(xcv, (-roll) % tl, 1)
-    corr = _dot(dallv, stack[0:r * cpx, :])
+    corr = dot_(dallv, stack[0:r * cpx, :])
 
     def fista_body(_, carry):
       z, old, t_k = carry
       for i, roll in enumerate(rolls):
         stack[i * s:(i + 1) * s, :] = pltpu.roll(z, roll % tl, 1)
-      img = _dot(dstk, stack[0:r * s, :]) * mblk
+      img = dot_(dstk, stack[0:r * s, :]) * mblk
       for i, roll in enumerate(rolls):
         stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
             img, (-roll) % tl, 1)
-      grad = _dot(dallv, stack[0:r * cpx, :]) - corr
+      grad = dot_(dallv, stack[0:r * cpx, :]) - corr
       codes = zmask * threshold(z - eta * grad, lam_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
@@ -257,12 +279,18 @@ def _power_refresh(dallv, v_ref, power_iters):
 def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
                          lowest_code_val, geo, batch_tile, num_tiles,
-                         gram_update=False):
+                         gram_update=False, mxu_bf16=False):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
   multi = num_tiles > 1
-  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl)
+  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
+                                 mxu_bf16=mxu_bf16)
+  # residual-form update matmuls may run bf16 (the residual is computed
+  # FIRST, so no large-magnitude cancellation); the gram-form path
+  # (gram_update) always stays HIGHEST
+  udot = _dot_b if mxu_bf16 else _dot
+  udot_t = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
@@ -363,15 +391,15 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
           finish(statacc[:],
                  lambda d: (_dot(d, cm) - bx) * inv_b)
       else:
-        img2 = _dot(dstk, zstack) * mblk
-        gradacc[:] = gradacc[:] + _dot_t(img2 - xcv, zstack)
+        img2 = udot(dstk, zstack) * mblk
+        gradacc[:] = gradacc[:] + udot_t(img2 - xcv, zstack)
 
         @pl.when(tile == num_tiles - 1)
         def _():
           g0 = gradacc[:] * inv_b
           finish(statacc[:], lambda d: g0)
     else:
-      finish(stat, lambda d: _dot_t(_dot(d, zstack) * mblk - xcv,
+      finish(stat, lambda d: udot_t(udot(d, zstack) * mblk - xcv,
                                     zstack) * inv_b)
 
   return kernel
@@ -399,8 +427,15 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
                                     hard=False, renormalize=True,
                                     power_iters=12,
                                     lowest_code_val=0.001,
-                                    batch_tile=None, interpret=False):
+                                    batch_tile=None, interpret=False,
+                                    mxu_bf16=False):
   """Run `batches.shape[0]` fused conv train steps in one launch.
+
+  ``mxu_bf16=True`` is the opt-in training-speed mode (see
+  ops/pallas_train_step.fused_train_segment_pallas): the solver's
+  deep-contraction matmuls and the residual-form update run single-pass
+  bf16; the Lipschitz refresh and the gram-form update path stay
+  HIGHEST.  Not parity grade.
 
   Args:
     dictionary: (s, c, kh, kw) float32 kernels.
@@ -437,7 +472,7 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
       power_iters=int(power_iters),
       lowest_code_val=float(lowest_code_val),
       batch_tile=None if batch_tile is None else int(batch_tile),
-      interpret=bool(interpret))
+      interpret=bool(interpret), mxu_bf16=bool(mxu_bf16))
 
 
 @functools.partial(
@@ -445,13 +480,13 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("kernel_stride", "padding", "variant", "update_alg",
                      "upd_num_iters", "nonneg", "hard", "renormalize",
                      "power_iters", "lowest_code_val", "batch_tile",
-                     "interpret"))
+                     "interpret", "mxu_bf16"))
 def _fused_conv_impl(dictionary, hessian, eigvec, batches,
                      sparsity_weight, inf_num_iters, upd_stepsize, *,
                      kernel_stride, padding, variant, update_alg,
                      upd_num_iters, nonneg, hard, renormalize,
                      power_iters, lowest_code_val, batch_tile,
-                     interpret):
+                     interpret, mxu_bf16=False):
   k, b = batches.shape[0], batches.shape[1]
   img_shape = batches.shape[1:]
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -490,7 +525,7 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
   kernel = _make_segment_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
       power_iters, lowest_code_val, geo, tile, num_tiles,
-      gram_update=gram_update)
+      gram_update=gram_update, mxu_bf16=mxu_bf16)
   grid = (k,) if num_tiles == 1 else (k, num_tiles)
   if num_tiles == 1:
     bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(

@@ -109,7 +109,7 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
 
 def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
                                hard, renormalize, kernel_stride,
-                               padding):
+                               padding, mxu_bf16=False):
   """Convolutional counterpart of _fused_segment_runner: the whole
   segment runs as one Pallas kernel in stride-block space
   (ops/pallas_conv_train), with the packed dictionary / Hessian /
@@ -123,7 +123,8 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         kernel_stride=kernel_stride, padding=padding, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
-        hard=hard, renormalize=renormalize, power_iters=2)
+        hard=hard, renormalize=renormalize, power_iters=2,
+        mxu_bf16=mxu_bf16)
     return dictionary, hessian, eigvec
 
   return run
@@ -243,9 +244,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
   kernels (fc/subspace: ops/pallas_train_step; convolutional:
   ops/pallas_conv_train -- `fused_conv_segment_supported` gates the
   geometry).  all_params['train_precision'] = 'bf16' is the OPT-IN
-  training-speed mode for the fc fused segment: hot-loop matmuls run
-  single-pass bf16 (Gram build + Lipschitz refresh stay full
-  precision).  Not parity grade -- per-solve codes differ at the ~1e-1
+  training-speed mode for the fc and conv fused segments: hot-loop
+  matmuls run single-pass bf16 (Gram build, Lipschitz refresh, and
+  gram-form update paths stay full precision).  Not parity grade -- per-solve codes differ at the ~1e-1
   relative level -- but the stochastic dictionary trajectory stays
   healthy; the default 'highest' keeps the 1e-4 contract.  With all_params['data_parallel'], eligible configs run
   the fused-DP composition (one solve+stats kernel per shard + one
@@ -699,7 +700,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
-                kernel_stride, padding)
+                kernel_stride, padding,
+                mxu_bf16=(all_params.get("train_precision", "highest")
+                          == "bf16"))
           elif group_assignments is not None:
             runners[key] = _fused_group_segment_runner(
                 inference_alg[9:], update_alg, upd_niters,
