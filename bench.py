@@ -241,7 +241,7 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
 
 def measure_subspace(batch_size, scan_steps, timed_calls=2,
-                     log=lambda *a: None):
+                     log=lambda *a: None, mxu_bf16=False):
   """Subspace (group-sparse) fused train segment at the flagship config
   (64 groups of 4, FISTA-25, cheap-quad update)."""
   import jax
@@ -269,7 +269,8 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
     dd, hh, vv = state if state is not None else (d, h, v)
     out = fused_group_train_segment_pallas(
         dd, hh, vv, data, jnp.float32(0.008), jnp.int32(FISTA_ITERS),
-        jnp.float32(0.05), group_assignments=groups, power_iters=2)
+        jnp.float32(0.05), group_assignments=groups, power_iters=2,
+        mxu_bf16=mxu_bf16)
     return out[:3]
 
   t0 = time.time()
@@ -393,6 +394,10 @@ def main():
     detail["conv_batch40_bf16_training_mode"] = {
         "images_per_sec": round(ips_conv40_bf16, 1),
         "speedup_vs_f32": round(ips_conv40_bf16 / ips_conv40, 2)}
+    pps_sub_bf16 = measure_subspace(250, 1000, log=log, mxu_bf16=True)
+    detail["subspace_batch250_bf16_training_mode"] = {
+        "patches_per_sec": round(pps_sub_bf16, 1),
+        "speedup_vs_f32": round(pps_sub_bf16 / pps_sub, 2)}
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

@@ -332,3 +332,42 @@ def test_fused_segment_bf16_training_mode(rng):
     assert lbf < 1.05 * l32 + 1e-6, (lbf, l32)  # and tracks the f32 run
     # bf16 noise must stay update-scale, not blow up the trajectory
     assert np.abs(dbf - np.asarray(d32)).max() < 0.1
+
+
+def test_fused_group_segment_bf16_training_mode(rng):
+  """bf16 training-speed mode on the subspace/group segment kernel:
+  finite, unit norms, update-scale distance from the f32 trajectory
+  (incl. the in-kernel alignment regularizer, whose sign-sensitive
+  Gram stays full precision)."""
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+  from vtc_tpu.ops import lipschitz as lip
+
+  s, n, k, b = 16, 16, 5, 16
+  groups = tuple(tuple(range(i, i + 4)) for i in range(0, s, 4))
+  basis = rng.randn(6, n)
+  w = rng.randn(k * b, 6) * 2.0
+  batches = (w @ basis + 0.2 * rng.randn(k * b, n)).astype(
+      np.float32).reshape(k, b, n)
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  h0 = np.zeros(s, np.float32)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, s)
+  grouped = subspace_ista_fista.build_grouped_dictionary(
+      jnp.asarray(d0), gi, vm)
+  _, v0 = lip.top_gram_eigenpair(grouped)
+
+  common = dict(group_assignments=groups,
+                update_alg="subspace_sc_cheap_quadratic_descent",
+                power_iters=2, alignment_penalty=0.1, interpret=True)
+  d32 = fused_group_train_segment_pallas(
+      d0, h0, v0, batches, 0.05, 10, 0.01, **common)[0]
+  dbf = fused_group_train_segment_pallas(
+      d0, h0, v0, batches, 0.05, 10, 0.01, mxu_bf16=True, **common)[0]
+  dbf = np.asarray(dbf)
+  assert np.isfinite(dbf).all()
+  np.testing.assert_allclose(np.linalg.norm(dbf, axis=1), 1.0,
+                             atol=1e-5)
+  assert np.abs(dbf - np.asarray(d32)).max() < 0.1

@@ -270,7 +270,7 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 def _make_group_kernel(variant, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val, use_reg=False):
+                       lowest_code_val, use_reg=False, mxu_bf16=False):
   """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
   design as _make_kernel; the group structure enters as two static 0/1
   matrices so every ragged operation is an MXU matmul:
@@ -292,8 +292,16 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
   contribute once per shared group) -- i.e. S @ D - rowsum(S*C) * D
   with S = A * sign(C): one extra (s, s) Gram + matmul per update
   iteration, no gathers (dict_update_rules/fully_connected/
-  _subspace_common.py is the reference formulation)."""
+  _subspace_common.py is the reference formulation).
+  ``mxu_bf16``: opt-in training-speed tiering as in _make_kernel --
+  corr, the iteration/prox matmuls, the summed unpack, and the
+  residual-first update run single-pass bf16; the grouped build,
+  grouped Gram, power refresh, and the sign-sensitive regularizer
+  Gram stay HIGHEST."""
   use_fista = variant == "fista"
+  dot_ = _dot_b if mxu_bf16 else _dot
+  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
+  tdot_ = _tdot_b if mxu_bf16 else _tdot
 
   def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
               expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
@@ -331,25 +339,27 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     eta = 1.0 / jnp.sum(_dot(v, power_gram) * v)
     lam_eta = sw * eta
 
-    corr = _dot_t(images, grouped)                # (b_pad, GM_pad)
+    corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
 
     def prox(x):
-      sums = _dot(x * x, expand)                  # (b_pad, G_pad)
+      sums = dot_(x * x, expand)                  # (b_pad, G_pad)
       norms = jnp.sqrt(sums)
       safe = jnp.where(norms == 0.0, 1.0, norms)
       if hard:
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * _dot_t(scale, expand)            # scale @ expand.T
+      return x * dot_t_(scale, expand)            # scale @ expand.T
 
     neg_eta_gram = -eta * gram
+    if mxu_bf16:
+      neg_eta_gram = _bf16(neg_eta_gram)  # cast once, not per iteration
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = prox(z + _dot(z, neg_eta_gram) + corr_eta)
+      codes = prox(z + dot_(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -358,7 +368,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
 
     _, grouped_codes, _ = jax.lax.fori_loop(
         0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
-    codes = _dot(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
     codes_out[:] = codes
 
     if uses_hessian:
@@ -369,8 +379,8 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
       scale = jnp.transpose(hessian) + lowest_code_val
 
     def update_body(_, d):
-      resid = _dot(codes, d) - images
-      grad = _tdot(codes, resid) * inv_b
+      resid = dot_(codes, d) - images
+      grad = tdot_(codes, resid) * inv_b
       if use_reg:
         # anti-alignment regularizer (unit-norm form; see docstring).
         # Zero-padded rows have zero cosines -> sign 0 -> no effect.
@@ -962,7 +972,7 @@ def fused_group_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("group_assignments", "variant", "update_alg",
                      "upd_num_iters", "hard", "renormalize",
                      "power_iters", "lowest_code_val",
-                     "alignment_penalty", "interpret"))
+                     "alignment_penalty", "interpret", "mxu_bf16"))
 def _fused_group_impl(dictionary, hessian, eigvec,
                       batches, sparsity_weight,
                       inf_num_iters, upd_stepsize, *,
@@ -973,7 +983,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                       upd_num_iters=1, hard=False,
                       renormalize=True, power_iters=12,
                       lowest_code_val=0.001, alignment_penalty=0.0,
-                      interpret=False):
+                      interpret=False, mxu_bf16=False):
   use_reg = float(alignment_penalty) != 0.0
   if use_reg:
     assert renormalize, (
@@ -1030,7 +1040,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
   kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
                               int(upd_num_iters), int(power_iters),
                               use_n_gram, float(lowest_code_val),
-                              use_reg=use_reg)
+                              use_reg=use_reg, mxu_bf16=bool(mxu_bf16))
   const = lambda i, *_: (0, 0)
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel,

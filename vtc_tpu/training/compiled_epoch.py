@@ -132,7 +132,7 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
 
 def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
                                 renormalize, group_assignments,
-                                alignment_penalty=0.0):
+                                alignment_penalty=0.0, mxu_bf16=False):
   """Subspace counterpart of _fused_segment_runner (the anti-alignment
   regularizer runs in-kernel too; see
   ops/pallas_train_step.fused_group_train_segment_pallas)."""
@@ -145,7 +145,7 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
         group_assignments=group_assignments, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
         renormalize=renormalize, power_iters=2,
-        alignment_penalty=float(alignment_penalty))
+        alignment_penalty=float(alignment_penalty), mxu_bf16=mxu_bf16)
     return dictionary, hessian, eigvec
 
   return run
@@ -710,7 +710,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("renormalize_dictionary", True)),
                 group_assignments,
                 alignment_penalty=float(
-                    all_params.get("subspace_alignment_penalty", 0.0)))
+                    all_params.get("subspace_alignment_penalty", 0.0)),
+                mxu_bf16=(all_params.get("train_precision", "highest")
+                          == "bf16"))
           else:
             runners[key] = _fused_segment_runner(
                 inference_alg, update_alg, upd_niters,
