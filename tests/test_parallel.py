@@ -481,3 +481,40 @@ def test_dp_pca_matches_single_device(rng):
   # principal directions match up to per-axis sign
   overlap = np.abs(np.sum(single * dp, axis=1))
   np.testing.assert_allclose(overlap, 1.0, atol=1e-3)
+
+
+def test_dp_fused_bf16_training_mode(rng):
+  """train_precision='bf16' composes with data_parallel: the per-shard
+  solve runs bf16, the psum'd gram-form stats stay f32, and the
+  trajectory stays within update-scale distance of the f32 fused-DP
+  run (fc family; the group/conv builders take the same flag)."""
+  from vtc_tpu.training import compiled_epoch
+
+  k, b, s, n = 4, 16, 16, 16
+  basis = rng.randn(6, n)
+  w = rng.randn(k * b, 6) * 2.0
+  batches = (w @ basis + 0.2 * rng.randn(k * b, n)).astype(
+      np.float32).reshape(k, b, n)
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected", "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.01, "num_iters": 1}},
+      "fc_formulation": "pallas",
+      "data_parallel": parallel.make_mesh(data=8),
+  }
+  d32 = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  dbf = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, train_precision="bf16")))
+  assert np.isfinite(dbf).all()
+  np.testing.assert_allclose(np.linalg.norm(dbf, axis=1), 1.0,
+                             atol=1e-5)
+  assert np.abs(dbf - d32).max() < 0.1
+  assert np.abs(dbf - d32).max() > 0  # the flag actually changed math

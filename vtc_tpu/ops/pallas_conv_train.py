@@ -614,11 +614,18 @@ def conv_solve_stats_supported(img_shape, dict_shape, kernel_stride,
 
 
 def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
-                       batch_tile, num_tiles, emit_gram=False):
+                       batch_tile, num_tiles, emit_gram=False,
+                       mxu_bf16=False):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
-  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl)
+  solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
+                                 mxu_bf16=mxu_bf16)
+  # residual-form stats may run bf16; the gram-form (emit_gram) stats
+  # always stay HIGHEST (they feed the cancellation-prone D' C - B
+  # epilogue)
+  udot = _dot_b if mxu_bf16 else _dot
+  udot_t = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, dstk_ref, v_ref, p_ref, mblk_ref,
              zmask_ref, xcv_ref,
@@ -664,8 +671,8 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
       cm_out[:] = cm_out[:] + _dot_t(zstack * m_row, zstack)
       grad_out[:] = grad_out[:] + _dot_t(xcv, zstack)  # B_x
     else:
-      img = _dot(dstk, zstack) * mblk
-      grad_out[:] = grad_out[:] + _dot_t(img - xcv, zstack)
+      img = udot(dstk, zstack) * mblk
+      grad_out[:] = grad_out[:] + udot_t(img - xcv, zstack)
     ones_row = jnp.ones((1, tl), jnp.float32)
     stat_out[:] = stat_out[:] + _dot_t(ones_row, codes * codes)
 
@@ -676,7 +683,7 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                             inf_num_iters, *, kernel_stride, padding,
                             variant="fista", nonneg=False, hard=False,
                             power_iters=12, gram_stats=False,
-                            interpret=False):
+                            interpret=False, mxu_bf16=False):
   """One fused kernel: warm Lipschitz refresh + the whole conv FISTA
   solve + this batch's (shard's) block-space update statistics.
 
@@ -711,17 +718,18 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
       kernel_stride=kernel_stride, padding=padding_static,
       variant=variant, nonneg=bool(nonneg), hard=bool(hard),
       power_iters=int(power_iters), gram_stats=bool(gram_stats),
-      interpret=bool(interpret))
+      interpret=bool(interpret), mxu_bf16=bool(mxu_bf16))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_stride", "padding", "variant", "nonneg",
-                     "hard", "power_iters", "gram_stats", "interpret"))
+                     "hard", "power_iters", "gram_stats", "interpret",
+                     "mxu_bf16"))
 def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
                            inf_num_iters, *, kernel_stride, padding,
                            variant, nonneg, hard, power_iters,
-                           gram_stats, interpret):
+                           gram_stats, interpret, mxu_bf16=False):
   b = batch.shape[0]
   img_shape = batch.shape
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -746,7 +754,8 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
   niter = inf_num_iters.reshape(1)
 
   kernel = _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
-                              tile, num_tiles, emit_gram=gram_stats)
+                              tile, num_tiles, emit_gram=gram_stats,
+                              mxu_bf16=mxu_bf16)
   bcast = lambda shape: pl.BlockSpec(shape, lambda j, *_: (0,) *
                                      len(shape))
   tile_spec = lambda rows: pl.BlockSpec((rows, tl),

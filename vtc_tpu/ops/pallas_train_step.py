@@ -536,15 +536,20 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 
 def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
-                             use_n_gram):
+                             use_n_gram, mxu_bf16=False):
   """Per-shard kernel for the data-parallel composition: warm Lipschitz
   refresh + the full VMEM-resident FISTA solve + the shard's update
   STATISTICS (C = codes^T codes, B = codes^T X, hessian stat), leaving
   the psum + dictionary update to a thin XLA epilogue outside the
   kernel (the update needs the cross-chip reduction, which runs over
   ICI between kernel launches; see parallel/data_parallel.py
-  build_dp_fused_local_step)."""
+  build_dp_fused_local_step).  ``mxu_bf16``: the solve's hot-loop
+  matmuls run single-pass bf16; the Gram/power refresh and the
+  gram-form stats (which feed the cancellation-prone C D' - B
+  epilogue) stay HIGHEST."""
   use_fista = variant == "fista"
+  dot_ = _dot_b if mxu_bf16 else _dot
+  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, v_ref, x_ref,
              codes_out, c_out, b_out, stat_out, v_out, eta_out):
@@ -569,7 +574,7 @@ def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
     eta_out[:] = eta.reshape(1, 1)
     lam_eta = sw * eta
 
-    corr = _dot_t(images, dictionary)
+    corr = dot_t_(images, dictionary)
 
     def threshold(x):
       if hard:
@@ -581,12 +586,14 @@ def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
       return x - jnp.clip(x, -lam_eta, lam_eta)
 
     neg_eta_gram = -eta * gram
+    if mxu_bf16:
+      neg_eta_gram = _bf16(neg_eta_gram)
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z + _dot(z, neg_eta_gram) + corr_eta)
+      codes = threshold(z + dot_(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -615,11 +622,11 @@ def fused_solve_stats_supported(batch_shard_size, code_size, input_size):
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "nonneg", "hard", "power_iters",
-                     "interpret"))
+                     "interpret", "mxu_bf16"))
 def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                              inf_num_iters, *, variant="fista",
                              nonneg=False, hard=False, power_iters=12,
-                             interpret=False):
+                             interpret=False, mxu_bf16=False):
   """One fused kernel: warm Lipschitz refresh + FISTA solve + gram-form
   update statistics for this batch (shard).
 
@@ -648,7 +655,8 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   kernel = _make_solve_stats_kernel(variant, bool(nonneg), bool(hard),
-                                    int(power_iters), use_n_gram)
+                                    int(power_iters), use_n_gram,
+                                    mxu_bf16=bool(mxu_bf16))
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,
@@ -686,7 +694,7 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
 
 
 def _make_group_solve_stats_kernel(variant, hard, power_iters,
-                                   use_n_gram):
+                                   use_n_gram, mxu_bf16=False):
   """Group-sparse counterpart of _make_solve_stats_kernel: warm
   Lipschitz refresh on the grouped Gram + the whole VMEM-resident
   group FISTA solve + this shard's gram-form update statistics
@@ -694,8 +702,12 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
   (b, s) codes.  The psum + subspace dictionary update stay in the XLA
   epilogue (parallel/data_parallel.build_dp_group_fused_local_step);
   the alignment regularizer depends only on the replicated dictionary,
-  so it needs no cross-chip reduction and runs in the epilogue too."""
+  so it needs no cross-chip reduction and runs in the epilogue too.
+  ``mxu_bf16``: same solve-bf16 / stats-HIGHEST tiering as
+  _make_solve_stats_kernel."""
   use_fista = variant == "fista"
+  dot_ = _dot_b if mxu_bf16 else _dot
+  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, v_ref, gsel_ref, expand_ref,
              x_ref, codes_out, c_out, b_out, stat_out, v_out, eta_out):
@@ -722,25 +734,27 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
     eta_out[:] = eta.reshape(1, 1)
     lam_eta = sw * eta
 
-    corr = _dot_t(images, grouped)                # (b_pad, GM_pad)
+    corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
 
     def prox(x):
-      sums = _dot(x * x, expand)
+      sums = dot_(x * x, expand)
       norms = jnp.sqrt(sums)
       safe = jnp.where(norms == 0.0, 1.0, norms)
       if hard:
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * _dot_t(scale, expand)
+      return x * dot_t_(scale, expand)
 
     neg_eta_gram = -eta * gram
+    if mxu_bf16:
+      neg_eta_gram = _bf16(neg_eta_gram)
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = prox(z + _dot(z, neg_eta_gram) + corr_eta)
+      codes = prox(z + dot_(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -749,7 +763,7 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
 
     _, grouped_codes, _ = jax.lax.fori_loop(
         0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
-    codes = _dot(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
     codes_out[:] = codes
     c_out[:] = _tdot(codes, codes)
     b_out[:] = _tdot(codes, images)
@@ -791,7 +805,7 @@ def fused_group_solve_stats_pallas(dictionary, eigvec, batch,
                                    sparsity_weight, inf_num_iters, *,
                                    group_assignments, variant="fista",
                                    hard=False, power_iters=12,
-                                   interpret=False):
+                                   interpret=False, mxu_bf16=False):
   """One fused kernel: warm grouped-Lipschitz refresh + group FISTA
   solve + gram-form update statistics for this batch (shard).
 
@@ -803,17 +817,19 @@ def fused_group_solve_stats_pallas(dictionary, eigvec, batch,
   return _fused_group_solve_stats_impl(
       dictionary, eigvec, batch, sparsity_weight, inf_num_iters,
       group_assignments=groups, variant=variant, hard=hard,
-      power_iters=power_iters, interpret=interpret)
+      power_iters=power_iters, interpret=interpret,
+      mxu_bf16=mxu_bf16)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("group_assignments", "variant", "hard",
-                     "power_iters", "interpret"))
+                     "power_iters", "interpret", "mxu_bf16"))
 def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
                                   sparsity_weight, inf_num_iters, *,
                                   group_assignments, variant, hard,
-                                  power_iters, interpret):
+                                  power_iters, interpret,
+                                  mxu_bf16=False):
   b, n = batch.shape
   s = dictionary.shape[0]
   num_groups = len(group_assignments)
@@ -845,7 +861,8 @@ def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   kernel = _make_group_solve_stats_kernel(
-      variant, bool(hard), int(power_iters), use_n_gram)
+      variant, bool(hard), int(power_iters), use_n_gram,
+      mxu_bf16=bool(mxu_bf16))
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,

@@ -661,7 +661,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 # 2 refresh iters is exact-seed-safe: this trainer
                 # always seeds via seed_eigvec and re-seeds after
                 # dictionary jumps (see _fused_segment_runner)
-                power_iters=2)
+                power_iters=2,
+                # bf16 training-speed mode composes with DP: the
+                # per-shard solve runs bf16, the psum'd stats stay f32
+                mxu_bf16=(all_params.get("train_precision", "highest")
+                          == "bf16"))
             if mode == "convolutional":
               from vtc_tpu.parallel.data_parallel import (
                   build_dp_conv_fused_local_step)
