@@ -88,3 +88,25 @@ def test_api_encode_batched_matches_direct(rng):
   direct = np.asarray(coder.encode(patches))
   batched = coder.encode(patches, batch_size=32)
   np.testing.assert_allclose(batched, direct, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_encode_precision_tiers(rng):
+  """mxu_precision is honored by the fc pallas path: bf16x3 stays near
+  the parity result (~1e-5 grade); 'default' (single bf16 pass) differs
+  measurably but stays a valid solve (finite, sparse pattern close)."""
+  d = rng.randn(16, 16).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(32, 16).astype(np.float32)
+  base = encode_dataset(data, d, 0.05, 15, batch_size=16,
+                        formulation="pallas")
+  x3 = encode_dataset(data, d, 0.05, 15, batch_size=16,
+                      formulation="pallas", mxu_precision="bf16x3")
+  bf = encode_dataset(data, d, 0.05, 15, batch_size=16,
+                      formulation="pallas", mxu_precision="default")
+  np.testing.assert_allclose(x3, base, atol=5e-4)
+  # 'default' is exact on the CPU interpreter (DEFAULT-precision f32
+  # matmuls are full f32 off-TPU); the real bf16 divergence shows only
+  # on the MXU, so here we check the tier threads through and solves
+  assert np.isfinite(bf).all()
+  assert np.abs(bf - base).max() < 0.5 * (np.abs(base).max() + 1.0)

@@ -78,7 +78,8 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
         nonnegative_only=False, hard_threshold=False, *,
         stepsize: Optional[jnp.ndarray] = None,
         lipschitz_method: str = "eigvalsh",
-        formulation: str = "gram"):
+        formulation: str = "gram",
+        mxu_precision: str = "highest"):
   """Infer sparse codes for a batch of images.
 
   Args:
@@ -97,12 +98,19 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
     lipschitz_method: 'eigvalsh' (exact, reference semantics) or 'power'.
     formulation: 'gram' (one-matmul iteration, default) or 'direct'
       (literal two-matmul iteration of the reference).
+    mxu_precision: MXU tier for the 'pallas' formulation's iteration
+      matmuls: 'highest' (full f32, the 1e-4 parity default) |
+      'bf16x3' (hand-split 3-pass f32, ~1e-5 code accuracy, ~+24%
+      throughput) | 'default' (single bf16 pass, ~1e-1 accuracy,
+      fastest -- a screening/training-speed tier).  Ignored by the
+      XLA formulations, which always run the parity precision scope.
 
   Returns:
     (b, s) float32 codes.
   """
   assert variant in ("ista", "fista")
   assert formulation in ("gram", "direct", "pallas")
+  assert mxu_precision in ("highest", "bf16x3", "default")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   if stepsize is None:
@@ -117,6 +125,7 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
           initial_codes=initial_codes, variant=variant,
           nonneg=bool(nonnegative_only), hard=bool(hard_threshold),
           interpret=jax.default_backend() != "tpu",
+          mxu_precision=mxu_precision,
           early_stopping_epsilon=(
               None if early_stopping_epsilon is None
               else float(early_stopping_epsilon)))

@@ -51,7 +51,7 @@ def _solver(mode, group_assignments):
 @functools.lru_cache(maxsize=64)
 def _chunk_encoder(kind, run_fn, variant, nonneg, hard, formulation,
                    group_assignments, kernel_stride, padding, mesh,
-                   dp_axes_):
+                   dp_axes_, mxu_precision):
   """jitted (batches, dictionary, sw, n_it, eta) -> codes, scanning the
   batch axis inside one program.  Cached per static config."""
 
@@ -60,7 +60,8 @@ def _chunk_encoder(kind, run_fn, variant, nonneg, hard, formulation,
       if kind == "fc":
         codes = run_fn(batch, dictionary, sw, n_it, variant=variant,
                        nonnegative_only=nonneg, hard_threshold=hard,
-                       stepsize=eta, formulation=formulation)
+                       stepsize=eta, formulation=formulation,
+                       mxu_precision=mxu_precision)
       elif kind == "subspace":
         codes = run_fn(batch, dictionary, list(group_assignments), sw,
                        n_it, variant=variant, hard_threshold=hard,
@@ -96,7 +97,8 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
                    group_assignments=None, kernel_stride=None,
                    padding=None, nonnegative_only=False,
                    hard_threshold=False, formulation=None,
-                   lipschitz_method="eigvalsh", data_parallel=None):
+                   lipschitz_method="eigvalsh", data_parallel=None,
+                   mxu_precision="highest"):
   """Encode a full dataset into codes, batched + streamed + compiled.
 
   Args:
@@ -121,6 +123,9 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
       once-per-dictionary stepsize.
     data_parallel: optional jax.sharding.Mesh; each batch is sharded
       over its data axes (batch_size must divide by the DP size).
+    mxu_precision: fully-connected 'pallas' formulation only --
+      'highest' (parity, default) | 'bf16x3' (~1e-5 accuracy, faster)
+      | 'default' (single bf16 pass, fastest, ~1e-1 screening grade).
 
   Returns:
     (D, s) float32 codes (or (D, s, sh, sw) for convolutional), on host.
@@ -180,7 +185,7 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
   encoder = _chunk_encoder(
       kind, run_fn, variant, bool(nonnegative_only),
       bool(hard_threshold), formulation, group_assignments,
-      kernel_stride, padding, mesh, dp_axes_)
+      kernel_stride, padding, mesh, dp_axes_, str(mxu_precision))
 
   sw = jnp.asarray(sparsity_weight, jnp.float32)
   n_it = jnp.asarray(num_iters, jnp.int32)
