@@ -174,7 +174,7 @@ def _timed_best_of_two(run_once, timed_calls, sync):
 
 
 def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
-            formulation="fused", mxu_bf16=False):
+            formulation="fused", mxu="highest"):
   """Time `timed_calls` executions of a compiled scan over `scan_steps`
   fused train steps.  The per-call host<->device round trip through the
   runtime costs ~30 ms here, so throughput is measured with large scans
@@ -198,7 +198,7 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
       d, h, v, _ = fused_train_segment_pallas(
           dictionary, hessian, eigvec, data, sw, n_it, upd_step,
           power_iters=2,  # exact-eigenpair seed below
-          mxu_bf16=mxu_bf16)
+          mxu=mxu)
       return d, h, v
   else:
     raw = build_raw_step_fn(
@@ -241,7 +241,7 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
 
 def measure_subspace(batch_size, scan_steps, timed_calls=2,
-                     log=lambda *a: None, mxu_bf16=False):
+                     log=lambda *a: None, mxu="highest"):
   """Subspace (group-sparse) fused train segment at the flagship config
   (64 groups of 4, FISTA-25, cheap-quad update)."""
   import jax
@@ -270,7 +270,7 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
     out = fused_group_train_segment_pallas(
         dd, hh, vv, data, jnp.float32(0.008), jnp.int32(FISTA_ITERS),
         jnp.float32(0.05), group_assignments=groups, power_iters=2,
-        mxu_bf16=mxu_bf16)
+        mxu=mxu)
     return out[:3]
 
   t0 = time.time()
@@ -385,8 +385,13 @@ def main():
     # opt-in bf16 training-speed mode (all_params['train_precision'] =
     # 'bf16'): hot-loop matmuls single-pass bf16.  NOT parity grade --
     # reported as a separate detail row, never the headline
+    pps_bf16x3, _ = measure(250, 1000, timed_calls=4, log=log,
+                            mxu="bf16x3")
+    detail["fc_batch250_bf16x3_training_mode"] = {
+        "patches_per_sec": round(pps_bf16x3, 1),
+        "speedup_vs_f32_headline": round(pps_bf16x3 / pps_ref, 2)}
     pps_bf16, _ = measure(250, 1000, timed_calls=4, log=log,
-                          mxu_bf16=True)
+                          mxu="bf16")
     detail["fc_batch250_bf16_training_mode"] = {
         "patches_per_sec": round(pps_bf16, 1),
         "speedup_vs_f32_headline": round(pps_bf16 / pps_ref, 2)}
@@ -394,8 +399,8 @@ def main():
     detail["conv_batch40_bf16_training_mode"] = {
         "images_per_sec": round(ips_conv40_bf16, 1),
         "speedup_vs_f32": round(ips_conv40_bf16 / ips_conv40, 2)}
-    pps_sub_bf16 = measure_subspace(250, 1000, log=log, mxu_bf16=True)
-    detail["subspace_batch250_bf16_training_mode"] = {
+    pps_sub_bf16 = measure_subspace(250, 1000, log=log, mxu="bf16x3")
+    detail["subspace_batch250_bf16x3_training_mode"] = {
         "patches_per_sec": round(pps_sub_bf16, 1),
         "speedup_vs_f32": round(pps_sub_bf16 / pps_sub, 2)}
 

@@ -27,6 +27,10 @@ parser.add_argument("--patch", type=int, default=16)
 parser.add_argument("--num-atoms", type=int, default=256)
 parser.add_argument("--num-images", type=int, default=16)
 parser.add_argument("--image-dim", type=int, default=512)
+parser.add_argument("--precision", default="highest",
+                    choices=["highest", "bf16"],
+                    help="'bf16' = opt-in training-speed mode (~2x the "
+                         "parity-grade step; BENCH_NOTES UPDATE 20)")
 args = parser.parse_args()
 
 print("Generating + whitening images on device...")
@@ -61,6 +65,7 @@ params = {
     "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
     "dict_update_param_schedule": {
         0: {"stepsize": 0.1, "num_iters": 1}},
+    "train_precision": args.precision,
 }
 t0 = time.time()
 final = np.asarray(train_dictionary_scanned(epoch, val, d0, params))

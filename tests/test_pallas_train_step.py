@@ -282,7 +282,7 @@ def test_tile_picker_low_waste():
 
 
 def test_fused_segment_bf16_training_mode(rng):
-  """The opt-in bf16 training-speed mode (mxu_bf16=True) is NOT parity
+  """The opt-in bf16 training-speed tier (mxu='bf16') is NOT parity
   grade, but the training trajectory must stay healthy: finite,
   unit-norm rows, and a final-dictionary reconstruction quality close
   to the f32 path's on the same segment (single-tile and batch-tiled
@@ -320,7 +320,7 @@ def test_fused_segment_bf16_training_mode(rng):
         interpret=True, batch_tile=tile)[0]
     dbf = fused_train_segment_pallas(
         d, h, v, batches, sw, 12, 0.01, power_iters=2,
-        interpret=True, batch_tile=tile, mxu_bf16=True)[0]
+        interpret=True, batch_tile=tile, mxu="bf16")[0]
     dbf = np.asarray(dbf)
     assert np.isfinite(dbf).all()
     np.testing.assert_allclose(np.linalg.norm(dbf, axis=1), 1.0,
@@ -365,9 +365,53 @@ def test_fused_group_segment_bf16_training_mode(rng):
   d32 = fused_group_train_segment_pallas(
       d0, h0, v0, batches, 0.05, 10, 0.01, **common)[0]
   dbf = fused_group_train_segment_pallas(
-      d0, h0, v0, batches, 0.05, 10, 0.01, mxu_bf16=True, **common)[0]
+      d0, h0, v0, batches, 0.05, 10, 0.01, mxu="bf16", **common)[0]
   dbf = np.asarray(dbf)
   assert np.isfinite(dbf).all()
   np.testing.assert_allclose(np.linalg.norm(dbf, axis=1), 1.0,
                              atol=1e-5)
   assert np.abs(dbf - np.asarray(d32)).max() < 0.1
+
+
+def test_fused_segment_bf16x3_tracks_f32(rng):
+  """The 'bf16x3' tier (3-pass split iteration matmul) must track the
+  f32 trajectory at near-parity tolerance over a multi-step segment
+  (single-tile and batch-tiled)."""
+  for tile in (None, 8):
+    d, h, v, batches = _problem(rng, k=4, b=16)
+    d32 = fused_train_segment_pallas(
+        d, h, v, batches, 0.05, 12, 0.05, power_iters=2,
+        interpret=True, batch_tile=tile)[0]
+    dx3 = fused_train_segment_pallas(
+        d, h, v, batches, 0.05, 12, 0.05, power_iters=2,
+        interpret=True, batch_tile=tile, mxu="bf16x3")[0]
+    np.testing.assert_allclose(np.asarray(dx3), np.asarray(d32),
+                               atol=5e-3)
+
+
+def test_fused_group_segment_bf16x3_tracks_f32(rng):
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+  from vtc_tpu.ops import lipschitz as lip
+
+  s, n, k, b = 16, 16, 4, 16
+  groups = tuple(tuple(range(i, i + 4)) for i in range(0, s, 4))
+  batches = (0.5 * rng.randn(k, b, n)).astype(np.float32)
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  h0 = np.zeros(s, np.float32)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, s)
+  grouped = subspace_ista_fista.build_grouped_dictionary(
+      jnp.asarray(d0), gi, vm)
+  _, v0 = lip.top_gram_eigenpair(grouped)
+  common = dict(group_assignments=groups,
+                update_alg="subspace_sc_cheap_quadratic_descent",
+                power_iters=2, interpret=True)
+  d32 = fused_group_train_segment_pallas(
+      d0, h0, v0, batches, 0.05, 10, 0.05, **common)[0]
+  dx3 = fused_group_train_segment_pallas(
+      d0, h0, v0, batches, 0.05, 10, 0.05, mxu="bf16x3", **common)[0]
+  np.testing.assert_allclose(np.asarray(dx3), np.asarray(d32),
+                             atol=5e-3)

@@ -286,11 +286,6 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
   multi = num_tiles > 1
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
                                  mxu_bf16=mxu_bf16)
-  # residual-form update matmuls may run bf16 (the residual is computed
-  # FIRST, so no large-magnitude cancellation); the gram-form path
-  # (gram_update) always stays HIGHEST
-  udot = _dot_b if mxu_bf16 else _dot
-  udot_t = _dot_t_b if mxu_bf16 else _dot_t
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
@@ -391,15 +386,19 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
           finish(statacc[:],
                  lambda d: (_dot(d, cm) - bx) * inv_b)
       else:
-        img2 = udot(dstk, zstack) * mblk
-        gradacc[:] = gradacc[:] + udot_t(img2 - xcv, zstack)
+        # update matmuls stay HIGHEST even under mxu_bf16: converged
+        # residuals sink below the bf16 absolute error of the synthesis
+        # product, turning the gradient into noise (see
+        # ops/pallas_train_step._make_kernel)
+        img2 = _dot(dstk, zstack) * mblk
+        gradacc[:] = gradacc[:] + _dot_t(img2 - xcv, zstack)
 
         @pl.when(tile == num_tiles - 1)
         def _():
           g0 = gradacc[:] * inv_b
           finish(statacc[:], lambda d: g0)
     else:
-      finish(stat, lambda d: udot_t(udot(d, zstack) * mblk - xcv,
+      finish(stat, lambda d: _dot_t(_dot(d, zstack) * mblk - xcv,
                                     zstack) * inv_b)
 
   return kernel
@@ -433,9 +432,9 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
 
   ``mxu_bf16=True`` is the opt-in training-speed mode (see
   ops/pallas_train_step.fused_train_segment_pallas): the solver's
-  deep-contraction matmuls and the residual-form update run single-pass
-  bf16; the Lipschitz refresh and the gram-form update path stay
-  HIGHEST.  Not parity grade.
+  deep-contraction matmuls run single-pass bf16; the Lipschitz refresh
+  and ALL update-path matmuls stay HIGHEST (converged residuals sink
+  below bf16 noise).  Not parity grade.
 
   Args:
     dictionary: (s, c, kh, kw) float32 kernels.
@@ -621,11 +620,7 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
   tl = batch_tile * geo["ells"]
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
                                  mxu_bf16=mxu_bf16)
-  # residual-form stats may run bf16; the gram-form (emit_gram) stats
-  # always stay HIGHEST (they feed the cancellation-prone D' C - B
-  # epilogue)
-  udot = _dot_b if mxu_bf16 else _dot
-  udot_t = _dot_t_b if mxu_bf16 else _dot_t
+
 
   def kernel(niter_ref, scalars_ref, dstk_ref, v_ref, p_ref, mblk_ref,
              zmask_ref, xcv_ref,
@@ -671,8 +666,10 @@ def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
       cm_out[:] = cm_out[:] + _dot_t(zstack * m_row, zstack)
       grad_out[:] = grad_out[:] + _dot_t(xcv, zstack)  # B_x
     else:
-      img = udot(dstk, zstack) * mblk
-      grad_out[:] = grad_out[:] + udot_t(img - xcv, zstack)
+      # HIGHEST even under mxu_bf16: converged residuals sink below
+      # bf16 noise (see ops/pallas_train_step._make_kernel)
+      img = _dot(dstk, zstack) * mblk
+      grad_out[:] = grad_out[:] + _dot_t(img - xcv, zstack)
     ones_row = jnp.ones((1, tl), jnp.float32)
     stat_out[:] = stat_out[:] + _dot_t(ones_row, codes * codes)
 

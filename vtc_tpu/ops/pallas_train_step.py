@@ -74,7 +74,7 @@ def _tdot(a, b):
 
 
 # single-pass bf16 MXU variants (f32 accumulate) for the opt-in
-# training-speed mode (mxu_bf16): 1 MXU pass instead of HIGHEST's 6.
+# training-speed tiers (mxu='bf16'): 1 MXU pass instead of HIGHEST's 6.
 # NOT parity grade (~1e-1 relative code error per solve; see
 # BENCH_NOTES precision-tier table) -- dictionary learning is
 # stochastic, so training tolerates it, but the default stays 'highest'.
@@ -98,6 +98,38 @@ def _tdot_b(a, b):
   return jax.lax.dot_general(_bf16(a), _bf16(b), (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
+
+
+def _split_hi_lo(x):
+  """bf16 hi + lo split: hi + lo reconstructs x to ~16 significand
+  bits (the bf16x3 emulation operand form; ops/pallas_fista.py)."""
+  hi = x.astype(jnp.bfloat16)
+  lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+  return hi, lo
+
+
+def _make_iter_dot(mxu):
+  """(prep(gram) -> operand, iter_dot(z, operand)) for the FISTA
+  iteration matmul at the requested MXU tier:
+    'highest': full f32 (6 bf16 passes) -- the 1e-4 parity default.
+    'bf16x3':  hand-split 3-pass emulation, ~1e-4 code accuracy --
+               training trajectories track f32 (the recommended speed
+               tier; the dropped lo*lo product is below bf16
+               representation error, BENCH_NOTES precision table).
+    'bf16':    single pass, ~1e-1 code accuracy -- screening grade
+               (measured to bias strongly-converged training: denser
+               codes, higher final loss; see BENCH_NOTES UPDATE 20)."""
+  if mxu == "bf16":
+    return _bf16, _dot_b
+  if mxu == "bf16x3":
+    def iter_dot(z, g):
+      g_hi, g_lo = g
+      z_hi, z_lo = _split_hi_lo(z)
+      return (_dot_b(z_hi, g_hi) + _dot_b(z_lo, g_hi)
+              + _dot_b(z_hi, g_lo))
+
+    return _split_hi_lo, iter_dot
+  return (lambda g: g), _dot
 
 
 def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
@@ -160,15 +192,20 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
 
 def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                  upd_num_iters, power_iters, use_n_gram,
-                 lowest_code_val, mxu_bf16=False):
+                 lowest_code_val, mxu="highest"):
   use_fista = variant == "fista"
-  # training-speed mode: hot-loop matmuls (corr, FISTA iteration,
-  # update residual/gradient) run single-pass bf16; the Gram build and
-  # power refresh stay HIGHEST (eta accuracy guards FISTA stability,
-  # and they are O(1/num_iters) of the step's MXU work)
-  dot_ = _dot_b if mxu_bf16 else _dot
-  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
-  tdot_ = _tdot_b if mxu_bf16 else _tdot
+  # training-speed tiers (see _make_iter_dot): ONLY the FISTA iteration
+  # matmuls (+ corr, in the 'bf16' tier) drop precision.  The Gram
+  # build / power refresh stay HIGHEST (eta accuracy guards FISTA
+  # stability) and so do the UPDATE matmuls: as training converges the
+  # residual codes @ D - X shrinks below the bf16 absolute error of
+  # the codes @ D product, so a low-precision update gradient becomes
+  # pure noise exactly when training is going well (measured on-chip:
+  # 2000 structured-data steps diverged from LASSO 2.17 to 283).  The
+  # update is 2 of ~28 matmuls per step -- keeping it full precision
+  # costs little.
+  prep_gram, iter_dot = _make_iter_dot(mxu)
+  dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out):
@@ -225,15 +262,13 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     # the XLA gram path (fc ista_fista._solve) exactly -- folding it
     # into the operator shifts per-iteration rounding enough to flip
     # shrinkage boundaries vs the composed path.
-    neg_eta_gram = -eta * gram
-    if mxu_bf16:
-      neg_eta_gram = _bf16(neg_eta_gram)  # cast once, not per iteration
+    neg_eta_gram = prep_gram(-eta * gram)  # tier prep once, not per iter
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z + dot_(z, neg_eta_gram) + corr_eta)
+      codes = threshold(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -252,8 +287,8 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       scale = jnp.transpose(hessian) + lowest_code_val  # (s_pad, 1)
 
     def update_body(_, d):
-      resid = dot_(codes, d) - images                 # (b_pad, n_pad)
-      grad = tdot_(codes, resid) * inv_b              # (s_pad, n_pad)
+      resid = _dot(codes, d) - images                 # (b_pad, n_pad)
+      grad = _tdot(codes, resid) * inv_b              # (s_pad, n_pad)
       if uses_hessian:
         grad = grad / scale
       d = d - upd_step * grad
@@ -270,7 +305,7 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 def _make_group_kernel(variant, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val, use_reg=False, mxu_bf16=False):
+                       lowest_code_val, use_reg=False, mxu="highest"):
   """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
   design as _make_kernel; the group structure enters as two static 0/1
   matrices so every ragged operation is an MXU matmul:
@@ -293,15 +328,17 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
   with S = A * sign(C): one extra (s, s) Gram + matmul per update
   iteration, no gathers (dict_update_rules/fully_connected/
   _subspace_common.py is the reference formulation).
-  ``mxu_bf16``: opt-in training-speed tiering as in _make_kernel --
-  corr, the iteration/prox matmuls, the summed unpack, and the
-  residual-first update run single-pass bf16; the grouped build,
-  grouped Gram, power refresh, and the sign-sensitive regularizer
-  Gram stay HIGHEST."""
+  ``mxu``: opt-in training-speed tiering as in _make_kernel -- the
+  iteration matmul runs at the requested tier ('bf16x3' recommended);
+  in the 'bf16' tier corr, the prox matmuls, and the summed unpack
+  drop to single-pass bf16 too.  The grouped build, grouped Gram,
+  power refresh, the UPDATE matmuls (converged residuals sink below
+  bf16 noise -- see _make_kernel), and the sign-sensitive regularizer
+  Gram always stay HIGHEST."""
   use_fista = variant == "fista"
-  dot_ = _dot_b if mxu_bf16 else _dot
-  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
-  tdot_ = _tdot_b if mxu_bf16 else _tdot
+  prep_gram, iter_dot = _make_iter_dot(mxu)
+  dot_ = _dot_b if mxu == "bf16" else _dot
+  dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
               expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
@@ -351,15 +388,13 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
       return x * dot_t_(scale, expand)            # scale @ expand.T
 
-    neg_eta_gram = -eta * gram
-    if mxu_bf16:
-      neg_eta_gram = _bf16(neg_eta_gram)  # cast once, not per iteration
+    neg_eta_gram = prep_gram(-eta * gram)  # tier prep once, not per iter
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = prox(z + dot_(z, neg_eta_gram) + corr_eta)
+      codes = prox(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -379,8 +414,8 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
       scale = jnp.transpose(hessian) + lowest_code_val
 
     def update_body(_, d):
-      resid = dot_(codes, d) - images
-      grad = tdot_(codes, resid) * inv_b
+      resid = _dot(codes, d) - images
+      grad = _tdot(codes, resid) * inv_b
       if use_reg:
         # anti-alignment regularizer (unit-norm form; see docstring).
         # Zero-padded rows have zero cosines -> sign 0 -> no effect.
@@ -415,7 +450,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
 
 def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val, num_tiles, mxu_bf16=False):
+                       lowest_code_val, num_tiles, mxu="highest"):
   """Batch-tiled variant: grid (step, tile) with tile fastest.  The
   dictionary gradient is accumulated in GRAM form: with
   C = sum_t codes_t^T codes_t and B = sum_t codes_t^T X_t in VMEM
@@ -426,14 +461,15 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   sc_cheap_quadratic_descent.py:44-49) without keeping any tile's
   codes or images alive."""
   use_fista = variant == "fista"
-  # training-speed tiering: ONLY corr + the FISTA iteration matmuls run
-  # bf16.  The gram-form stats (C, B) and the C D' - B update MUST stay
-  # HIGHEST: the gradient is a small difference of large matrices, so
-  # bf16 there is catastrophic cancellation (measured: LASSO loss 3x
-  # worse), unlike the single-tile kernel's residual-first form.  They
-  # run once per step -- negligible next to the iteration loop.
-  dot_ = _dot_b if mxu_bf16 else _dot
-  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
+  # training-speed tiering (see _make_iter_dot / _make_kernel): ONLY
+  # the FISTA iteration matmuls (+ corr in the 'bf16' tier) drop
+  # precision.  The gram-form stats (C, B) and the C D' - B update
+  # MUST stay HIGHEST: the gradient is a small difference of large
+  # matrices, so bf16 there is catastrophic cancellation (measured:
+  # LASSO loss 3x worse).  They run once per step -- negligible next
+  # to the iteration loop.
+  prep_gram, iter_dot = _make_iter_dot(mxu)
+  dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out,
@@ -489,11 +525,11 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
     init = jnp.zeros_like(corr)
 
-    iter_gram = _bf16(gram) if mxu_bf16 else gram
+    iter_gram = prep_gram(gram)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z - eta * dot_(z, iter_gram) + eta * corr)
+      codes = threshold(z - eta * iter_dot(z, iter_gram) + eta * corr)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -536,20 +572,20 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 
 def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
-                             use_n_gram, mxu_bf16=False):
+                             use_n_gram, mxu="highest"):
   """Per-shard kernel for the data-parallel composition: warm Lipschitz
   refresh + the full VMEM-resident FISTA solve + the shard's update
   STATISTICS (C = codes^T codes, B = codes^T X, hessian stat), leaving
   the psum + dictionary update to a thin XLA epilogue outside the
   kernel (the update needs the cross-chip reduction, which runs over
   ICI between kernel launches; see parallel/data_parallel.py
-  build_dp_fused_local_step).  ``mxu_bf16``: the solve's hot-loop
-  matmuls run single-pass bf16; the Gram/power refresh and the
-  gram-form stats (which feed the cancellation-prone C D' - B
+  build_dp_fused_local_step).  ``mxu``: the iteration matmul runs at
+  the requested tier (+ corr in 'bf16'); the Gram/power refresh and
+  the gram-form stats (which feed the cancellation-prone C D' - B
   epilogue) stay HIGHEST."""
   use_fista = variant == "fista"
-  dot_ = _dot_b if mxu_bf16 else _dot
-  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
+  prep_gram, iter_dot = _make_iter_dot(mxu)
+  dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, v_ref, x_ref,
              codes_out, c_out, b_out, stat_out, v_out, eta_out):
@@ -585,15 +621,13 @@ def _make_solve_stats_kernel(variant, nonneg, hard, power_iters,
         return jnp.maximum(x - lam_eta, 0.0)
       return x - jnp.clip(x, -lam_eta, lam_eta)
 
-    neg_eta_gram = -eta * gram
-    if mxu_bf16:
-      neg_eta_gram = _bf16(neg_eta_gram)
+    neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = threshold(z + dot_(z, neg_eta_gram) + corr_eta)
+      codes = threshold(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -622,11 +656,11 @@ def fused_solve_stats_supported(batch_shard_size, code_size, input_size):
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "nonneg", "hard", "power_iters",
-                     "interpret", "mxu_bf16"))
+                     "interpret", "mxu"))
 def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                              inf_num_iters, *, variant="fista",
                              nonneg=False, hard=False, power_iters=12,
-                             interpret=False, mxu_bf16=False):
+                             interpret=False, mxu="highest"):
   """One fused kernel: warm Lipschitz refresh + FISTA solve + gram-form
   update statistics for this batch (shard).
 
@@ -656,7 +690,7 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
 
   kernel = _make_solve_stats_kernel(variant, bool(nonneg), bool(hard),
                                     int(power_iters), use_n_gram,
-                                    mxu_bf16=bool(mxu_bf16))
+                                    mxu=str(mxu))
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,
@@ -694,7 +728,7 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
 
 
 def _make_group_solve_stats_kernel(variant, hard, power_iters,
-                                   use_n_gram, mxu_bf16=False):
+                                   use_n_gram, mxu="highest"):
   """Group-sparse counterpart of _make_solve_stats_kernel: warm
   Lipschitz refresh on the grouped Gram + the whole VMEM-resident
   group FISTA solve + this shard's gram-form update statistics
@@ -703,11 +737,12 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
   epilogue (parallel/data_parallel.build_dp_group_fused_local_step);
   the alignment regularizer depends only on the replicated dictionary,
   so it needs no cross-chip reduction and runs in the epilogue too.
-  ``mxu_bf16``: same solve-bf16 / stats-HIGHEST tiering as
+  ``mxu``: same solve-tier / stats-HIGHEST tiering as
   _make_solve_stats_kernel."""
   use_fista = variant == "fista"
-  dot_ = _dot_b if mxu_bf16 else _dot
-  dot_t_ = _dot_t_b if mxu_bf16 else _dot_t
+  prep_gram, iter_dot = _make_iter_dot(mxu)
+  dot_ = _dot_b if mxu == "bf16" else _dot
+  dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, v_ref, gsel_ref, expand_ref,
              x_ref, codes_out, c_out, b_out, stat_out, v_out, eta_out):
@@ -746,15 +781,13 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
       return x * dot_t_(scale, expand)
 
-    neg_eta_gram = -eta * gram
-    if mxu_bf16:
-      neg_eta_gram = _bf16(neg_eta_gram)
+    neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
     init = jnp.zeros_like(corr)
 
     def fista_body(_, carry):
       z, old, t_k = carry
-      codes = prox(z + dot_(z, neg_eta_gram) + corr_eta)
+      codes = prox(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -805,7 +838,7 @@ def fused_group_solve_stats_pallas(dictionary, eigvec, batch,
                                    sparsity_weight, inf_num_iters, *,
                                    group_assignments, variant="fista",
                                    hard=False, power_iters=12,
-                                   interpret=False, mxu_bf16=False):
+                                   interpret=False, mxu="highest"):
   """One fused kernel: warm grouped-Lipschitz refresh + group FISTA
   solve + gram-form update statistics for this batch (shard).
 
@@ -818,18 +851,18 @@ def fused_group_solve_stats_pallas(dictionary, eigvec, batch,
       dictionary, eigvec, batch, sparsity_weight, inf_num_iters,
       group_assignments=groups, variant=variant, hard=hard,
       power_iters=power_iters, interpret=interpret,
-      mxu_bf16=mxu_bf16)
+      mxu=mxu)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("group_assignments", "variant", "hard",
-                     "power_iters", "interpret", "mxu_bf16"))
+                     "power_iters", "interpret", "mxu"))
 def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
                                   sparsity_weight, inf_num_iters, *,
                                   group_assignments, variant, hard,
                                   power_iters, interpret,
-                                  mxu_bf16=False):
+                                  mxu="highest"):
   b, n = batch.shape
   s = dictionary.shape[0]
   num_groups = len(group_assignments)
@@ -862,7 +895,7 @@ def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
 
   kernel = _make_group_solve_stats_kernel(
       variant, bool(hard), int(power_iters), use_n_gram,
-      mxu_bf16=bool(mxu_bf16))
+      mxu=str(mxu))
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,
@@ -989,7 +1022,7 @@ def fused_group_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("group_assignments", "variant", "update_alg",
                      "upd_num_iters", "hard", "renormalize",
                      "power_iters", "lowest_code_val",
-                     "alignment_penalty", "interpret", "mxu_bf16"))
+                     "alignment_penalty", "interpret", "mxu"))
 def _fused_group_impl(dictionary, hessian, eigvec,
                       batches, sparsity_weight,
                       inf_num_iters, upd_stepsize, *,
@@ -1000,7 +1033,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                       upd_num_iters=1, hard=False,
                       renormalize=True, power_iters=12,
                       lowest_code_val=0.001, alignment_penalty=0.0,
-                      interpret=False, mxu_bf16=False):
+                      interpret=False, mxu="highest"):
   use_reg = float(alignment_penalty) != 0.0
   if use_reg:
     assert renormalize, (
@@ -1057,7 +1090,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
   kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
                               int(upd_num_iters), int(power_iters),
                               use_n_gram, float(lowest_code_val),
-                              use_reg=use_reg, mxu_bf16=bool(mxu_bf16))
+                              use_reg=use_reg, mxu=str(mxu))
   const = lambda i, *_: (0, 0)
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel,
@@ -1099,7 +1132,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
     static_argnames=("variant", "update_alg", "upd_num_iters", "nonneg",
                      "hard", "renormalize", "power_iters",
                      "lowest_code_val", "interpret", "batch_tile",
-                     "mxu_bf16"))
+                     "mxu"))
 def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                sparsity_weight, inf_num_iters,
                                upd_stepsize, *, variant="fista",
@@ -1107,16 +1140,17 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                upd_num_iters=1, nonneg=False, hard=False,
                                renormalize=True, power_iters=12,
                                lowest_code_val=0.001, interpret=False,
-                               batch_tile=None, mxu_bf16=False):
+                               batch_tile=None, mxu="highest"):
   """Run `batches.shape[0]` fused train steps in one kernel launch.
 
-  ``mxu_bf16=True`` is the OPT-IN training-speed mode: the hot-loop
-  matmuls run single-pass bf16 (f32 accumulate) instead of the 6-pass
-  f32 'highest' emulation -- NOT parity grade (~1e-1 relative per-solve
-  code error), but dictionary learning is stochastic and the Gram build
-  + Lipschitz refresh stay full precision, so training stays stable.
-  The scanned trainer exposes it as all_params['train_precision'] =
-  'bf16'.
+  ``mxu`` is the OPT-IN training-speed tier for the FISTA iteration
+  matmuls: 'highest' (parity default) | 'bf16x3' (3-pass split,
+  ~1e-4 code accuracy -- training tracks the f32 trajectory; the
+  RECOMMENDED speed tier) | 'bf16' (single pass, ~1e-1 -- screening
+  grade; measured to bias strongly-converged training toward denser
+  codes).  The Gram build, Lipschitz refresh, and update matmuls stay
+  full precision in every tier.  The scanned trainer exposes this as
+  all_params['train_precision'].
 
   Args:
     dictionary: (s, n) float32.
@@ -1184,7 +1218,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
     kernel = _make_tiled_kernel(
         variant, nonneg, hard, uses_hessian, renormalize,
         int(upd_num_iters), int(power_iters), use_n_gram,
-        float(lowest_code_val), num_tiles, mxu_bf16=bool(mxu_bf16))
+        float(lowest_code_val), num_tiles, mxu=str(mxu))
     const = lambda i, t, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1212,7 +1246,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                           renormalize, int(upd_num_iters),
                           int(power_iters), use_n_gram,
                           float(lowest_code_val),
-                          mxu_bf16=bool(mxu_bf16))
+                          mxu=str(mxu))
     const = lambda i, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -215,7 +215,7 @@ def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
                               renormalize=True, upd_num_iters=1,
                               lowest_code_val=0.001, power_iters=12,
                               axis_names=("data",), interpret=None,
-                              mxu_bf16=False):
+                              mxu="highest"):
   """Per-device body composing the fused Pallas solve with DP.
 
   Each device runs ONE kernel per step -- warm Lipschitz refresh + the
@@ -243,7 +243,7 @@ def build_dp_fused_local_step(data_axis_size, inference_alg, update_alg,
     codes, cmat, bmat, stat, eigvec, _ = fused_solve_stats_pallas(
         dictionary, eigvec, batch_shard, sw, n_it,
         variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
-        power_iters=power_iters, mxu_bf16=mxu_bf16,
+        power_iters=power_iters, mxu=mxu,
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret))
     global_b = batch_shard.shape[0] * data_size
@@ -277,7 +277,7 @@ def build_dp_group_fused_local_step(data_axis_size, inference_alg,
                                     lowest_code_val=0.001,
                                     power_iters=12,
                                     axis_names=("data",),
-                                    interpret=None, mxu_bf16=False):
+                                    interpret=None, mxu="highest"):
   """Subspace (group-sparse) counterpart of build_dp_fused_local_step.
 
   Each device runs ONE kernel per step -- warm grouped-Lipschitz
@@ -311,7 +311,7 @@ def build_dp_group_fused_local_step(data_axis_size, inference_alg,
         dictionary, eigvec, batch_shard, sw, n_it,
         group_assignments=groups, variant=variant,
         hard=hard_threshold, power_iters=power_iters,
-        mxu_bf16=mxu_bf16,
+        mxu=mxu,
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret))
     global_b = batch_shard.shape[0] * data_size
@@ -350,7 +350,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
                                    lowest_code_val=0.001,
                                    power_iters=12,
                                    axis_names=("data",),
-                                   interpret=None, mxu_bf16=False):
+                                   interpret=None, mxu="highest"):
   """Convolutional counterpart of build_dp_fused_local_step.
 
   Each device runs ONE stride-block-space kernel per step -- warm
@@ -390,7 +390,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
           kernel_stride=kernel_stride, padding=padding,
           variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
           power_iters=power_iters, gram_stats=True, interpret=interp,
-          mxu_bf16=mxu_bf16)
+          mxu_bf16=(mxu == "bf16"))
       bx = jax.lax.psum(bx, axis_names)
       cm = jax.lax.psum(cm, axis_names)
       geo = _geometry(batch_shard.shape, dictionary.shape,
@@ -405,7 +405,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
           kernel_stride=kernel_stride, padding=padding,
           variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
           power_iters=power_iters, interpret=interp,
-          mxu_bf16=mxu_bf16)
+          mxu_bf16=(mxu == "bf16"))
       grad0 = jax.lax.psum(grad_sum, axis_names) / global_b
       grad_fn = lambda d: grad0
     with matmul_precision():

@@ -84,7 +84,7 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
 
 
 def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
-                          renormalize, mxu_bf16=False):
+                          renormalize, mxu="highest"):
   """Whole segment as ONE Pallas kernel launch (ops/pallas_train_step):
   dictionary/Hessian/eigenvector ride VMEM across all steps, batches
   stream HBM->VMEM with double buffering.  Same float32 semantics as
@@ -92,8 +92,9 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
   power_iters=2 is safe HERE because the trainer always seeds the
   eigvec with an exact eigenpair (seed_eigvec) and re-seeds after
   dictionary jumps; the public kernel default stays at 12.
-  ``mxu_bf16`` selects the opt-in bf16 training-speed mode
-  (all_params['train_precision'] = 'bf16'; not parity grade)."""
+  ``mxu`` selects the opt-in training-speed tier
+  (all_params['train_precision']: 'highest' | 'bf16x3' recommended
+  speed tier | 'bf16' screening tier)."""
   from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
 
   def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
@@ -101,7 +102,7 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         variant=variant, update_alg=update_alg,
         upd_num_iters=upd_niters, nonneg=nonneg, hard=hard,
-        renormalize=renormalize, power_iters=2, mxu_bf16=mxu_bf16)
+        renormalize=renormalize, power_iters=2, mxu=mxu)
     return dictionary, hessian, eigvec
 
   return run
@@ -109,7 +110,7 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
 
 def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
                                hard, renormalize, kernel_stride,
-                               padding, mxu_bf16=False):
+                               padding, mxu="highest"):
   """Convolutional counterpart of _fused_segment_runner: the whole
   segment runs as one Pallas kernel in stride-block space
   (ops/pallas_conv_train), with the packed dictionary / Hessian /
@@ -124,7 +125,8 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
         kernel_stride=kernel_stride, padding=padding, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
         hard=hard, renormalize=renormalize, power_iters=2,
-        mxu_bf16=mxu_bf16)
+        mxu_bf16=(mxu == "bf16"))  # conv has the bf16 tier only;
+        # 'bf16x3' runs the conv kernel at 'highest' (no split form)
     return dictionary, hessian, eigvec
 
   return run
@@ -132,7 +134,7 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
 
 def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
                                 renormalize, group_assignments,
-                                alignment_penalty=0.0, mxu_bf16=False):
+                                alignment_penalty=0.0, mxu="highest"):
   """Subspace counterpart of _fused_segment_runner (the anti-alignment
   regularizer runs in-kernel too; see
   ops/pallas_train_step.fused_group_train_segment_pallas)."""
@@ -145,7 +147,7 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
         group_assignments=group_assignments, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
         renormalize=renormalize, power_iters=2,
-        alignment_penalty=float(alignment_penalty), mxu_bf16=mxu_bf16)
+        alignment_penalty=float(alignment_penalty), mxu=mxu)
     return dictionary, hessian, eigvec
 
   return run
@@ -662,10 +664,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 # always seeds via seed_eigvec and re-seeds after
                 # dictionary jumps (see _fused_segment_runner)
                 power_iters=2,
-                # bf16 training-speed mode composes with DP: the
-                # per-shard solve runs bf16, the psum'd stats stay f32
-                mxu_bf16=(all_params.get("train_precision", "highest")
-                          == "bf16"))
+                # training-speed tiers compose with DP: the per-shard
+                # solve runs the tier, the psum'd stats stay f32
+                mxu=str(all_params.get("train_precision", "highest")))
             if mode == "convolutional":
               from vtc_tpu.parallel.data_parallel import (
                   build_dp_conv_fused_local_step)
@@ -705,8 +706,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
                 kernel_stride, padding,
-                mxu_bf16=(all_params.get("train_precision", "highest")
-                          == "bf16"))
+                mxu=str(all_params.get("train_precision", "highest")))
           elif group_assignments is not None:
             runners[key] = _fused_group_segment_runner(
                 inference_alg[9:], update_alg, upd_niters,
@@ -715,16 +715,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 group_assignments,
                 alignment_penalty=float(
                     all_params.get("subspace_alignment_penalty", 0.0)),
-                mxu_bf16=(all_params.get("train_precision", "highest")
-                          == "bf16"))
+                mxu=str(all_params.get("train_precision", "highest")))
           else:
             runners[key] = _fused_segment_runner(
                 inference_alg, update_alg, upd_niters,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
-                mxu_bf16=(all_params.get("train_precision", "highest")
-                          == "bf16"))
+                mxu=str(all_params.get("train_precision", "highest")))
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
