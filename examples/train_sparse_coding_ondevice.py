@@ -28,9 +28,10 @@ parser.add_argument("--num-atoms", type=int, default=256)
 parser.add_argument("--num-images", type=int, default=16)
 parser.add_argument("--image-dim", type=int, default=512)
 parser.add_argument("--precision", default="highest",
-                    choices=["highest", "bf16"],
-                    help="'bf16' = opt-in training-speed mode (~2x the "
-                         "parity-grade step; BENCH_NOTES UPDATE 20)")
+                    choices=["highest", "bf16x3", "bf16"],
+                    help="training-speed tier: 'bf16x3' (recommended, "
+                         "1.40x, tracks f32 quality) or 'bf16' "
+                         "(screening, 2x; BENCH_NOTES UPDATE 20)")
 args = parser.parse_args()
 
 print("Generating + whitening images on device...")

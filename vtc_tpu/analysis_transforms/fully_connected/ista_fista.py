@@ -110,6 +110,8 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
   """
   assert variant in ("ista", "fista")
   assert formulation in ("gram", "direct", "pallas")
+  if mxu_precision == "bf16":  # accept the training-tier spelling too
+    mxu_precision = "default"
   assert mxu_precision in ("highest", "bf16x3", "default")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)

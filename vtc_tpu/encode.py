@@ -139,6 +139,17 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
   if formulation is None:
     formulation = ("pallas" if jax.default_backend() == "tpu"
                    else "gram")
+  if mxu_precision == "bf16":  # accept the training-tier spelling too
+    mxu_precision = "default"
+  is_fc = mode != "convolutional" and group_assignments is None
+  assert mxu_precision == "highest" or is_fc, (
+      "mxu_precision tiers are fully-connected only (the subspace/conv "
+      "solvers have no tier plumbing yet); got "
+      f"{mxu_precision!r} with mode={mode!r}, "
+      f"groups={group_assignments is not None}")
+  assert not (nonnegative_only and group_assignments is not None), (
+      "nonnegative_only is not defined for group-sparse inference "
+      "(the group prox shrinks norms, not signs)")
 
   mesh = dp_axes_ = None
   sharding = None

@@ -91,23 +91,20 @@ def _tdot(a, b):
                              precision=_HI)
 
 
-# single-pass bf16 MXU variants (f32 accumulate) for the opt-in
-# training-speed mode (mxu_bf16; see ops/pallas_train_step.py): used by
-# the solver's deep-contraction matmuls and the residual-form update.
-# The gram-form accumulators / C D' - B update stay HIGHEST (small
-# difference of large matrices: catastrophic cancellation in bf16).
+# single-pass bf16 MXU variant (f32 accumulate) for the opt-in
+# training-speed mode (mxu_bf16; see ops/pallas_train_step.py): used
+# ONLY by the tile solver's deep-contraction matmuls.  Every
+# update-path matmul (residual form included) and the gram-form
+# accumulators stay HIGHEST: a converged residual sinks below the bf16
+# absolute error of the synthesis product, and C D' - B is a small
+# difference of large matrices -- both measured to wreck training
+# (BENCH_NOTES UPDATE 20).
 def _b16(x):
   return x.astype(jnp.bfloat16)
 
 
 def _dot_b(a, b):
   return jax.lax.dot_general(_b16(a), _b16(b), (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.DEFAULT)
-
-
-def _dot_t_b(a, b):
-  return jax.lax.dot_general(_b16(a), _b16(b), (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.DEFAULT)
 

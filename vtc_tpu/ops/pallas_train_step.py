@@ -94,10 +94,10 @@ def _dot_t_b(a, b):
                              precision=jax.lax.Precision.DEFAULT)
 
 
-def _tdot_b(a, b):
-  return jax.lax.dot_general(_bf16(a), _bf16(b), (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.DEFAULT)
+# NOTE: deliberately no _tdot_b: every (0,0)-contraction in these
+# kernels feeds the gram-form C/B statistics or the update gradient,
+# which MUST stay HIGHEST in every tier (catastrophic cancellation /
+# converged-residual noise -- BENCH_NOTES UPDATE 20).
 
 
 def _split_hi_lo(x):

@@ -245,17 +245,34 @@ def train_dictionary_scanned(training_batches, validation_batches,
   On TPU, eligible configs auto-select whole-segment fused Pallas
   kernels (fc/subspace: ops/pallas_train_step; convolutional:
   ops/pallas_conv_train -- `fused_conv_segment_supported` gates the
-  geometry).  all_params['train_precision'] = 'bf16' is the OPT-IN
-  training-speed mode for the fc and conv fused segments: hot-loop
-  matmuls run single-pass bf16 (Gram build, Lipschitz refresh, and
-  gram-form update paths stay full precision).  Not parity grade -- per-solve codes differ at the ~1e-1
-  relative level -- but the stochastic dictionary trajectory stays
-  healthy; the default 'highest' keeps the 1e-4 contract.  With all_params['data_parallel'], eligible configs run
-  the fused-DP composition (one solve+stats kernel per shard + one
-  stats psum per step); others scan the psum-per-op DP step.
+  geometry).
+
+  all_params['train_precision'] selects the OPT-IN training-speed tier
+  for the fused kernels' FISTA-iteration matmuls:
+    'highest' (default) -- the 1e-4 parity contract;
+    'bf16x3' (RECOMMENDED speed tier) -- 3-pass split, ~1e-4 code
+      accuracy, training trajectories track f32 (measured -4.3% final
+      LASSO vs f32 at 2000 steps); fc + subspace kernels, conv falls
+      back to 'highest';
+    'bf16' (screening tier) -- single pass, ~1e-1 code accuracy; all
+      three families; measured to bias strongly-converged training
+      toward denser codes (BENCH_NOTES UPDATE 20).
+  Gram builds, the Lipschitz refresh, and every update-path matmul
+  stay full precision in every tier.  The tier applies ONLY to the
+  fused Pallas kernels -- configs that resolve to the XLA scan paths
+  always run parity precision.
+
+  With all_params['data_parallel'], eligible configs run the fused-DP
+  composition (one solve+stats kernel per shard + one stats psum per
+  step); others scan the psum-per-op DP step.  The train_precision
+  tier composes (per-shard solves run the tier, stats stay f32).
   """
   assert 0 in all_params["inference_param_schedule"]
   assert 0 in all_params["dict_update_param_schedule"]
+  assert all_params.get("train_precision", "highest") in (
+      "highest", "bf16x3", "bf16"), (
+      "train_precision must be 'highest', 'bf16x3', or 'bf16', got "
+      f"{all_params.get('train_precision')!r}")
   mode = all_params["mode"]
   num_epochs = all_params["num_epochs"]
   inference_alg = all_params["code_inference_algorithm"]
