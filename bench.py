@@ -285,7 +285,7 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
 
 
 def measure_conv(batch_size, scan_steps, timed_calls=2,
-                 log=lambda *a: None, mxu_bf16=False):
+                 log=lambda *a: None, mxu="highest"):
   """Convolutional train step at the reference conv config (64 16x16
   kernels, stride 8, 256x256 images + analysis padding -> 33x33 code
   maps), scanned over `scan_steps` batches resident in HBM -- via the
@@ -322,7 +322,7 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
     out = fused_conv_train_segment_pallas(
         dd, hh, vv, data, jnp.float32(0.05), jnp.int32(FISTA_ITERS),
         jnp.float32(0.05), kernel_stride=stride, padding=padding,
-        power_iters=2, mxu_bf16=mxu_bf16)
+        power_iters=2, mxu=mxu)
     return out[:3]
 
   t0 = time.time()
@@ -395,7 +395,11 @@ def main():
     detail["fc_batch250_bf16_training_mode"] = {
         "patches_per_sec": round(pps_bf16, 1),
         "speedup_vs_f32_headline": round(pps_bf16 / pps_ref, 2)}
-    ips_conv40_bf16 = measure_conv(40, 25, log=log, mxu_bf16=True)
+    ips_conv40_x3 = measure_conv(40, 25, log=log, mxu="bf16x3")
+    detail["conv_batch40_bf16x3_training_mode"] = {
+        "images_per_sec": round(ips_conv40_x3, 1),
+        "speedup_vs_f32": round(ips_conv40_x3 / ips_conv40, 2)}
+    ips_conv40_bf16 = measure_conv(40, 25, log=log, mxu="bf16")
     detail["conv_batch40_bf16_training_mode"] = {
         "images_per_sec": round(ips_conv40_bf16, 1),
         "speedup_vs_f32": round(ips_conv40_bf16 / ips_conv40, 2)}

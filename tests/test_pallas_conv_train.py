@@ -251,7 +251,7 @@ def test_fused_conv_segment_bf16_training_mode(rng):
       padding=padding, power_iters=2, interpret=True)[0]
   dbf = fused_conv_train_segment_pallas(
       d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
-      padding=padding, power_iters=2, interpret=True, mxu_bf16=True)[0]
+      padding=padding, power_iters=2, interpret=True, mxu="bf16")[0]
   dbf = np.asarray(dbf)
   assert np.isfinite(dbf).all()
   norms = np.sqrt((dbf ** 2).sum(axis=(1, 2, 3)))
@@ -264,7 +264,21 @@ def test_fused_conv_segment_bf16_training_mode(rng):
   dbft = fused_conv_train_segment_pallas(
       d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
       padding=padding, power_iters=2, interpret=True, batch_tile=1,
-      mxu_bf16=True)[0]
+      mxu="bf16")[0]
   dbft = np.asarray(dbft)
   assert np.isfinite(dbft).all()
   assert np.abs(dbft - np.asarray(d32t)).max() < 0.1
+
+
+def test_fused_conv_segment_bf16x3_tracks_f32(rng):
+  """The 'bf16x3' tier must track the f32 conv trajectory at
+  near-parity tolerance (convergent stride == kernel geometry)."""
+  d, h, v, x, strides, padding = _problem(rng, k=4, kdim=4, stride=4)
+  d32 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True)[0]
+  dx3 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, kernel_stride=strides,
+      padding=padding, power_iters=2, interpret=True, mxu="bf16x3")[0]
+  np.testing.assert_allclose(np.asarray(dx3), np.asarray(d32),
+                             atol=5e-3)

@@ -205,32 +205,60 @@ def _placement_matrices(geo):
   return p
 
 
-def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu_bf16=False):
+def _split_hi_lo(x):
+  """bf16 hi + lo split (the bf16x3 3-pass operand form; see
+  ops/pallas_train_step._make_iter_dot)."""
+  hi = x.astype(jnp.bfloat16)
+  lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+  return hi, lo
+
+
+def _make_deep_dot(mxu):
+  """(prep(weights) -> operand, deep_dot(operand, stack_slice)) for the
+  solver's deep-contraction matmuls at the requested tier.  'bf16x3'
+  splits the (constant-per-step) weights once and the stack slice per
+  use: 3 single-pass products vs HIGHEST's 6, ~1e-4 accuracy."""
+  if mxu == "bf16":
+    return _b16, _dot_b
+  if mxu == "bf16x3":
+    def deep_dot(w, b):
+      w_hi, w_lo = w
+      b_hi, b_lo = _split_hi_lo(b)
+      return (_dot_b(w_hi, b_hi) + _dot_b(w_lo, b_hi)
+              + _dot_b(w_hi, b_lo))
+
+    return _split_hi_lo, deep_dot
+  return (lambda w: w), _dot
+
+
+def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu="highest"):
   """FISTA/ISTA solve of one batch tile on the code canvas (shared by
   the segment kernel and the DP solve+stats kernel).  Returns
   codes (s, tl); `stack` is the caller's VMEM scratch."""
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
-  dot_ = _dot_b if mxu_bf16 else _dot
+  prep_w, deep_dot = _make_deep_dot(mxu)
 
   threshold = make_threshold(nonneg, hard)
 
   def solve(dstk, dallv, xcv, mblk, zmask, eta, lam_eta, num_iters,
             stack):
+    dstk_t = prep_w(dstk)    # tier prep once per step, not per iter
+    dallv_t = prep_w(dallv)
     for i, roll in enumerate(rolls):
       stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(xcv, (-roll) % tl, 1)
-    corr = dot_(dallv, stack[0:r * cpx, :])
+    corr = deep_dot(dallv_t, stack[0:r * cpx, :])
 
     def fista_body(_, carry):
       z, old, t_k = carry
       for i, roll in enumerate(rolls):
         stack[i * s:(i + 1) * s, :] = pltpu.roll(z, roll % tl, 1)
-      img = dot_(dstk, stack[0:r * s, :]) * mblk
+      img = deep_dot(dstk_t, stack[0:r * s, :]) * mblk
       for i, roll in enumerate(rolls):
         stack[i * cpx:(i + 1) * cpx, :] = pltpu.roll(
             img, (-roll) % tl, 1)
-      grad = dot_(dallv, stack[0:r * cpx, :]) - corr
+      grad = deep_dot(dallv_t, stack[0:r * cpx, :]) - corr
       codes = zmask * threshold(z - eta * grad, lam_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
@@ -276,13 +304,13 @@ def _power_refresh(dallv, v_ref, power_iters):
 def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
                          lowest_code_val, geo, batch_tile, num_tiles,
-                         gram_update=False, mxu_bf16=False):
+                         gram_update=False, mxu="highest"):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
   multi = num_tiles > 1
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
-                                 mxu_bf16=mxu_bf16)
+                                 mxu=mxu)
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
@@ -424,14 +452,15 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
                                     power_iters=12,
                                     lowest_code_val=0.001,
                                     batch_tile=None, interpret=False,
-                                    mxu_bf16=False):
+                                    mxu="highest"):
   """Run `batches.shape[0]` fused conv train steps in one launch.
 
-  ``mxu_bf16=True`` is the opt-in training-speed mode (see
-  ops/pallas_train_step.fused_train_segment_pallas): the solver's
-  deep-contraction matmuls run single-pass bf16; the Lipschitz refresh
-  and ALL update-path matmuls stay HIGHEST (converged residuals sink
-  below bf16 noise).  Not parity grade.
+  ``mxu`` is the opt-in training-speed tier for the solver's
+  deep-contraction matmuls: 'highest' (parity default) | 'bf16x3'
+  (3-pass split, ~1e-4 code accuracy -- tracks f32 training) | 'bf16'
+  (single pass, ~1e-1, screening grade).  The Lipschitz refresh and
+  ALL update-path matmuls stay HIGHEST in every tier (converged
+  residuals sink below bf16 noise).
 
   Args:
     dictionary: (s, c, kh, kw) float32 kernels.
@@ -468,7 +497,7 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
       power_iters=int(power_iters),
       lowest_code_val=float(lowest_code_val),
       batch_tile=None if batch_tile is None else int(batch_tile),
-      interpret=bool(interpret), mxu_bf16=bool(mxu_bf16))
+      interpret=bool(interpret), mxu=str(mxu))
 
 
 @functools.partial(
@@ -476,13 +505,13 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("kernel_stride", "padding", "variant", "update_alg",
                      "upd_num_iters", "nonneg", "hard", "renormalize",
                      "power_iters", "lowest_code_val", "batch_tile",
-                     "interpret", "mxu_bf16"))
+                     "interpret", "mxu"))
 def _fused_conv_impl(dictionary, hessian, eigvec, batches,
                      sparsity_weight, inf_num_iters, upd_stepsize, *,
                      kernel_stride, padding, variant, update_alg,
                      upd_num_iters, nonneg, hard, renormalize,
                      power_iters, lowest_code_val, batch_tile,
-                     interpret, mxu_bf16=False):
+                     interpret, mxu="highest"):
   k, b = batches.shape[0], batches.shape[1]
   img_shape = batches.shape[1:]
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -521,7 +550,7 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
   kernel = _make_segment_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
       power_iters, lowest_code_val, geo, tile, num_tiles,
-      gram_update=gram_update, mxu_bf16=mxu_bf16)
+      gram_update=gram_update, mxu=mxu)
   grid = (k,) if num_tiles == 1 else (k, num_tiles)
   if num_tiles == 1:
     bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(
@@ -611,12 +640,12 @@ def conv_solve_stats_supported(img_shape, dict_shape, kernel_stride,
 
 def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
                        batch_tile, num_tiles, emit_gram=False,
-                       mxu_bf16=False):
+                       mxu="highest"):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
-                                 mxu_bf16=mxu_bf16)
+                                 mxu=mxu)
 
 
   def kernel(niter_ref, scalars_ref, dstk_ref, v_ref, p_ref, mblk_ref,
@@ -677,7 +706,7 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
                             inf_num_iters, *, kernel_stride, padding,
                             variant="fista", nonneg=False, hard=False,
                             power_iters=12, gram_stats=False,
-                            interpret=False, mxu_bf16=False):
+                            interpret=False, mxu="highest"):
   """One fused kernel: warm Lipschitz refresh + the whole conv FISTA
   solve + this batch's (shard's) block-space update statistics.
 
@@ -712,18 +741,18 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
       kernel_stride=kernel_stride, padding=padding_static,
       variant=variant, nonneg=bool(nonneg), hard=bool(hard),
       power_iters=int(power_iters), gram_stats=bool(gram_stats),
-      interpret=bool(interpret), mxu_bf16=bool(mxu_bf16))
+      interpret=bool(interpret), mxu=str(mxu))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_stride", "padding", "variant", "nonneg",
                      "hard", "power_iters", "gram_stats", "interpret",
-                     "mxu_bf16"))
+                     "mxu"))
 def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
                            inf_num_iters, *, kernel_stride, padding,
                            variant, nonneg, hard, power_iters,
-                           gram_stats, interpret, mxu_bf16=False):
+                           gram_stats, interpret, mxu="highest"):
   b = batch.shape[0]
   img_shape = batch.shape
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -749,7 +778,7 @@ def _conv_solve_stats_impl(dictionary, eigvec, batch, sparsity_weight,
 
   kernel = _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
                               tile, num_tiles, emit_gram=gram_stats,
-                              mxu_bf16=mxu_bf16)
+                              mxu=mxu)
   bcast = lambda shape: pl.BlockSpec(shape, lambda j, *_: (0,) *
                                      len(shape))
   tile_spec = lambda rows: pl.BlockSpec((rows, tl),

@@ -390,7 +390,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
           kernel_stride=kernel_stride, padding=padding,
           variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
           power_iters=power_iters, gram_stats=True, interpret=interp,
-          mxu_bf16=(mxu == "bf16"))
+          mxu=mxu)
       bx = jax.lax.psum(bx, axis_names)
       cm = jax.lax.psum(cm, axis_names)
       geo = _geometry(batch_shard.shape, dictionary.shape,
@@ -405,7 +405,7 @@ def build_dp_conv_fused_local_step(data_axis_size, inference_alg,
           kernel_stride=kernel_stride, padding=padding,
           variant=inference_alg, nonneg=nonneg, hard=hard_threshold,
           power_iters=power_iters, interpret=interp,
-          mxu_bf16=(mxu == "bf16"))
+          mxu=mxu)
       grad0 = jax.lax.psum(grad_sum, axis_names) / global_b
       grad_fn = lambda d: grad0
     with matmul_precision():

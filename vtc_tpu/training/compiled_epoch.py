@@ -124,9 +124,7 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         kernel_stride=kernel_stride, padding=padding, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
-        hard=hard, renormalize=renormalize, power_iters=2,
-        mxu_bf16=(mxu == "bf16"))  # conv has the bf16 tier only;
-        # 'bf16x3' runs the conv kernel at 'highest' (no split form)
+        hard=hard, renormalize=renormalize, power_iters=2, mxu=mxu)
     return dictionary, hessian, eigvec
 
   return run
@@ -252,8 +250,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
     'highest' (default) -- the 1e-4 parity contract;
     'bf16x3' (RECOMMENDED speed tier) -- 3-pass split, ~1e-4 code
       accuracy, training trajectories track f32 (measured -4.3% final
-      LASSO vs f32 at 2000 steps); fc + subspace kernels, conv falls
-      back to 'highest';
+      LASSO vs f32 at 2000 steps); all three families;
     'bf16' (screening tier) -- single pass, ~1e-1 code accuracy; all
       three families; measured to bias strongly-converged training
       toward denser codes (BENCH_NOTES UPDATE 20).
