@@ -110,3 +110,23 @@ def test_encode_precision_tiers(rng):
   # on the MXU, so here we check the tier threads through and solves
   assert np.isfinite(bf).all()
   assert np.abs(bf - base).max() < 0.5 * (np.abs(base).max() + 1.0)
+
+
+@pytest.mark.quick
+def test_subspace_encode_precision_tiers(rng):
+  """mxu_precision threads through the subspace pallas path: bf16x3
+  stays near parity; 'default' solves (exact on the CPU interpreter)."""
+  groups = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11], [12, 13, 14, 15]]
+  d = rng.randn(16, 16).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  data = rng.randn(32, 16).astype(np.float32)
+  base = encode_dataset(data, d, 0.05, 12, batch_size=16,
+                        group_assignments=groups, formulation="pallas")
+  x3 = encode_dataset(data, d, 0.05, 12, batch_size=16,
+                      group_assignments=groups, formulation="pallas",
+                      mxu_precision="bf16x3")
+  bf = encode_dataset(data, d, 0.05, 12, batch_size=16,
+                      group_assignments=groups, formulation="pallas",
+                      mxu_precision="bf16")
+  np.testing.assert_allclose(x3, base, atol=5e-4)
+  assert np.isfinite(bf).all()

@@ -131,7 +131,8 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
         variant="fista", ret_summed_gduplicates=True, initial_codes=None,
         early_stopping_epsilon=None, hard_threshold=False, *,
         stepsize: Optional[jnp.ndarray] = None,
-        lipschitz_method: str = "eigvalsh", formulation: str = "gram"):
+        lipschitz_method: str = "eigvalsh", formulation: str = "gram",
+        mxu_precision: str = "highest"):
   """Infer group-sparse codes for a batch of images.
 
   Args:
@@ -147,14 +148,18 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
       (flat_grouped_codes (b, G*M), grouped_dictionary (G*M, n)).
     initial_codes: optional (b, s) warm start (not mutated).
     early_stopping_epsilon / hard_threshold: as in ista_fista.run.
-    stepsize / lipschitz_method / formulation: TPU extensions, as in
-      ista_fista.run.
+    stepsize / lipschitz_method / formulation / mxu_precision: TPU
+      extensions, as in ista_fista.run (mxu_precision applies to the
+      'pallas' formulation only).
 
   Returns:
     (b, s) codes, or the tuple described above.
   """
   assert variant in ("ista", "fista")
   assert formulation in ("gram", "direct", "pallas")
+  if mxu_precision == "bf16":  # accept the training-tier spelling too
+    mxu_precision = "default"
+  assert mxu_precision in ("highest", "bf16x3", "default")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   code_size = dictionary.shape[0]
@@ -169,11 +174,19 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
         and ret_summed_gduplicates):
       from vtc_tpu.ops.pallas_group_fista import (
           group_fista_solve_pallas, membership_matrix)
-      expand = membership_matrix(*gather_inds.shape, valid_mask)
+      # build the 0/1 membership operand from the PYTHON group
+      # structure: valid_mask is a device constant and run() must stay
+      # traceable inside an outer jit (encode.encode_dataset scans it)
+      g_, m_ = int(gather_inds.shape[0]), int(gather_inds.shape[1])
+      mask_np = np.zeros((g_, m_), np.float32)
+      for g_idx, members in enumerate(group_assignments):
+        mask_np[g_idx, :len(list(members))] = 1.0
+      expand = membership_matrix(g_, m_, mask_np)
       flat_grouped = group_fista_solve_pallas(
           images, grouped_dict, expand, sparsity_weight, num_iters,
           stepsize, variant=variant, hard=bool(hard_threshold),
-          interpret=jax.default_backend() != "tpu")
+          interpret=jax.default_backend() != "tpu",
+          mxu_precision=mxu_precision)
       grouped = flat_grouped.reshape(
           (images.shape[0],) + gather_inds.shape)
       return unpack_codes_summed(grouped, gather_inds, valid_mask,

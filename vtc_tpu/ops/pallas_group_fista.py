@@ -41,10 +41,20 @@ from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
 
 
-def _make_kernel(variant, hard):
+def _make_kernel(variant, hard, mxu="highest"):
   use_fista = variant == "fista"
   dotp = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
+  # inference MXU tier for the iteration matmul (same scheme as
+  # ops/pallas_train_step._make_iter_dot): the prox matmuls stay
+  # HIGHEST except in the single-pass 'default' screening tier
+  from vtc_tpu.ops.pallas_train_step import _make_iter_dot
+  prep_gram, iter_dot = _make_iter_dot(
+      {"default": "bf16"}.get(mxu, mxu))
+  prox_dot = (functools.partial(jnp.dot,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+              if mxu == "default" else dotp)
 
   def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
              out_ref):
@@ -56,22 +66,22 @@ def _make_kernel(variant, hard):
     corr = corr_ref[:]
 
     def prox(x):
-      sums = dotp(x * x, expand)           # (tile, Gp) squared norms
+      sums = prox_dot(x * x, expand)       # (tile, Gp) squared norms
       norms = jnp.sqrt(sums)
       safe = jnp.where(norms == 0.0, 1.0, norms)
       if hard:
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * dotp(scale, expand.T)
+      return x * prox_dot(scale, expand.T)
 
-    neg_eta_gram = -eta * gram
+    neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
     zeros = jnp.zeros(corr.shape, jnp.float32)
 
     def body(_, carry):
       z, old, t_k = carry
-      codes = prox(z + dotp(z, neg_eta_gram) + corr_eta)
+      codes = prox(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
@@ -99,11 +109,12 @@ def membership_matrix(num_groups, max_group_size, valid_mask):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("variant", "hard", "batch_tile", "interpret"))
+    static_argnames=("variant", "hard", "batch_tile", "interpret",
+                     "mxu_precision"))
 def group_fista_solve_pallas(images, grouped_dictionary, expand,
                              sparsity_weight, num_iters, stepsize, *,
                              variant="fista", hard=False, batch_tile=256,
-                             interpret=False):
+                             interpret=False, mxu_precision="highest"):
   """Solve the packed group-LASSO codes with the fused kernel.
 
   Args:
@@ -111,6 +122,9 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
     grouped_dictionary: (G*M, n) duplicated/padded grouped dictionary.
     expand: (G*M, G) 0/1 membership matrix (membership_matrix()).
     sparsity_weight, num_iters, stepsize: dynamic scalars.
+    mxu_precision: 'highest' (parity default) | 'bf16x3' (3-pass
+      iteration matmul, ~1e-4) | 'default' (single bf16 pass,
+      screening grade; the prox matmuls drop too).
 
   Returns:
     (b, G*M) flattened grouped codes (caller scatters duplicates back
@@ -135,7 +149,7 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
       [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta])
   niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
 
-  kernel = _make_kernel(variant, hard)
+  kernel = _make_kernel(variant, hard, mxu=mxu_precision)
   out = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
