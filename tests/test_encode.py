@@ -130,3 +130,21 @@ def test_subspace_encode_precision_tiers(rng):
                       mxu_precision="bf16")
   np.testing.assert_allclose(x3, base, atol=5e-4)
   assert np.isfinite(bf).all()
+
+
+@pytest.mark.quick
+def test_conv_encode_precision_tiers(rng):
+  """mxu_precision threads through the conv pallas path: bf16x3 stays
+  near parity; 'bf16' solves finite."""
+  stride, pad = (2, 2), ((2, 2), (2, 2))
+  imgs = np.zeros((8, 1, 12, 12), np.float32)
+  imgs[:, :, 2:-2, 2:-2] = rng.randn(8, 1, 8, 8)
+  d = rng.randn(6, 1, 4, 4).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  kw = dict(mode="convolutional", batch_size=4, kernel_stride=stride,
+            padding=pad, formulation="pallas")
+  base = encode_dataset(imgs, d, 0.02, 10, **kw)
+  x3 = encode_dataset(imgs, d, 0.02, 10, mxu_precision="bf16x3", **kw)
+  bf = encode_dataset(imgs, d, 0.02, 10, mxu_precision="bf16", **kw)
+  np.testing.assert_allclose(x3, base, rtol=1e-3, atol=1e-3)
+  assert np.isfinite(bf).all()

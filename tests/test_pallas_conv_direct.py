@@ -157,3 +157,31 @@ def test_in_kernel_early_stopping_matches_gram(rng):
         early_stopping_epsilon=eps, formulation="pallas"))
     np.testing.assert_allclose(got, want, atol=1e-4,
                                err_msg=f"eps={eps}")
+
+
+@pytest.mark.quick
+def test_mxu_precision_tiers(rng):
+  """Inference tiers on the direct kernel: 'bf16x3' stays near the
+  'highest' parity solve; 'bf16' solves finite (screening grade); the
+  gram fallback geometry asserts rather than silently running slow."""
+  x, d, padding, step = _setup(rng, 3, 6, 1, 4, 2, 12)
+  base = np.asarray(ista_fista.run(
+      x, d, (2, 2), padding, 0.02, 10, stepsize=step,
+      formulation="pallas"))
+  x3 = np.asarray(ista_fista.run(
+      x, d, (2, 2), padding, 0.02, 10, stepsize=step,
+      formulation="pallas", mxu_precision="bf16x3"))
+  bf = np.asarray(ista_fista.run(
+      x, d, (2, 2), padding, 0.02, 10, stepsize=step,
+      formulation="pallas", mxu_precision="bf16"))
+  # bf16x3 error is RELATIVE to the code scale (conv codes reach ~30
+  # here): ~1e-4 relative, like the training tier
+  np.testing.assert_allclose(x3, base, rtol=1e-3, atol=1e-3)
+  assert np.isfinite(bf).all()
+  # stride does not divide the kernel: no direct-kernel geometry, so a
+  # non-default tier must assert instead of silently solving slow
+  x2, d2, padding2, step2 = _setup(rng, 2, 6, 1, 4, 3, 12)
+  assert not pallas_conv_direct.supported(x2.shape, d2.shape, (3, 3))
+  with pytest.raises(AssertionError, match="tiers"):
+    ista_fista.run(x2, d2, (3, 3), padding2, 0.02, 5, stepsize=step2,
+                   formulation="pallas", mxu_precision="bf16x3")

@@ -80,7 +80,8 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
         early_stopping_epsilon=None, nonnegative_only=False,
         hard_threshold=False, *,
         stepsize: Optional[jnp.ndarray] = None,
-        lipschitz_method: str = "eigvalsh", formulation: str = "gram"):
+        lipschitz_method: str = "eigvalsh", formulation: str = "gram",
+        mxu_precision: str = "highest"):
   """Infer convolutional sparse codes for a batch of padded images.
 
   Args:
@@ -102,12 +103,25 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
       ops/pallas_conv_direct.py / pallas_conv_fista.py -- fastest;
       early stopping runs in-kernel when the batch fits one VMEM
       tile, else falls back to 'gram').
+    mxu_precision: MXU tier for the 'pallas' direct kernel's deep-
+      contraction matmuls: 'highest' (parity default) | 'bf16x3'
+      (3-pass, ~1e-4) | 'default'/'bf16' (single pass, screening
+      grade).  The XLA formulations and the gram-kernel fallback
+      always run the parity precision (a non-default tier asserts the
+      direct kernel supports the geometry rather than silently
+      solving slow).
 
   Returns:
     (b, s, sh, sw) float32 codes.
   """
   assert variant in ("ista", "fista")
   assert formulation in ("gram", "direct", "pallas")
+  if mxu_precision == "default":  # accept the inference-tier spelling
+    mxu_precision = "bf16"
+  assert mxu_precision in ("highest", "bf16x3", "bf16")
+  assert mxu_precision == "highest" or formulation == "pallas", (
+      "mxu_precision tiers apply to the 'pallas' formulation only; "
+      f"got {mxu_precision!r} with formulation={formulation!r}")
   images_padded = jnp.asarray(images_padded, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   kernel_stride = tuple(int(x) for x in kernel_stride)
@@ -137,7 +151,12 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
           early_stopping_epsilon=(
               None if early_stopping_epsilon is None
               else float(early_stopping_epsilon)),
-          interpret=jax.default_backend() != "tpu")
+          interpret=jax.default_backend() != "tpu",
+          mxu_precision=mxu_precision)
+    assert mxu_precision == "highest", (
+        "mxu_precision tiers need the direct conv kernel; this "
+        "geometry/early-stop combination falls back to the gram paths "
+        f"(got {mxu_precision!r})")
     if early_stopping_epsilon is None:
       from vtc_tpu.ops.pallas_conv_fista import conv_fista_solve_pallas
       return conv_fista_solve_pallas(

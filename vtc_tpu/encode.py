@@ -71,7 +71,8 @@ def _chunk_encoder(kind, run_fn, variant, nonneg, hard, formulation,
         codes = run_fn(batch, dictionary, kernel_stride, padding, sw,
                        n_it, variant=variant, nonnegative_only=nonneg,
                        hard_threshold=hard, stepsize=eta,
-                       formulation=formulation)
+                       formulation=formulation,
+                       mxu_precision=mxu_precision)
       return (), codes
 
     _, codes = jax.lax.scan(body, (), batches)
@@ -124,10 +125,11 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
       once-per-dictionary stepsize.
     data_parallel: optional jax.sharding.Mesh; each batch is sharded
       over its data axes (batch_size must divide by the DP size).
-    mxu_precision: fc + subspace 'pallas' formulations --
+    mxu_precision: all three families' 'pallas' formulations --
       'highest' (parity, default) | 'bf16x3' (~1e-4 accuracy, faster)
       | 'default'/'bf16' (single bf16 pass, fastest, ~1e-1 screening
-      grade).  Conv has no tier plumbing yet (asserts).
+      grade).  Conv tiers need the direct-kernel geometry (kernel
+      dims multiples of the strides; asserts otherwise).
 
   Returns:
     (D, s) float32 codes (or (D, s, sh, sw) for convolutional), on host.
@@ -143,10 +145,6 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
                    else "gram")
   if mxu_precision == "bf16":  # accept the training-tier spelling too
     mxu_precision = "default"
-  assert mxu_precision == "highest" or mode != "convolutional", (
-      "mxu_precision tiers cover the fully-connected and subspace "
-      "paths; the conv solve kernels have no tier plumbing yet -- got "
-      f"{mxu_precision!r} with mode={mode!r}")
   assert not (nonnegative_only and group_assignments is not None), (
       "nonnegative_only is not defined for group-sparse inference "
       "(the group prox shrinks norms, not signs)")

@@ -215,24 +215,28 @@ def dictionary_gradient_from_block_stats(stats, dictionary):
 
 
 def _make_kernel(variant, nonneg, hard, geo, batch_tile,
-                 early_eps=None, inv_count=None):
+                 early_eps=None, inv_count=None, mxu="highest"):
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   ells = geo["ells"]
   tl = batch_tile * ells
 
-  def dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_HIGHEST)
+  # inference MXU tier, same scheme as the conv segment kernel's tile
+  # solver (ops/pallas_conv_train._make_deep_dot): the constant-per-
+  # solve packed weights are tier-prepped once, the rolled stack slice
+  # per use.  'highest' is the parity default (lazy import: conv_train
+  # imports this module).
+  from vtc_tpu.ops.pallas_conv_train import _make_deep_dot
+  prep_w, dot = _make_deep_dot(mxu)
 
   def kernel(niter_ref, scalars_ref, dstk_ref, dall_ref, mblk_ref,
              zmask_ref, xcv_ref, init_ref, out_ref, stack):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
-    dstk = dstk_ref[:]
-    dall = dall_ref[:]
+    dstk = prep_w(dstk_ref[:])
+    dall = prep_w(dall_ref[:])
     # b-term A(mask * X) computed in-kernel: the rolled image-block
     # stack lives only in VMEM scratch (materializing it in HBM from
     # XLA cost ~0.2 ms at b=5 / ~1 ms at b=40)
@@ -309,19 +313,22 @@ def early_stop_supported(img_shape, dict_shape, kernel_stride):
     jax.jit,
     static_argnames=("kernel_stride", "padding", "variant", "nonneg",
                      "hard", "batch_tile", "early_stopping_epsilon",
-                     "interpret"))
+                     "interpret", "mxu_precision"))
 def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
                              num_iters, stepsize, *, kernel_stride,
                              padding, initial_codes=None,
                              variant="fista", nonneg=False, hard=False,
                              batch_tile=None,
                              early_stopping_epsilon=None,
-                             interpret=False):
+                             interpret=False, mxu_precision="highest"):
   """Conv LASSO codes via the fused direct-formulation kernel.
 
   Same contract as ops/pallas_conv_fista.conv_fista_solve_pallas; the
   caller must check ``supported()`` first (geometry gate), and
   ``early_stop_supported()`` when passing early_stopping_epsilon.
+  ``mxu_precision``: 'highest' (parity default) | 'bf16x3' (3-pass
+  deep-contraction matmuls, ~1e-4) | 'bf16' (single pass, screening
+  grade).
   """
   b = images_padded.shape[0]
   geo = _geometry(images_padded.shape, dictionary.shape, kernel_stride)
@@ -363,7 +370,8 @@ def conv_direct_solve_pallas(images_padded, dictionary, sparsity_weight,
       variant, bool(nonneg), bool(hard), geo, batch_tile,
       early_eps=(None if early_stopping_epsilon is None
                  else float(early_stopping_epsilon)),
-      inv_count=1.0 / (b * s * geo["code_h"] * geo["code_w"]))
+      inv_count=1.0 / (b * s * geo["code_h"] * geo["code_w"]),
+      mxu=mxu_precision)
   grid = (b_pad // batch_tile,)
   bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0))
   tile_spec = lambda rows: pl.BlockSpec((rows, tl), lambda i, *_: (0, i))
