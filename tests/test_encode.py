@@ -148,3 +148,31 @@ def test_conv_encode_precision_tiers(rng):
   bf = encode_dataset(imgs, d, 0.02, 10, mxu_precision="bf16", **kw)
   np.testing.assert_allclose(x3, base, rtol=1e-3, atol=1e-3)
   assert np.isfinite(bf).all()
+
+
+@pytest.mark.quick
+def test_conv_default_formulation_geometry_routing(rng, monkeypatch):
+  """formulation=None routes conv to 'gram' when the direct kernel
+  cannot take the geometry (kernel % stride != 0), even on TPU."""
+  import jax
+  from vtc_tpu import encode as encode_mod
+
+  monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+  seen = {}
+  orig = encode_mod._chunk_encoder
+
+  def spy(kind, run_fn, variant, nonneg, hard, formulation, *a, **k):
+    seen["formulation"] = formulation
+    return orig(kind, run_fn, variant, nonneg, hard, formulation,
+                *a, **k)
+
+  monkeypatch.setattr(encode_mod, "_chunk_encoder", spy)
+  imgs = np.zeros((4, 1, 13, 13), np.float32)
+  imgs[:, :, 2:-2, 2:-2] = rng.randn(4, 1, 9, 9)
+  d = rng.randn(6, 1, 4, 4).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  # stride 3 does not divide the 4x4 kernel: no direct-kernel geometry
+  encode_mod.encode_dataset(imgs, d, 0.02, 3, mode="convolutional",
+                            batch_size=4, kernel_stride=(3, 3),
+                            padding=((2, 2), (2, 2)))
+  assert seen["formulation"] == "gram"

@@ -143,6 +143,19 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
   if formulation is None:
     formulation = ("pallas" if jax.default_backend() == "tpu"
                    else "gram")
+    if (formulation == "pallas" and mode == "convolutional"
+        and kernel_stride is not None):
+      # geometry-aware conv default: the fused direct kernel needs
+      # kernel % stride == 0; otherwise 'pallas' would route to the
+      # gram-form conv kernel, which measures SLOWER than the XLA
+      # gram path at reference-like geometry (BENCH_NOTES UPDATE 4).
+      # Explicitly passing formulation='pallas' keeps the old routing.
+      from vtc_tpu.ops import pallas_conv_direct
+      bshape = (int(batch_size),) + tuple(data.shape[1:])
+      if not pallas_conv_direct.supported(
+          bshape, tuple(int(x) for x in np.shape(dictionary)),
+          tuple(int(x) for x in kernel_stride)):
+        formulation = "gram"
   if mxu_precision == "bf16":  # accept the training-tier spelling too
     mxu_precision = "default"
   assert not (nonnegative_only and group_assignments is not None), (
