@@ -79,6 +79,44 @@ def test_display_codes_and_densities(rng):
   assert len(figs) == 1
 
 
+def test_display_codes_reference_variants(rng):
+  """The reference's display_codes extras (plotting.py:486-641):
+  input/recon side panels, pagination, and the packed-image mode."""
+  codes = rng.randn(6, 30)
+  inputs = rng.randn(6, 16)
+  recons = inputs + 0.1 * rng.randn(6, 16)
+  figs = plotting.display_codes(
+      codes, input_and_recon={"input": inputs, "recon": recons,
+                              "vrange": (-3.0, 3.0)},
+      data_pt_per_fig=4)
+  assert len(figs) == 2  # 6 samples at 4 per figure
+  figs = plotting.display_codes(codes, indv_stem_plots=False)
+  assert len(figs) == 1
+
+
+def test_density_ignore_vals_and_variants(rng):
+  codes = rng.randn(40, 8) * (rng.rand(40, 8) > 0.5)
+  figs = plotting.display_code_marginal_densities(
+      codes, 10, ignore_vals=[0.0], lines=True)
+  assert len(figs) == 1
+  figs = plotting.display_code_marginal_densities(
+      codes, 10, lines=False)
+  assert len(figs) == 1
+  figs = plotting.display_2d_code_densities(
+      codes[:, :2], 12, with_contours=False, ignore_vals=[0.0])
+  assert len(figs) == 1
+
+
+def test_one_d_tile(rng):
+  d = rng.randn(9, 16)
+  tiles, _, labels = plotting.get_dictionary_tile_imgs(
+      d, reshape_to_these_dims=(4, 4), one_d_tile=True)
+  assert len(tiles) == 1
+  # 1x9 strip of 4x4 patches with 1px borders
+  assert tiles[0].shape == (1 * 5 + 1, 9 * 5 + 1)
+  assert len(labels[0]) == 9
+
+
 def test_dictionary_tile_imgs_shapes(rng):
   d = rng.randn(9, 16)
   tiles, mapping, labels = plotting.get_dictionary_tile_imgs(

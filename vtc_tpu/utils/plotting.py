@@ -157,13 +157,20 @@ _MAX_TILES_PER_FIG = 400
 
 def get_dictionary_tile_imgs(dictionary, indv_renorm=False,
                              reshape_to_these_dims=None, highlights=None,
-                             max_tiles_per_fig=_MAX_TILES_PER_FIG):
+                             max_tiles_per_fig=_MAX_TILES_PER_FIG,
+                             one_d_tile=False):
   """Tile dictionary elements into mosaic images (multiple if s is large).
+
+  ``one_d_tile`` lays the elements out in a single horizontal strip
+  (at most 80 per image) instead of a square grid — the reference's
+  flat-subtile layout (plotting.py:217,272-291).
 
   Returns (tile_images, raw_val_mapping, label_coords) where label_coords
   gives, per figure, (index_label, y_pixel, x_pixel) tuples for optional
   index annotation.
   """
+  if one_d_tile:
+    max_tiles_per_fig = min(max_tiles_per_fig, 80)
   patches = _elements_as_patches(dictionary, reshape_to_these_dims)
   order = np.arange(patches.shape[0])
   weights = None
@@ -187,8 +194,11 @@ def get_dictionary_tile_imgs(dictionary, indv_renorm=False,
   imgs, labels = [], []
   for start in range(0, shown.shape[0], max_tiles_per_fig):
     chunk = shown[start:start + max_tiles_per_fig]
-    gw = int(math.ceil(math.sqrt(chunk.shape[0])))
-    gh = int(math.ceil(chunk.shape[0] / gw))
+    if one_d_tile:
+      gw, gh = chunk.shape[0], 1
+    else:
+      gw = int(math.ceil(math.sqrt(chunk.shape[0])))
+      gh = int(math.ceil(chunk.shape[0] / gw))
     imgs.append(_tile_grid(chunk, (gh, gw)))
     ph, pw = chunk.shape[1], chunk.shape[2]
     labels.append([
@@ -284,56 +294,110 @@ def display_dictionary(dictionary, renormalize=False, reshaping=None,
   return figs
 
 
-def display_codes(codes, indv_stem_plots=True, plot_title=""):
-  """Stem plots of a handful of code vectors (reference plotting.py:486).
+def display_codes(codes, indv_stem_plots=True, input_and_recon=None,
+                  data_pt_per_fig=None, plot_title=""):
+  """Visualize transform codes (reference plotting.py:486-641).
 
   Args:
-    codes: (b, s) array; each sample gets its own stem plot (at most 16
-      per figure).
+    codes: (b, s) array of codes.
+    indv_stem_plots: one stem plot per sample; when False, pack the
+      codes into a grayscale image (raw and per-sample-normalized
+      panels) — the reference's alternative display.
+    input_and_recon: optional dict with 'input' and 'recon' (b, ...)
+      image arrays and 'vrange' (lo, hi); shown beside each stem plot
+      with the reconstruction pSNR annotated.
+    data_pt_per_fig: samples per figure (default: 16 for stem plots,
+      1000 for the packed-image display).
   """
   codes = np.asarray(codes)
   num = codes.shape[0]
-  per_fig = 16
+  per_fig = int(data_pt_per_fig or (16 if indv_stem_plots else 1000))
   figs = []
   for start in range(0, num, per_fig):
     chunk = codes[start:start + per_fig]
-    rows = int(math.ceil(chunk.shape[0] / 4))
-    fig, axes = plt.subplots(rows, min(4, chunk.shape[0]),
-                             figsize=(14, 3 * rows), squeeze=False)
+    if not indv_stem_plots:
+      norm = chunk / np.maximum(
+          np.abs(chunk).max(axis=1, keepdims=True), 1e-12)
+      fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(12, 6))
+      fig.suptitle(plot_title)
+      for ax, img, lbl in ((ax0, chunk, "codes"),
+                           (ax1, norm, "per-sample normalized")):
+        ax.imshow(img, cmap="gray", interpolation="none")
+        ax.set_aspect("auto")
+        ax.set_title(lbl, fontsize=8)
+      figs.append(fig)
+      continue
+    rows = chunk.shape[0]
+    ncols = 3 if input_and_recon is not None else 1
+    fig, axes = plt.subplots(
+        rows, ncols, figsize=(12, max(2, 1.2 * rows)), squeeze=False,
+        gridspec_kw=({"width_ratios": [20, 2, 2]} if ncols == 3 else {}))
     fig.suptitle(plot_title)
-    for i in range(rows * min(4, chunk.shape[0])):
-      ax = axes[i // 4][i % 4]
-      if i < chunk.shape[0]:
-        ax.stem(np.arange(codes.shape[1]), chunk[i], markerfmt=" ")
-        ax.set_title("sample {}".format(start + i), fontsize=8)
-      else:
-        ax.axis("off")
+    for i in range(rows):
+      ax = axes[i][0]
+      ax.stem(np.arange(codes.shape[1]), chunk[i], markerfmt=" ")
+      ax.set_ylabel("sample {}".format(start + i), fontsize=6)
+      ax.tick_params(labelsize=5)
+      if input_and_recon is not None:
+        vlo, vhi = input_and_recon["vrange"]
+        inp = np.asarray(input_and_recon["input"][start + i])
+        rec = np.asarray(input_and_recon["recon"][start + i])
+        side = int(round(math.sqrt(inp.size)))
+        if inp.ndim == 1 and side * side == inp.size:
+          inp, rec = inp.reshape(side, side), rec.reshape(side, side)
+        for ax, img, lbl in ((axes[i][1], inp, "In"),
+                             (axes[i][2], rec, "Rec")):
+          ax.imshow(img, cmap="gray", vmin=vlo, vmax=vhi)
+          ax.axis("off")
+          if i == 0:
+            ax.set_title(lbl, fontsize=8)
+        axes[i][2].text(
+            1.0, 0.1,
+            "{:.1f}dB".format(compute_pSNR(inp, rec,
+                                           manual_sig_mag=vhi - vlo)),
+            color="w", fontsize=5, transform=axes[i][2].transAxes,
+            horizontalalignment="right")
     figs.append(fig)
   return figs
 
 
 def display_code_marginal_densities(codes, num_hist_bins, log_prob=False,
+                                    ignore_vals=(), lines=True,
                                     ignore_zeros=False, overlaid=False,
                                     plot_title=""):
   """Histograms of each code component's marginal distribution
-  (reference plotting.py:643).  Returns a list with one figure."""
+  (reference plotting.py:643).
+
+  ``ignore_vals`` drops exact code values from the estimate (the
+  reference's zero-exclusion hook; ``ignore_zeros=True`` is this
+  package's shorthand for ``ignore_vals=[0.0]``).  ``lines`` plots the
+  binned counts as a line instead of bars.  Returns a list with one
+  figure."""
   codes = np.asarray(codes)
+  drop = list(ignore_vals) + ([0.0] if ignore_zeros else [])
+
+  def filtered(vals):
+    for v in drop:
+      vals = vals[vals != v]
+    return vals
+
+  def binned(vals):
+    counts, edges = np.histogram(vals, num_hist_bins, density=True)
+    if log_prob:
+      with np.errstate(divide="ignore"):
+        counts = np.log10(counts)
+    return counts, 0.5 * (edges[:-1] + edges[1:])
+
   s = codes.shape[1]
   fig = plt.figure(figsize=(12, 8))
   fig.suptitle(plot_title)
   if overlaid:
     ax = plt.subplot(111)
     for comp in range(min(s, 64)):
-      vals = codes[:, comp]
-      if ignore_zeros:
-        vals = vals[vals != 0]
+      vals = filtered(codes[:, comp])
       if vals.size == 0:
         continue
-      counts, edges = np.histogram(vals, num_hist_bins, density=True)
-      centers = 0.5 * (edges[:-1] + edges[1:])
-      if log_prob:
-        with np.errstate(divide="ignore"):
-          counts = np.log10(counts)
+      counts, centers = binned(vals)
       ax.plot(centers, counts, alpha=0.4)
     ax.set_xlabel("code value")
     ax.set_ylabel("log10 density" if log_prob else "density")
@@ -342,34 +406,45 @@ def display_code_marginal_densities(codes, num_hist_bins, log_prob=False,
     grid = int(math.ceil(math.sqrt(show)))
     for comp in range(show):
       ax = plt.subplot(grid, grid, comp + 1)
-      vals = codes[:, comp]
-      if ignore_zeros:
-        vals = vals[vals != 0]
+      vals = filtered(codes[:, comp])
       if vals.size:
-        ax.hist(vals, num_hist_bins, density=True, log=log_prob)
+        if lines:
+          counts, centers = binned(vals)
+          ax.plot(centers, counts)
+        else:
+          ax.hist(vals, num_hist_bins, density=True, log=log_prob)
       ax.set_title(str(comp), fontsize=6)
       ax.tick_params(labelsize=5)
   return [fig]
 
 
 def display_2d_code_densities(two_codes, num_hist_bins, log_prob=False,
+                              with_contours=True, ignore_vals=(),
                               plot_title=""):
-  """Joint histogram + contour of two code components
-  (reference plotting.py:801)."""
+  """Joint histogram (optionally + contours) of two code components
+  (reference plotting.py:801).  ``ignore_vals`` drops samples where
+  EITHER component takes one of the listed exact values."""
   two_codes = np.asarray(two_codes)
   assert two_codes.shape[1] == 2
+  for v in ignore_vals:
+    keep = np.logical_and(two_codes[:, 0] != v, two_codes[:, 1] != v)
+    two_codes = two_codes[keep]
   counts, xedges, yedges = np.histogram2d(
       two_codes[:, 0], two_codes[:, 1], bins=num_hist_bins, density=True)
   if log_prob:
     with np.errstate(divide="ignore"):
       counts = np.log10(counts + 1e-12)
-  fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(12, 5))
+  fig, axes = plt.subplots(1, 2 if with_contours else 1,
+                           figsize=(12 if with_contours else 6, 5),
+                           squeeze=False)
   fig.suptitle(plot_title)
+  ax0 = axes[0][0]
   ax0.imshow(counts.T, origin="lower", aspect="auto",
              extent=(xedges[0], xedges[-1], yedges[0], yedges[-1]))
   ax0.set_title("joint histogram")
-  xc = 0.5 * (xedges[:-1] + xedges[1:])
-  yc = 0.5 * (yedges[:-1] + yedges[1:])
-  ax1.contour(xc, yc, counts.T)
-  ax1.set_title("density contours")
+  if with_contours:
+    xc = 0.5 * (xedges[:-1] + xedges[1:])
+    yc = 0.5 * (yedges[:-1] + yedges[1:])
+    axes[0][1].contour(xc, yc, counts.T)
+    axes[0][1].set_title("density contours")
   return [fig]
