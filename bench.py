@@ -19,10 +19,11 @@ calls after a warmup.  Headline: batch 250 (the reference's own batch
 size) as ONE fused Pallas kernel per 1000-step segment
 (ops/pallas_train_step.py).  The "detail" field additionally records
 the TPU-saturating batch-2048 fc path, the subspace (group-sparse)
-fused train step, and the convolutional train step (reference conv
-config: 64 16x16 kernels, stride 8, 256x256 images, batch 5/40) --
-each with derived model TFLOP/s and %-of-roofline so perf regressions
-on any of the three families are visible round over round.
+fused train step, the convolutional train step (reference conv
+config: 64 16x16 kernels, stride 8, 256x256 images, batch 5/40), and
+the scanned ICA trainer -- each with derived model TFLOP/s and
+%-of-roofline so perf regressions on any model family are visible
+round over round.
 
 Roofline accounting: FLOPs per train step are ANALYTIC counts of the
 algorithm's matmul work (formulas in the *_step_flops functions below;
@@ -129,6 +130,49 @@ def conv_step_flops(b, iters=FISTA_ITERS, s=64, code_h=33, code_w=33,
   update = interior + bterm                    # autocorrs + image corr
   del upd_iters  # recombination per extra iteration is negligible
   return iters * interior + bterm + update
+
+
+def ica_step_flops(b, n=N, refine_iters=5, upd_iters=1):
+  """Matmul FLOPs of one scanned ICA train step with warm inverse
+  tracking (training/ica._segment_runner_tracked): each Newton-Schulz
+  refinement is two (n,n) matmuls, the divergence guard one, the code
+  solve and the natural-gradient statistic one (b,n)x(n,n) each, and
+  the update one (n,n) matmul per iteration."""
+  return ((4 * refine_iters + 2 + 2 * upd_iters) * n * n * n
+          + 4 * b * n * n)
+
+
+def measure_ica(batch_size, scan_steps, timed_calls=3,
+                log=lambda *a: None):
+  """Scanned ICA trainer fast path (warm Newton-Schulz inverse
+  tracking, parity grade) at the critically-sampled 16x16 config."""
+  import jax.numpy as jnp
+
+  from vtc_tpu.training.ica import _segment_runner_tracked
+
+  rng = np.random.RandomState(0)
+  q, _ = np.linalg.qr(rng.randn(N, N))
+  d = jnp.asarray(q.astype(np.float32))
+  dinv = jnp.asarray(q.T.astype(np.float32))  # exact inverse seed
+  data = jnp.asarray(
+      rng.randn(scan_steps, batch_size, N).astype(np.float32))
+  runner = _segment_runner_tracked(1)
+  step = jnp.float32(0.001)
+
+  t0 = time.time()
+  st = runner(d, dinv, data, step)
+  float(jnp.sum(st[0]))
+  log(f"ica b={batch_size}: compile+first call {time.time() - t0:.1f}s")
+
+  def run_once(state):
+    dd, xx = state if state is not None else st
+    return runner(dd, xx, data, step)
+
+  dt = _timed_best_of_two(run_once, timed_calls,
+                          lambda s_: float(jnp.sum(s_[0])))
+  pps = scan_steps * batch_size * timed_calls / dt
+  log(f"ica b={batch_size}: {pps:,.0f} patches/s")
+  return pps
 
 
 def build_epoch_fn(raw_step):
@@ -378,6 +422,10 @@ def main():
     detail["conv_batch40"] = {
         "images_per_sec": round(ips_conv40, 1),
         **roofline_fields(conv_step_flops(40), ips_conv40 / 40)}
+    pps_ica = measure_ica(250, 1000, log=log)
+    detail["ica_batch250"] = {
+        "patches_per_sec": round(pps_ica, 1),
+        **roofline_fields(ica_step_flops(250), pps_ica / 250)}
     detail["fc_batch250"] = roofline_fields(fc_step_flops(250),
                                             pps_ref / 250)
     detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
