@@ -143,9 +143,10 @@ def ica_step_flops(b, n=N, refine_iters=5, upd_iters=1):
 
 
 def measure_ica(batch_size, scan_steps, timed_calls=3,
-                log=lambda *a: None):
+                log=lambda *a: None, mxu="highest"):
   """Scanned ICA trainer fast path (warm Newton-Schulz inverse
-  tracking, parity grade) at the critically-sampled 16x16 config."""
+  tracking, parity grade at the default tier) at the critically-
+  sampled 16x16 config."""
   import jax.numpy as jnp
 
   from vtc_tpu.training.ica import _segment_runner_tracked
@@ -156,7 +157,7 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
   dinv = jnp.asarray(q.T.astype(np.float32))  # exact inverse seed
   data = jnp.asarray(
       rng.randn(scan_steps, batch_size, N).astype(np.float32))
-  runner = _segment_runner_tracked(1)
+  runner = _segment_runner_tracked(1, mxu=mxu)
   step = jnp.float32(0.001)
 
   t0 = time.time()
@@ -455,6 +456,10 @@ def main():
     detail["subspace_batch250_bf16x3_training_mode"] = {
         "patches_per_sec": round(pps_sub_bf16, 1),
         "speedup_vs_f32": round(pps_sub_bf16 / pps_sub, 2)}
+    pps_ica_x3 = measure_ica(250, 1000, log=log, mxu="bf16x3")
+    detail["ica_batch250_bf16x3_training_mode"] = {
+        "patches_per_sec": round(pps_ica_x3, 1),
+        "speedup_vs_f32": round(pps_ica_x3 / pps_ica, 2)}
 
   result = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "

@@ -466,6 +466,14 @@ def test_dp_ica_scanned_matches_single_device(rng):
                           data_parallel=parallel.make_mesh(data=8))))
     np.testing.assert_allclose(dp, single, atol=2e-5,
                                err_msg=f"warm_inverse={warm}")
+  # the train_precision tier flag composes with DP (exact on the CPU
+  # backend, where every tier executes in f32)
+  single = np.asarray(ica_trainer.train_dictionary_scanned(
+      batches, d0, dict(params, train_precision="bf16x3")))
+  dp = np.asarray(ica_trainer.train_dictionary_scanned(
+      batches, d0, dict(params, train_precision="bf16x3",
+                        data_parallel=parallel.make_mesh(data=8))))
+  np.testing.assert_allclose(dp, single, atol=2e-5)
 
 
 def test_dp_pca_matches_single_device(rng):

@@ -296,3 +296,37 @@ def test_ica_warm_inverse_guard_recovers_from_divergence(rng):
           jnp.asarray(d), near)),
       np.asarray(invertible_linear.newton_refine_inverse(
           jnp.asarray(d), near)))
+
+
+def test_ica_scanned_precision_tiers(rng, tmp_path):
+  """The ICA train_precision tiers (same flag as the sparse-coding
+  scanned trainer) must run, track the f32 trajectory on the CPU
+  backend (where the tier precisions are exact), and reject the
+  LU-solve combination."""
+  import pytest
+  n = 16
+  data = _synthetic_patch_batches(rng, num_batches=4, batch=32, n=n)
+  d0 = np.linalg.qr(rng.randn(n, n))[0].astype(np.float32)
+  params = {
+      "num_epochs": 2,
+      "dictionary_update_algorithm": "ica_natural_gradient",
+      "dict_update_param_schedule": {0: {"stepsize": 0.02, "num_iters": 1}},
+      "stdout_print_interval": 1000,
+  }
+  stacked = np.stack(list(data))
+  ref = np.asarray(ica_trainer.train_dictionary_scanned(
+      stacked, d0, dict(params)))
+  for tier in ("bf16x3", "bf16"):
+    got = np.asarray(ica_trainer.train_dictionary_scanned(
+        stacked, d0, dict(params, train_precision=tier)))
+    assert np.all(np.isfinite(got))
+    # CPU backend executes every tier in f32; only the guard tolerance
+    # differs, and a healthy run never trips it
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+  with pytest.raises(AssertionError, match="warm_inverse"):
+    ica_trainer.train_dictionary_scanned(
+        stacked, d0,
+        dict(params, train_precision="bf16x3", warm_inverse=False))
+  with pytest.raises(AssertionError, match="train_precision"):
+    ica_trainer.train_dictionary_scanned(
+        stacked, d0, dict(params, train_precision="fp8"))

@@ -33,8 +33,9 @@ def exact_inverse(dictionary):
     return jnp.linalg.inv(dictionary)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
-def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5):
+@functools.partial(jax.jit, static_argnames=("num_iters", "precision"))
+def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5,
+                          precision=None):
   """Warm inverse tracking for training loops (Newton-Schulz).
 
   ``X <- X (2I - D X)`` squares the residual ``r = ||I - D X||`` per
@@ -44,8 +45,14 @@ def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5):
   so a warm estimate enters each step with r <~ a few tenths and leaves
   5 refinements (r -> r^32) at fp-level residual; codes computed as ``X_batch @ Dinv``
   then match the exact per-batch solve far below the 1e-4 parity bar
-  (tests/test_training.py::test_ica_warm_inverse_*)."""
-  with matmul_precision():
+  (tests/test_training.py::test_ica_warm_inverse_*).
+
+  ``precision`` optionally drops the refinement matmuls to a faster MXU
+  tier ('tensorfloat32' = 3-pass bf16x3, 'bfloat16' = single pass); the
+  achievable residual then floors at that tier's product accuracy
+  instead of fp level (Newton-Schulz is self-correcting, so the
+  iteration still contracts toward the tier floor)."""
+  with matmul_precision(precision):
     x = inverse_estimate
     eye2 = 2.0 * jnp.eye(dictionary.shape[0], dtype=x.dtype)
     for _ in range(num_iters):
@@ -53,9 +60,10 @@ def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5):
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "precision"))
 def refine_inverse_guarded(dictionary, inverse_estimate,
-                           num_iters: int = 5, residual_tol=1e-3):
+                           num_iters: int = 5, residual_tol=1e-3,
+                           precision=None):
   """`newton_refine_inverse` with a divergence guard.
 
   Newton-Schulz only converges when the incoming residual
@@ -66,9 +74,16 @@ def refine_inverse_guarded(dictionary, inverse_estimate,
   back to the exact LU inverse when it exceeds ``residual_tol`` (a
   healthy refreshed estimate sits at fp level, ~1e-6).  The fallback is
   a ``lax.cond``, so the LU cost is only paid on the rare bad step.
+
+  ``precision`` tiers the refinement matmuls (see
+  newton_refine_inverse); the guard's residual matmul and the LU
+  fallback ALWAYS run at parity precision, so callers must pass a
+  ``residual_tol`` above the tier's residual floor or every step would
+  take the fallback (the tiered runners in training/ica.py do).
   """
   with matmul_precision():
-    x = newton_refine_inverse(dictionary, inverse_estimate, num_iters)
+    x = newton_refine_inverse(dictionary, inverse_estimate, num_iters,
+                              precision=precision)
     eye = jnp.eye(dictionary.shape[0], dtype=x.dtype)
     resid = jnp.max(jnp.abs(dictionary @ x - eye))
     # NOT (resid < tol), not (resid > tol): a diverged estimate can

@@ -122,21 +122,46 @@ def _segment_runner(upd_num_iters):
   return jax.jit(run)
 
 
-def _segment_runner_tracked(upd_num_iters, refine_iters=5):
+# training-speed tiers for the scanned ICA hot loop (the Newton-Schulz
+# refinements + the codes matmul): tier -> (jax matmul precision for
+# those matmuls, divergence-guard residual_tol).  'tensorfloat32' is
+# the MXU's native 3-pass bf16x3 product.  The guard tolerance rises
+# with the tier because the refined inverse floors at the tier's
+# product accuracy instead of fp level (a HIGHEST-precision residual
+# check against a 1e-3 tol would otherwise take the LU fallback every
+# step, silently negating the tier).  The guard still catches true
+# divergence (residual >= 1) in every tier.
+_TIERS = {
+    "highest": ("highest", 1e-3),
+    "bf16x3": ("tensorfloat32", 1e-2),
+    "bf16": ("bfloat16", 0.3),
+}
+
+
+def _segment_runner_tracked(upd_num_iters, refine_iters=5,
+                            mxu="highest"):
   """Scanned ICA step with warm Newton-Schulz inverse tracking: the
   per-batch LU solve (latency-bound on TPU) becomes five MXU matmul
   refinements of the carried D^{-1} estimate plus one codes matmul.
-  Exact-parity grade: the natural gradient moves D by O(stepsize) per
-  batch, so the refreshed inverse holds fp-level residual; a per-step
-  residual guard falls back to the exact LU inverse if refinement ever
-  diverges (see invertible_linear.refine_inverse_guarded)."""
+  Exact-parity grade at the default tier: the natural gradient moves D
+  by O(stepsize) per batch, so the refreshed inverse holds fp-level
+  residual; a per-step residual guard falls back to the exact LU
+  inverse if refinement ever diverges (see
+  invertible_linear.refine_inverse_guarded).  ``mxu`` is the opt-in
+  training-speed tier for the refinement + codes matmuls (the
+  natural-gradient statistic and update stay at parity precision in
+  every tier); see _TIERS."""
   from vtc_tpu.ops.precision import matmul_precision
+
+  precision, guard_tol = _TIERS[mxu]
 
   def run(dictionary, dinv, batches, stepsize):
     def body(carry, batch):
       d, x = carry
-      x = invertible_linear.refine_inverse_guarded(d, x, refine_iters)
-      with matmul_precision():
+      x = invertible_linear.refine_inverse_guarded(
+          d, x, refine_iters, residual_tol=guard_tol,
+          precision=precision)
+      with matmul_precision(precision):
         codes = batch @ x
       d = ica_natural_gradient._update(d, codes, stepsize, upd_num_iters)
       return (d, x), ()
@@ -149,7 +174,7 @@ def _segment_runner_tracked(upd_num_iters, refine_iters=5):
 
 
 def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
-                       refine_iters=5):
+                       refine_iters=5, mxu="highest"):
   """Multi-chip ICA segment: lax.scan of [per-shard codes -> one psum
   of the natural-gradient statistic codes^T sign(codes) -> replicated
   update] inside one shard_map.  The statistic is a batch MEAN, so
@@ -167,12 +192,16 @@ def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
   for a in axes:
     size *= mesh.shape[a]
 
+  precision, guard_tol = _TIERS[mxu]
+
   def run(dictionary, dinv, batches, stepsize):
     def body(carry, batch_shard):
       d, x = carry
       if warm_inverse:
-        x = invertible_linear.refine_inverse_guarded(d, x, refine_iters)
-        with matmul_precision():
+        x = invertible_linear.refine_inverse_guarded(
+            d, x, refine_iters, residual_tol=guard_tol,
+            precision=precision)
+        with matmul_precision(precision):
           codes = batch_shard @ x
       else:
         codes = invertible_linear._solve_nonortho(batch_shard, d)
@@ -206,6 +235,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   True for the full default mesh) shards each batch over the mesh's
   data axes; the only cross-chip traffic is one psum of the
   natural-gradient statistic per step (see _segment_runner_dp).
+
+  all_params['train_precision'] ('highest' default | 'bf16x3' |
+  'bf16') is the same opt-in training-speed flag as the sparse-coding
+  scanned trainer: it tiers the warm-inverse refinement + codes
+  matmuls (_TIERS); statistic/update matmuls stay parity precision.
   """
   assert 0 in all_params["dict_update_param_schedule"]
   assert all_params["dictionary_update_algorithm"] == (
@@ -249,6 +283,19 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   dinv = (invertible_linear.exact_inverse(dictionary)
           if warm_inverse else None)
 
+  # opt-in training-speed tier, same flag as the sparse-coding scanned
+  # trainer (compiled_epoch.train_dictionary_scanned): tiers the
+  # Newton-Schulz refinements + codes matmul (see _TIERS); the
+  # natural-gradient statistic/update stay parity precision.  Requires
+  # warm inverse tracking (the LU-solve path has no matmul to tier).
+  mxu = str(all_params.get("train_precision", "highest"))
+  assert mxu in _TIERS, (
+      "train_precision must be 'highest', 'bf16x3', or 'bf16', got "
+      f"{mxu!r}")
+  assert mxu == "highest" or warm_inverse, (
+      "train_precision tiers require warm_inverse=True (the exact "
+      "per-batch LU solve has no hot matmul to tier)")
+
   data_parallel = all_params.get("data_parallel", False)
   dp_mesh = None
   if data_parallel:
@@ -288,9 +335,9 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       if key not in runners:
         if dp_mesh is not None:
           runners[key] = _segment_runner_dp(upd_niters, dp_mesh,
-                                            warm_inverse)
+                                            warm_inverse, mxu=mxu)
         else:
-          runners[key] = (_segment_runner_tracked(upd_niters)
+          runners[key] = (_segment_runner_tracked(upd_niters, mxu=mxu)
                           if warm_inverse
                           else _segment_runner(upd_niters))
       if warm_inverse or dp_mesh is not None:
