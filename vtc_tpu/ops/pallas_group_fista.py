@@ -43,18 +43,16 @@ from vtc_tpu.ops.precision import matmul_precision
 
 def _make_kernel(variant, hard, mxu="highest"):
   use_fista = variant == "fista"
-  dotp = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-  # inference MXU tier for the iteration matmul (same scheme as
-  # ops/pallas_train_step._make_iter_dot): the prox matmuls stay
-  # HIGHEST except in the single-pass 'default' screening tier
-  from vtc_tpu.ops.pallas_train_step import _make_iter_dot
-  prep_gram, iter_dot = _make_iter_dot(
-      {"default": "bf16"}.get(mxu, mxu))
-  prox_dot = (functools.partial(jnp.dot,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.DEFAULT)
-              if mxu == "default" else dotp)
+  # inference MXU tier for the iteration AND prox matmuls (same scheme
+  # as ops/pallas_train_step): in 'bf16x3' the prox 3-pass collapses
+  # to 2 against the exact-in-bf16 0/1 membership operand (see
+  # _make_prox_dots -- squared-norm sums and the broadcast gather have
+  # no cancellation, so the prox tier rides the iteration tier)
+  from vtc_tpu.ops.pallas_train_step import (_make_iter_dot,
+                                             _make_prox_dots)
+  tier = {"default": "bf16"}.get(mxu, mxu)
+  prep_gram, iter_dot = _make_iter_dot(tier)
+  prox_dot, prox_dot_t = _make_prox_dots(tier)
 
   def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
              out_ref):
@@ -73,7 +71,7 @@ def _make_kernel(variant, hard, mxu="highest"):
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * prox_dot(scale, expand.T)
+      return x * prox_dot_t(scale, expand)   # scale @ expand.T
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr

@@ -132,6 +132,31 @@ def _make_iter_dot(mxu):
   return (lambda g: g), _dot
 
 
+def _make_prox_dots(mxu):
+  """(pdot(x, e), pdot_t(x, e)) for the group-prox matmuls against the
+  CONSTANT 0/1 membership operand ``e`` at the requested tier.  pdot
+  contracts (1, 0) (squared-norm sums x^2 @ E), pdot_t contracts
+  (1, 1) (broadcast scale @ E^T).  In 'bf16x3' the 0/1 operand is
+  EXACT in bf16, so the 3-pass split collapses to 2 passes (no e_lo
+  term).  Tiering these is numerically safe wherever the iteration
+  tier is acceptable: the norm matmul sums squares (no cancellation)
+  and the broadcast matmul copies one scale per slot (products against
+  exact 0/1)."""
+  if mxu == "bf16":
+    return _dot_b, _dot_t_b
+  if mxu == "bf16x3":
+    def pdot(x, e):
+      x_hi, x_lo = _split_hi_lo(x)
+      return _dot_b(x_hi, e) + _dot_b(x_lo, e)
+
+    def pdot_t(x, e):
+      x_hi, x_lo = _split_hi_lo(x)
+      return _dot_t_b(x_hi, e) + _dot_t_b(x_lo, e)
+
+    return pdot, pdot_t
+  return _dot, _dot_t
+
+
 def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
   buffers = (
       2 * s_pad * n_pad        # dictionary in + out (state)
@@ -329,14 +354,17 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
   iteration, no gathers (dict_update_rules/fully_connected/
   _subspace_common.py is the reference formulation).
   ``mxu``: opt-in training-speed tiering as in _make_kernel -- the
-  iteration matmul runs at the requested tier ('bf16x3' recommended);
-  in the 'bf16' tier corr, the prox matmuls, and the summed unpack
+  iteration matmul AND the per-iteration prox matmuls run at the
+  requested tier ('bf16x3' recommended; the prox 3-pass collapses to
+  2 against the exact-in-bf16 0/1 membership operand -- see
+  _make_prox_dots); in the 'bf16' tier corr and the summed unpack
   drop to single-pass bf16 too.  The grouped build, grouped Gram,
   power refresh, the UPDATE matmuls (converged residuals sink below
   bf16 noise -- see _make_kernel), and the sign-sensitive regularizer
   Gram always stay HIGHEST."""
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
+  prox_dot, prox_dot_t = _make_prox_dots(mxu)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
@@ -379,14 +407,14 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
 
     def prox(x):
-      sums = dot_(x * x, expand)                  # (b_pad, G_pad)
+      sums = prox_dot(x * x, expand)              # (b_pad, G_pad)
       norms = jnp.sqrt(sums)
       safe = jnp.where(norms == 0.0, 1.0, norms)
       if hard:
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * dot_t_(scale, expand)            # scale @ expand.T
+      return x * prox_dot_t(scale, expand)        # scale @ expand.T
 
     neg_eta_gram = prep_gram(-eta * gram)  # tier prep once, not per iter
     corr_eta = eta * corr
