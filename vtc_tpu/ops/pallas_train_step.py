@@ -766,9 +766,11 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
   the alignment regularizer depends only on the replicated dictionary,
   so it needs no cross-chip reduction and runs in the epilogue too.
   ``mxu``: same solve-tier / stats-HIGHEST tiering as
-  _make_solve_stats_kernel."""
+  _make_solve_stats_kernel (prox matmuls ride the iteration tier via
+  _make_prox_dots, as in _make_group_kernel)."""
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
+  prox_dot, prox_dot_t = _make_prox_dots(mxu)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
@@ -800,14 +802,14 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
     corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
 
     def prox(x):
-      sums = dot_(x * x, expand)
+      sums = prox_dot(x * x, expand)
       norms = jnp.sqrt(sums)
       safe = jnp.where(norms == 0.0, 1.0, norms)
       if hard:
         scale = jnp.where(norms < lam_eta, 0.0, 1.0)
       else:
         scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * dot_t_(scale, expand)
+      return x * prox_dot_t(scale, expand)
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
