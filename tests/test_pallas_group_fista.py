@@ -34,7 +34,7 @@ def test_pallas_ragged_overlapping_groups(rng):
   np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_pallas_falls_back_for_warm_start(rng):
+def test_pallas_warm_start_in_kernel(rng):
   x, d = _problem(rng)
   groups = [list(range(i, i + 8)) for i in range(0, 32, 8)]
   init = np.asarray(subspace_ista_fista.run(
@@ -44,3 +44,41 @@ def test_pallas_falls_back_for_warm_start(rng):
   want = oracle.fc_subspace_ista_fista(
       x, d, groups, 0.1, 5, initial_codes=init.astype(np.float64))
   np.testing.assert_allclose(warm, want, atol=1e-4)
+  # the warm start changed the answer vs a cold 5-iteration solve
+  cold = np.asarray(subspace_ista_fista.run(
+      x, d, groups, 0.1, 5, formulation="pallas"))
+  assert np.abs(warm - cold).max() > 1e-5
+
+
+@pytest.mark.parametrize("eps", [5e-2, 1e-12])
+def test_pallas_early_stopping_matches_gram(rng, eps):
+  """In-kernel early stop == the XLA gram path, both when the epsilon
+  triggers mid-run (1e-3) and when it never triggers (1e-12)."""
+  x, d = _problem(rng)
+  groups = [[0, 2, 5], [1], [2, 3, 4, 5], list(range(6, 32))]
+  got = np.asarray(subspace_ista_fista.run(
+      x.astype(np.float32), d.astype(np.float32), groups, 0.1, 60,
+      early_stopping_epsilon=eps, formulation="pallas"))
+  want = np.asarray(subspace_ista_fista.run(
+      x.astype(np.float32), d.astype(np.float32), groups, 0.1, 60,
+      early_stopping_epsilon=eps, formulation="gram"))
+  np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+  if eps == 5e-2:  # the stop engaged: differs from the full-length run
+    full = np.asarray(subspace_ista_fista.run(
+        x.astype(np.float32), d.astype(np.float32), groups, 0.1, 60,
+        formulation="pallas"))
+    assert np.abs(got - full).max() > 1e-7
+
+
+def test_pallas_raw_grouped_output_matches_gram(rng):
+  x, d = _problem(rng)
+  groups = [[0, 1, 2], [3, 4], list(range(5, 32))]
+  flat_p, gdict_p = subspace_ista_fista.run(
+      x.astype(np.float32), d.astype(np.float32), groups, 0.08, 15,
+      ret_summed_gduplicates=False, formulation="pallas")
+  flat_g, gdict_g = subspace_ista_fista.run(
+      x.astype(np.float32), d.astype(np.float32), groups, 0.08, 15,
+      ret_summed_gduplicates=False, formulation="gram")
+  np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_g),
+                             rtol=0, atol=2e-6)
+  np.testing.assert_allclose(np.asarray(gdict_p), np.asarray(gdict_g))

@@ -170,28 +170,41 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
     # (subspace_ista_fista.py:115-123).
     stepsize = lipschitz_ops.fista_stepsize(grouped_dict, lipschitz_method)
   if formulation == "pallas":
-    if (initial_codes is None and early_stopping_epsilon is None
-        and ret_summed_gduplicates):
-      from vtc_tpu.ops.pallas_group_fista import (
-          group_fista_solve_pallas, membership_matrix)
+    from vtc_tpu.ops.pallas_group_fista import (
+        group_early_stop_tile_fits, group_fista_solve_pallas,
+        membership_matrix)
+    g_, m_ = int(gather_inds.shape[0]), int(gather_inds.shape[1])
+    if (early_stopping_epsilon is None
+        or group_early_stop_tile_fits(images.shape[0], g_ * m_, g_)):
       # build the 0/1 membership operand from the PYTHON group
       # structure: valid_mask is a device constant and run() must stay
       # traceable inside an outer jit (encode.encode_dataset scans it)
-      g_, m_ = int(gather_inds.shape[0]), int(gather_inds.shape[1])
       mask_np = np.zeros((g_, m_), np.float32)
       for g_idx, members in enumerate(group_assignments):
         mask_np[g_idx, :len(list(members))] = 1.0
       expand = membership_matrix(g_, m_, mask_np)
+      init_flat = None
+      if initial_codes is not None:
+        init_flat = pack_codes(
+            jnp.asarray(initial_codes, jnp.float32), gather_inds,
+            valid_mask).reshape(images.shape[0], g_ * m_)
       flat_grouped = group_fista_solve_pallas(
           images, grouped_dict, expand, sparsity_weight, num_iters,
-          stepsize, variant=variant, hard=bool(hard_threshold),
+          stepsize, initial_grouped=init_flat, variant=variant,
+          hard=bool(hard_threshold),
           interpret=jax.default_backend() != "tpu",
-          mxu_precision=mxu_precision)
+          mxu_precision=mxu_precision,
+          early_stopping_epsilon=(
+              None if early_stopping_epsilon is None
+              else float(early_stopping_epsilon)))
+      if not ret_summed_gduplicates:
+        return flat_grouped, grouped_dict
       grouped = flat_grouped.reshape(
           (images.shape[0],) + gather_inds.shape)
       return unpack_codes_summed(grouped, gather_inds, valid_mask,
                                  code_size)
-    formulation = "gram"  # warm start / early stop / raw-grouped output
+    # batch exceeds the single-tile early-stop budget: XLA gram path
+    formulation = "gram"
   if initial_codes is None:
     init_grouped = jnp.zeros(
         (images.shape[0],) + gather_inds.shape, images.dtype)

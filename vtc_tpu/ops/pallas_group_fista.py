@@ -28,6 +28,13 @@ Zero-padded groups have zero E columns, so their norms are 0 and the
 reference's divide-by-zero guard (norm==0 -> 1) keeps them at exactly 0
 (their corr/gram rows are zero too, so the iterate never leaves 0
 there).
+
+Warm starts ride in as a packed (b, G*M) init block, and early stopping
+(reference subspace_ista_fista.py:158-180 semantics via ops/solver.py)
+runs in-kernel as a lax.while_loop on the batch-global mean
+|delta|/stepsize when the whole batch fits one VMEM tile
+(``group_early_stop_tile_fits``; the caller falls back to the XLA gram
+path otherwise) -- the same design as ops/pallas_fista.py.
 """
 import functools
 
@@ -41,7 +48,7 @@ from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
 
 
-def _make_kernel(variant, hard, mxu="highest"):
+def _make_kernel(variant, hard, mxu="highest", early_eps=None):
   use_fista = variant == "fista"
   # inference MXU tier for the iteration AND prox matmuls (same scheme
   # as ops/pallas_train_step): in 'bf16x3' the prox 3-pass collapses
@@ -55,13 +62,15 @@ def _make_kernel(variant, hard, mxu="highest"):
   prox_dot, prox_dot_t = _make_prox_dots(tier)
 
   def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
-             out_ref):
+             init_ref, out_ref):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
+    inv_count = scalars_ref[2]  # 1 / (b * G * M), real (unpadded) sizes
     gram = gram_ref[:]
     expand = expand_ref[:]  # (GMp, Gp) 0/1 membership
     corr = corr_ref[:]
+    init = init_ref[:]
 
     def prox(x):
       sums = prox_dot(x * x, expand)       # (tile, Gp) squared norms
@@ -75,7 +84,6 @@ def _make_kernel(variant, hard, mxu="highest"):
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
-    zeros = jnp.zeros(corr.shape, jnp.float32)
 
     def body(_, carry):
       z, old, t_k = carry
@@ -87,8 +95,32 @@ def _make_kernel(variant, hard, mxu="highest"):
         return z_next, codes, t_next
       return codes, codes, t_k
 
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, body, (zeros, zeros, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule on the GROUPED tensor (the gram path's
+      # ops/solver.py semantics): mean |codes - old_codes| / eta < eps
+      # after the first iteration.  The mean uses the REAL element
+      # count b*G*M (slots padded up to GMp hold exact zeros through
+      # every iteration, so the padded sum equals the real sum; the
+      # zero-slots *inside* groups are part of G*M and counted, exactly
+      # as the gram path's jnp.mean over the (b, G, M) tensor).
+      def stop_cond(carry):
+        k, _, _, _, _, stop = carry
+        return jnp.logical_and(k < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        k, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = body(None, (z, old, t_k))
+        avg_delta = (jnp.sum(jnp.abs(codes - old)) * inv_count) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, k > 0)
+        return k + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     out_ref[:] = codes
 
   return kernel
@@ -105,14 +137,32 @@ def membership_matrix(num_groups, max_group_size, valid_mask):
   return e
 
 
+_EARLY_STOP_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def group_early_stop_tile_fits(batch_size, gm, g):
+  """True when the whole batch fits one VMEM grid tile -- the exactness
+  condition for the in-kernel early-stopping while_loop (the stop test
+  is a batch-GLOBAL mean; independent tiles cannot share it)."""
+  from vtc_tpu.ops.pallas_common import SUBLANES
+  gm_pad = round_up(gm, _LANES)
+  g_pad = round_up(g, _LANES)
+  b_pad = round_up(batch_size, SUBLANES)
+  # gram + expand + (corr, init, out) tiles + ~3 loop transients
+  return 4 * (gm_pad * gm_pad + gm_pad * g_pad
+              + 6 * b_pad * gm_pad) <= _EARLY_STOP_VMEM_BUDGET
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "hard", "batch_tile", "interpret",
-                     "mxu_precision"))
+                     "mxu_precision", "early_stopping_epsilon"))
 def group_fista_solve_pallas(images, grouped_dictionary, expand,
                              sparsity_weight, num_iters, stepsize, *,
-                             variant="fista", hard=False, batch_tile=256,
-                             interpret=False, mxu_precision="highest"):
+                             initial_grouped=None, variant="fista",
+                             hard=False, batch_tile=256,
+                             interpret=False, mxu_precision="highest",
+                             early_stopping_epsilon=None):
   """Solve the packed group-LASSO codes with the fused kernel.
 
   Args:
@@ -120,9 +170,17 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
     grouped_dictionary: (G*M, n) duplicated/padded grouped dictionary.
     expand: (G*M, G) 0/1 membership matrix (membership_matrix()).
     sparsity_weight, num_iters, stepsize: dynamic scalars.
+    initial_grouped: optional (b, G*M) flattened grouped warm start
+      (both the gradient evaluation point and the momentum anchor,
+      like the gram path).
     mxu_precision: 'highest' (parity default) | 'bf16x3' (3-pass
       iteration matmul, ~1e-4) | 'default' (single bf16 pass,
       screening grade; the prox matmuls drop too).
+    early_stopping_epsilon: optional static float; the solve becomes an
+      in-kernel while_loop stopping when the batch-global
+      mean |delta| / stepsize over the (b, G, M) tensor drops below it
+      (reference stop rule).  Requires the whole batch in ONE tile
+      (callers check group_early_stop_tile_fits first).
 
   Returns:
     (b, G*M) flattened grouped codes (caller scatters duplicates back
@@ -132,6 +190,13 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
   gm, g = expand.shape
   gm_pad = round_up(gm, _LANES)
   g_pad = round_up(g, _LANES)
+  if early_stopping_epsilon is not None:
+    # the stop test is batch-global: the whole batch must be ONE tile
+    from vtc_tpu.ops.pallas_common import SUBLANES
+    batch_tile = round_up(b, SUBLANES)
+    assert group_early_stop_tile_fits(b, gm, g), (
+        "batch too large for single-tile early stopping; use the gram "
+        "path (subspace_ista_fista.run falls back automatically)")
   b_pad = round_up(b, batch_tile)
 
   with matmul_precision():
@@ -141,13 +206,22 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
   corr = jnp.pad(corr, ((0, b_pad - b), (0, gm_pad - gm)))
   expand_p = jnp.pad(jnp.asarray(expand, jnp.float32),
                      ((0, gm_pad - gm), (0, g_pad - g)))
+  if initial_grouped is None:
+    init = jnp.zeros((b_pad, gm_pad), jnp.float32)
+  else:
+    init = jnp.pad(jnp.asarray(initial_grouped, jnp.float32),
+                   ((0, b_pad - b), (0, gm_pad - gm)))
 
   eta = jnp.asarray(stepsize, jnp.float32)
   scalars = jnp.stack(
-      [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta])
+      [eta, jnp.asarray(sparsity_weight, jnp.float32) * eta,
+       jnp.float32(1.0 / (b * gm))])
   niter = jnp.asarray(num_iters, jnp.int32).reshape(1)
 
-  kernel = _make_kernel(variant, hard, mxu=mxu_precision)
+  kernel = _make_kernel(variant, hard, mxu=mxu_precision,
+                        early_eps=(None
+                                   if early_stopping_epsilon is None
+                                   else float(early_stopping_epsilon)))
   out = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -157,11 +231,12 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
               pl.BlockSpec((gm_pad, gm_pad), lambda i, *_: (0, 0)),
               pl.BlockSpec((gm_pad, g_pad), lambda i, *_: (0, 0)),
               pl.BlockSpec((batch_tile, gm_pad), lambda i, *_: (i, 0)),
+              pl.BlockSpec((batch_tile, gm_pad), lambda i, *_: (i, 0)),
           ],
           out_specs=pl.BlockSpec((batch_tile, gm_pad),
                                  lambda i, *_: (i, 0)),
       ),
       out_shape=jax.ShapeDtypeStruct((b_pad, gm_pad), jnp.float32),
       interpret=interpret,
-  )(niter, scalars, gram, expand_p, corr)
+  )(niter, scalars, gram, expand_p, corr, init)
   return out[:b, :gm]
