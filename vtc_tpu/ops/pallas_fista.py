@@ -41,19 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
 
-_PRECISIONS = {
-    "highest": jax.lax.Precision.HIGHEST,  # full f32 (multi-pass MXU)
-    "default": jax.lax.Precision.DEFAULT,  # single bf16 pass
-}
-# 'bf16x3' (see _make_kernel) emulates 3-pass f32 by hand: both operands
-# are split into bf16 hi+lo parts and the three significant products are
-# summed in f32 -- half the MXU passes of HIGHEST at ~1e-5 relative
-# accuracy.  (Mosaic rejects jax.lax.Precision.HIGH outright.)
-
-
 def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
                  early_eps=None):
   use_fista = variant == "fista"
+  # MXU tiers unified with the segment kernel (ops/pallas_train_step
+  # ._make_iter_dot): 'highest' pins full f32 explicitly (Mosaic's
+  # default feeds the MXU bf16 operands even for f32 inputs -- observed
+  # 1e-1 code error on v5e without this); 'bf16x3' hand-splits both
+  # operands into bf16 hi+lo and sums the three significant products in
+  # f32 (half the passes of HIGHEST at ~1e-5 relative); 'bf16' is the
+  # single-pass screening tier.
+  from vtc_tpu.ops.pallas_train_step import _make_iter_dot
+  tier = "bf16" if use_bf16 else {"default": "bf16"}.get(
+      mxu_precision, mxu_precision)
+  prep_gram, iter_dot = _make_iter_dot(tier)
 
   def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, init_ref,
              out_ref):
@@ -63,11 +64,7 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
     inv_count = scalars_ref[2]  # 1 / (b * s), real (unpadded) sizes
     gram = gram_ref[:]
     corr = corr_ref[:]
-    if use_bf16:
-      gram = gram.astype(jnp.bfloat16)
-    elif mxu_precision in ("bf16x3", "bf16x4"):
-      gram_hi = gram.astype(jnp.bfloat16)
-      gram_lo = (gram - gram_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    init = init_ref[:]
 
     def threshold(x):
       if hard:
@@ -76,36 +73,21 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
         return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
       if nonneg:
         return jnp.maximum(x - lam_eta, 0.0)
-      return jnp.sign(x) * jnp.maximum(jnp.abs(x) - lam_eta, 0.0)
+      # soft shrink as x - clip(x): bitwise equal to the reference's
+      # sign(x) * max(|x| - t, 0) with two fewer VPU passes
+      return x - jnp.clip(x, -lam_eta, lam_eta)
 
-    init = init_ref[:]
-
-    def _dot_bf16(a, b):
-      return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.DEFAULT)
+    # fold eta into the iteration operator ONCE per solve: the gradient
+    # step z - eta*(z G - corr) becomes z + z @ (-eta G) + eta corr,
+    # saving two full-width VPU multiplies per iteration (the identity
+    # term stays outside the matmul so the MXU accumulation order
+    # matches the XLA gram path -- same note as the segment kernel).
+    neg_eta_gram = prep_gram(-eta * gram)  # tier prep once, not per iter
+    corr_eta = eta * corr
 
     def body(_, carry):
       z, old, t_k = carry
-      if use_bf16:
-        grad = _dot_bf16(z.astype(jnp.bfloat16), gram)
-      elif mxu_precision == "bf16x3":
-        z_hi = z.astype(jnp.bfloat16)
-        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        grad = (_dot_bf16(z_hi, gram_hi) + _dot_bf16(z_lo, gram_hi)
-                + _dot_bf16(z_hi, gram_lo))
-      elif mxu_precision == "bf16x4":
-        z_hi = z.astype(jnp.bfloat16)
-        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        grad = (_dot_bf16(z_hi, gram_hi) + _dot_bf16(z_lo, gram_hi)
-                + _dot_bf16(z_hi, gram_lo) + _dot_bf16(z_lo, gram_lo))
-      else:
-        # precision must be pinned explicitly: Mosaic's default feeds
-        # the MXU bf16 operands even for f32 inputs (observed 1e-1 code
-        # error on v5e without this)
-        grad = jnp.dot(
-            z, gram, preferred_element_type=jnp.float32,
-            precision=_PRECISIONS[mxu_precision])
-      codes = threshold(z - eta * grad + eta * corr)
+      codes = threshold(z + iter_dot(z, neg_eta_gram) + corr_eta)
       if use_fista:
         t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
         beta = (t_k - 1.0) / t_next
