@@ -415,3 +415,33 @@ def test_fused_group_segment_bf16x3_tracks_f32(rng):
       d0, h0, v0, batches, 0.05, 10, 0.05, mxu="bf16x3", **common)[0]
   np.testing.assert_allclose(np.asarray(dx3), np.asarray(d32),
                              atol=5e-3)
+
+
+def test_split3_is_exact_and_prox_highest_matches_f32(rng):
+  """The 'highest' prox tier's 3-term bf16 split (pallas_train_step.
+  _split3) must reconstruct f32 bitwise, and the 3-pass prox matmuls
+  against a 0/1 membership operand must match a true f32 matmul to f32
+  accumulation rounding (BENCH_NOTES UPDATE 28)."""
+  from vtc_tpu.ops.pallas_train_step import (_split3, _make_prox_dots,
+                                             _dot, _dot_t)
+
+  x = jnp.asarray((rng.randn(64, 128) *
+                   np.exp(rng.uniform(-12, 12, (64, 128))))
+                  .astype(np.float32))
+  hi, mid, lo = _split3(x)
+  recon = (hi.astype(jnp.float32) + mid.astype(jnp.float32)
+           + lo.astype(jnp.float32))
+  assert np.array_equal(np.asarray(recon), np.asarray(x))
+
+  # membership-style 0/1 operand: 128 slots -> 32 groups of 4
+  e = np.zeros((128, 32), np.float32)
+  for g in range(32):
+    e[4 * g:4 * g + 4, g] = 1.0
+  e = jnp.asarray(e)
+  pdot, pdot_t = _make_prox_dots("highest")
+  sums = pdot(x * x, e)
+  np.testing.assert_allclose(np.asarray(sums), np.asarray(_dot(x * x, e)),
+                             rtol=1e-6)
+  scale = jnp.asarray(rng.rand(64, 32).astype(np.float32))
+  np.testing.assert_allclose(np.asarray(pdot_t(scale, e)),
+                             np.asarray(_dot_t(scale, e)), rtol=1e-6)

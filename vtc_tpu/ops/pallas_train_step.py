@@ -108,6 +108,24 @@ def _split_hi_lo(x):
   return hi, lo
 
 
+def _split3(x):
+  """EXACT 3-term bf16 split of f32: hi + mid + lo == x bitwise.
+
+  Each residual subtraction is exact in f32 (the remainder after
+  peeling a rounded bf16 prefix drops >= 8 exponent steps), so the
+  three bf16 terms carry 8+8+8 >= 24 significand bits -- the full f32
+  significand.  Against a second operand that is itself exact in bf16
+  (0/1 membership / selection matrices), three single-pass MXU matmuls
+  of the split terms compute the f32 matmul with only the usual f32
+  accumulation rounding, i.e. parity-grade in HALF of XLA HIGHEST's 6
+  passes (BENCH_NOTES UPDATE 28)."""
+  hi = x.astype(jnp.bfloat16)
+  r = x - hi.astype(jnp.float32)
+  mid = r.astype(jnp.bfloat16)
+  lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+  return hi, mid, lo
+
+
 def _make_iter_dot(mxu):
   """(prep(gram) -> operand, iter_dot(z, operand)) for the FISTA
   iteration matmul at the requested MXU tier:
@@ -136,12 +154,14 @@ def _make_prox_dots(mxu):
   """(pdot(x, e), pdot_t(x, e)) for the group-prox matmuls against the
   CONSTANT 0/1 membership operand ``e`` at the requested tier.  pdot
   contracts (1, 0) (squared-norm sums x^2 @ E), pdot_t contracts
-  (1, 1) (broadcast scale @ E^T).  In 'bf16x3' the 0/1 operand is
-  EXACT in bf16, so the 3-pass split collapses to 2 passes (no e_lo
-  term).  Tiering these is numerically safe wherever the iteration
-  tier is acceptable: the norm matmul sums squares (no cancellation)
-  and the broadcast matmul copies one scale per slot (products against
-  exact 0/1)."""
+  (1, 1) (broadcast scale @ E^T).  The 0/1 operand is EXACT in bf16,
+  so every tier runs hand-split single-pass matmuls: 'bf16x3' keeps a
+  2-term split (~16 bits, matching its iteration tier), and 'highest'
+  uses the EXACT 3-term split (_split3) -- bitwise parity-grade at 3
+  MXU passes instead of XLA HIGHEST's 6 (BENCH_NOTES UPDATE 28).
+  Tiering these is numerically safe: the norm matmul sums squares (no
+  cancellation) and the broadcast matmul copies one scale per slot
+  (products against exact 0/1)."""
   if mxu == "bf16":
     return _dot_b, _dot_t_b
   if mxu == "bf16x3":
@@ -154,7 +174,16 @@ def _make_prox_dots(mxu):
       return _dot_t_b(x_hi, e) + _dot_t_b(x_lo, e)
 
     return pdot, pdot_t
-  return _dot, _dot_t
+
+  def pdot_hi(x, e):
+    x_hi, x_mid, x_lo = _split3(x)
+    return _dot_b(x_hi, e) + _dot_b(x_mid, e) + _dot_b(x_lo, e)
+
+  def pdot_t_hi(x, e):
+    x_hi, x_mid, x_lo = _split3(x)
+    return _dot_t_b(x_hi, e) + _dot_t_b(x_mid, e) + _dot_t_b(x_lo, e)
+
+  return pdot_hi, pdot_t_hi
 
 
 def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
