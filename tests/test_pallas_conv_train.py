@@ -282,3 +282,22 @@ def test_fused_conv_segment_bf16x3_tracks_f32(rng):
       padding=padding, power_iters=2, interpret=True, mxu="bf16x3")[0]
   np.testing.assert_allclose(np.asarray(dx3), np.asarray(d32),
                              atol=5e-3)
+
+
+def test_fused_conv_segment_bf16x5_tracks_f32(rng):
+  """The 'bf16x5' near-parity tier (5-pass exact-split deep
+  contractions) must track the f32 conv trajectory an order tighter
+  than 'bf16x3' (BENCH_NOTES UPDATE 29)."""
+  d, h, v, x, strides, padding = _problem(rng, k=4, kdim=4, stride=4)
+  common = dict(kernel_stride=strides, padding=padding, power_iters=2,
+                interpret=True)
+  d32 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, **common)[0]
+  dx5 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, mxu="bf16x5", **common)[0]
+  dx3 = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 12, 0.05, mxu="bf16x3", **common)[0]
+  e5 = np.abs(np.asarray(dx5) - np.asarray(d32)).max()
+  e3 = np.abs(np.asarray(dx3) - np.asarray(d32)).max()
+  assert e5 < 1e-3, e5
+  assert e5 <= e3, (e5, e3)

@@ -445,3 +445,22 @@ def test_split3_is_exact_and_prox_highest_matches_f32(rng):
   scale = jnp.asarray(rng.rand(64, 32).astype(np.float32))
   np.testing.assert_allclose(np.asarray(pdot_t(scale, e)),
                              np.asarray(_dot_t(scale, e)), rtol=1e-6)
+
+
+def test_fused_segment_bf16x5_tracks_f32_tighter_than_bf16x3(rng):
+  """'bf16x5' (exact 3-term split both operands, 5 passes, drop only
+  mid*mid) must track the f32 trajectory and land tighter than
+  'bf16x3' (BENCH_NOTES UPDATE 29: 1.3e-4 vs 4.0e-4 one-shot codes at
+  the bench config on-chip)."""
+  d, h, v, batches = _problem(rng, k=4, b=16)
+  common = dict(power_iters=2, interpret=True)
+  d32 = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.05, **common)[0]
+  dx5 = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.05, mxu="bf16x5", **common)[0]
+  dx3 = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 12, 0.05, mxu="bf16x3", **common)[0]
+  e5 = np.abs(np.asarray(dx5) - np.asarray(d32)).max()
+  e3 = np.abs(np.asarray(dx3) - np.asarray(d32)).max()
+  assert e5 < 5e-4, e5
+  assert e5 <= e3, (e5, e3)

@@ -118,7 +118,7 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
   assert formulation in ("gram", "direct", "pallas")
   if mxu_precision == "default":  # accept the inference-tier spelling
     mxu_precision = "bf16"
-  assert mxu_precision in ("highest", "bf16x3", "bf16")
+  assert mxu_precision in ("highest", "bf16x5", "bf16x3", "bf16")
   assert mxu_precision == "highest" or formulation == "pallas", (
       "mxu_precision tiers apply to the 'pallas' formulation only; "
       f"got {mxu_precision!r} with formulation={formulation!r}")

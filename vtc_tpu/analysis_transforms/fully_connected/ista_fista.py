@@ -100,6 +100,9 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
       (literal two-matmul iteration of the reference).
     mxu_precision: MXU tier for the 'pallas' formulation's iteration
       matmuls: 'highest' (full f32, the 1e-4 parity default) |
+      'bf16x5' (exact 3-term split both operands, 5 passes keeping all
+      products above mid*mid -- ~1.3e-4 codes at the bench config,
+      just outside the strict parity bar; BENCH_NOTES UPDATE 29) |
       'bf16x3' (hand-split 3-pass f32, ~1e-5 code accuracy, ~+24%
       throughput) | 'default' (single bf16 pass, ~1e-1 accuracy,
       fastest -- a screening/training-speed tier).  Ignored by the
@@ -112,7 +115,7 @@ def run(images, dictionary, sparsity_weight, num_iters, variant="fista",
   assert formulation in ("gram", "direct", "pallas")
   if mxu_precision == "bf16":  # accept the training-tier spelling too
     mxu_precision = "default"
-  assert mxu_precision in ("highest", "bf16x3", "default")
+  assert mxu_precision in ("highest", "bf16x5", "bf16x3", "default")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   if stepsize is None:

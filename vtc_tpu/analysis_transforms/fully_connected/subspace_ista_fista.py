@@ -159,7 +159,7 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
   assert formulation in ("gram", "direct", "pallas")
   if mxu_precision == "bf16":  # accept the training-tier spelling too
     mxu_precision = "default"
-  assert mxu_precision in ("highest", "bf16x3", "default")
+  assert mxu_precision in ("highest", "bf16x5", "bf16x3", "default")
   images = jnp.asarray(images, jnp.float32)
   dictionary = jnp.asarray(dictionary, jnp.float32)
   code_size = dictionary.shape[0]

@@ -228,6 +228,17 @@ def _make_deep_dot(mxu):
               + _dot_b(w_hi, b_lo))
 
     return _split_hi_lo, deep_dot
+  if mxu == "bf16x5":
+    from vtc_tpu.ops.pallas_train_step import _split3
+
+    def deep_dot(w, b):
+      w_hi, w_mid, w_lo = w
+      b_hi, b_mid, b_lo = _split3(b)
+      return (_dot_b(w_hi, b_hi)
+              + _dot_b(w_mid, b_hi) + _dot_b(w_hi, b_mid)
+              + _dot_b(w_lo, b_hi) + _dot_b(w_hi, b_lo))
+
+    return _split3, deep_dot
   return (lambda w: w), _dot
 
 

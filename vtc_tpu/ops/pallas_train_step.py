@@ -130,6 +130,9 @@ def _make_iter_dot(mxu):
   """(prep(gram) -> operand, iter_dot(z, operand)) for the FISTA
   iteration matmul at the requested MXU tier:
     'highest': full f32 (6 bf16 passes) -- the 1e-4 parity default.
+    'bf16x5':  exact 3-term split both operands, 5 passes (drop only
+               mid*mid) -- ~1.3e-4 codes, just outside the strict
+               parity bar (BENCH_NOTES UPDATE 29).
     'bf16x3':  hand-split 3-pass emulation, ~1e-4 code accuracy --
                training trajectories track f32 (the recommended speed
                tier; the dropped lo*lo product is below bf16
@@ -147,6 +150,21 @@ def _make_iter_dot(mxu):
               + _dot_b(z_hi, g_lo))
 
     return _split_hi_lo, iter_dot
+  if mxu == "bf16x5":
+    # EXACT 3-term split of BOTH operands (24 significand bits each,
+    # _split3), keeping the 5 largest of the 9 cross products -- the
+    # only dropped term of consequence is mid*mid (~2^-18 relative,
+    # ~60x under the 1e-4 parity bar per product; the remaining
+    # dropped terms are <= 2^-26).  5 MXU passes vs HIGHEST's 6 with
+    # near-f32 accuracy (BENCH_NOTES UPDATE 29).
+    def iter_dot(z, g):
+      g_hi, g_mid, g_lo = g
+      z_hi, z_mid, z_lo = _split3(z)
+      return (_dot_b(z_hi, g_hi)
+              + _dot_b(z_mid, g_hi) + _dot_b(z_hi, g_mid)
+              + _dot_b(z_lo, g_hi) + _dot_b(z_hi, g_lo))
+
+    return _split3, iter_dot
   return (lambda g: g), _dot
 
 
