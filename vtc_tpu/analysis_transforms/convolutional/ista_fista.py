@@ -104,9 +104,10 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
       early stopping runs in-kernel when the batch fits one VMEM
       tile, else falls back to 'gram').
     mxu_precision: MXU tier for the 'pallas' direct kernel's deep-
-      contraction matmuls: 'highest' (parity default) | 'bf16x3'
-      (3-pass, ~1e-4) | 'default'/'bf16' (single pass, screening
-      grade).  The XLA formulations and the gram-kernel fallback
+      contraction matmuls: 'highest' (parity default) | 'bf16x5'
+      (5-pass exact-split, near-parity; BENCH_NOTES UPDATE 29) |
+      'bf16x3' (3-pass, ~1e-4) | 'default'/'bf16' (single pass,
+      screening grade).  The XLA formulations and the gram-kernel fallback
       always run the parity precision (a non-default tier asserts the
       direct kernel supports the geometry rather than silently
       solving slow).
