@@ -143,13 +143,17 @@ def ica_step_flops(b, n=N, refine_iters=5, upd_iters=1):
 
 
 def measure_ica(batch_size, scan_steps, timed_calls=3,
-                log=lambda *a: None, mxu="highest"):
-  """Scanned ICA trainer fast path (warm Newton-Schulz inverse
-  tracking, parity grade at the default tier) at the critically-
-  sampled 16x16 config."""
+                log=lambda *a: None, mxu="highest",
+                formulation="fused"):
+  """Scanned ICA trainer fast path at the critically-sampled 16x16
+  config.  formulation: 'fused' (whole-segment Pallas kernel with D +
+  the tracked inverse VMEM-resident -- what the scanned trainer
+  auto-selects on TPU; ops/pallas_ica_train) or 'xla' (the lax.scan of
+  separate ops with warm Newton-Schulz inverse tracking)."""
   import jax.numpy as jnp
 
-  from vtc_tpu.training.ica import _segment_runner_tracked
+  from vtc_tpu.training.ica import (_fused_segment_runner,
+                                    _segment_runner_tracked)
 
   rng = np.random.RandomState(0)
   q, _ = np.linalg.qr(rng.randn(N, N))
@@ -157,7 +161,11 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
   dinv = jnp.asarray(q.T.astype(np.float32))  # exact inverse seed
   data = jnp.asarray(
       rng.randn(scan_steps, batch_size, N).astype(np.float32))
-  runner = _segment_runner_tracked(1, mxu=mxu)
+  if formulation == "fused":
+    fused = _fused_segment_runner(1, mxu=mxu)
+    runner = lambda dd, xx, bb, ss: fused(dd, xx, bb, ss)[:2]
+  else:
+    runner = _segment_runner_tracked(1, mxu=mxu)
   step = jnp.float32(0.001)
 
   t0 = time.time()

@@ -133,6 +133,12 @@ def _segment_runner(upd_num_iters):
 # divergence (residual >= 1) in every tier.
 _TIERS = {
     "highest": ("highest", 1e-3),
+    # 5-pass exact-split near-parity tier (BENCH_NOTES UPDATE 29):
+    # only the fused Pallas segment kernel implements it (XLA has no
+    # 5-pass precision enum), so the XLA fallback runs 'highest'
+    # (conservative; the fallback is the rare divergence path).  The
+    # guard tolerance sits above the tier's ~1e-4-scale residual floor.
+    "bf16x5": ("highest", 3e-3),
     "bf16x3": ("tensorfloat32", 1e-2),
     "bf16": ("bfloat16", 0.3),
 }
@@ -171,6 +177,27 @@ def _segment_runner_tracked(upd_num_iters, refine_iters=5,
     return dictionary, dinv
 
   return jax.jit(run)
+
+
+def _fused_segment_runner(upd_num_iters, refine_iters=5, mxu="highest",
+                          interpret=False):
+  """Whole-segment fused Pallas ICA runner (ops/pallas_ica_train): D
+  and the tracked inverse stay VMEM-resident across the segment;
+  returns (dictionary, dinv, max_residual).  The divergence guard of
+  the XLA path is preserved by the CALLER: max_residual is the
+  segment-max of the per-step post-refinement max|D X - I| (the exact
+  quantity refine_inverse_guarded gates on, NaN-safe), checked lazily
+  at host-sync points with rollback to the guarded XLA path -- see
+  train_dictionary_scanned."""
+  from vtc_tpu.ops.pallas_ica_train import fused_ica_train_segment_pallas
+
+  def run(dictionary, dinv, batches, stepsize):
+    return fused_ica_train_segment_pallas(
+        dictionary, dinv, batches, stepsize,
+        refine_iters=refine_iters, upd_num_iters=upd_num_iters,
+        mxu=mxu, interpret=interpret)
+
+  return run
 
 
 def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
@@ -236,10 +263,21 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   data axes; the only cross-chip traffic is one psum of the
   natural-gradient statistic per step (see _segment_runner_dp).
 
-  all_params['train_precision'] ('highest' default | 'bf16x3' |
-  'bf16') is the same opt-in training-speed flag as the sparse-coding
-  scanned trainer: it tiers the warm-inverse refinement + codes
-  matmuls (_TIERS); statistic/update matmuls stay parity precision.
+  all_params['train_precision'] ('highest' default | 'bf16x5' |
+  'bf16x3' | 'bf16') is the same opt-in training-speed flag as the
+  sparse-coding scanned trainer: it tiers the warm-inverse refinement
+  + codes matmuls (_TIERS); statistic/update matmuls stay parity
+  precision.
+
+  On TPU, eligible configs (warm inverse, no DP, geometry passing
+  `pallas_ica_train.fused_ica_segment_supported`) auto-run each
+  segment as ONE whole-segment fused Pallas kernel with the dictionary
+  and tracked inverse VMEM-resident (ops/pallas_ica_train); the
+  divergence guard is preserved via a segment-max residual output
+  checked lazily at host-sync points with rollback to the guarded XLA
+  path.
+  all_params['use_fused'] = False disables it; True forces it
+  (interpret mode off-TPU, used by the hermetic tests).
   """
   assert 0 in all_params["dict_update_param_schedule"]
   assert all_params["dictionary_update_algorithm"] == (
@@ -290,7 +328,8 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   # warm inverse tracking (the LU-solve path has no matmul to tier).
   mxu = str(all_params.get("train_precision", "highest"))
   assert mxu in _TIERS, (
-      "train_precision must be 'highest', 'bf16x3', or 'bf16', got "
+      "train_precision must be 'highest', 'bf16x5', 'bf16x3', or "
+      "'bf16', got "
       f"{mxu!r}")
   assert mxu == "highest" or warm_inverse, (
       "train_precision tiers require warm_inverse=True (the exact "
@@ -307,6 +346,44 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       # warm_inverse is off (codes come from the per-shard LU solve)
       dinv = jnp.zeros_like(dictionary)
 
+  # whole-segment fused Pallas path (ops/pallas_ica_train): D + the
+  # tracked inverse stay VMEM-resident across each compiled segment.
+  # The per-step divergence guard is preserved OPTIMISTICALLY: the
+  # kernel emits every step's post-refinement residual, and the checks
+  # drain lazily at the host-sync points the trainer already has
+  # (checkpoints / visualization / training end) so the hot loop stays
+  # sync-free; a failed check rolls back to the diverged chunk's input
+  # state and reruns from there on the per-step-guarded XLA path.
+  from vtc_tpu.ops.pallas_ica_train import fused_ica_segment_supported
+  guard_tol = _TIERS[mxu][1]
+  uf = all_params.get("use_fused")  # None = auto (TPU), True = force
+  fused_ok = (warm_inverse and not data_parallel
+              and fused_ica_segment_supported(
+                  dictionary.shape[0], training_batches.shape[1]))
+  use_fused = fused_ok and (
+      uf is True or (uf is None and jax.default_backend() == "tpu"))
+  fused_interpret = jax.default_backend() != "tpu"
+  pending = []  # optimistic fused chunks awaiting their guard check
+
+  def _drain_guard():
+    nonlocal dictionary, dinv
+    bad = None
+    for i, ent in enumerate(pending):
+      # NOT (res < tol): NaN residuals must count as diverged
+      if not bool(np.all(np.asarray(ent["res"]) < guard_tol)):
+        bad = i
+        break
+    if bad is not None:
+      ent = pending[bad]
+      dictionary, dinv = ent["d_in"], ent["dinv_in"]
+      for ent2 in pending[bad:]:  # everything after is stale too
+        fb = _segment_runner_tracked(ent2["upd_niters"], mxu=mxu)
+        dictionary, dinv = fb(
+            dictionary, dinv,
+            training_batches[ent2["pos"]:ent2["pos"] + ent2["chunk"]],
+            jnp.float32(ent2["stepsize"]))
+    pending.clear()
+
   stepsize = upd_niters = None
   runners = {}
   start = time.time()
@@ -315,9 +392,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       stepsize = float(schedule[seg_start]["stepsize"])
       upd_niters = int(schedule[seg_start]["num_iters"])
     if seg_start in ckpt_sched:
+      _drain_guard()
       ckpt_util.save_dictionary_checkpoint(
           logging_path, seg_start, np.asarray(dictionary))
     if seg_start in vis_sched:
+      _drain_guard()
       epoch0 = seg_start // k
       batch = training_batches[seg_start - epoch0 * k]
       codes = invertible_linear.run(batch, dictionary)
@@ -336,11 +415,22 @@ def train_dictionary_scanned(training_batches, init_dictionary,
         if dp_mesh is not None:
           runners[key] = _segment_runner_dp(upd_niters, dp_mesh,
                                             warm_inverse, mxu=mxu)
+        elif use_fused:
+          runners[key] = _fused_segment_runner(
+              upd_niters, mxu=mxu, interpret=fused_interpret)
         else:
           runners[key] = (_segment_runner_tracked(upd_niters, mxu=mxu)
                           if warm_inverse
                           else _segment_runner(upd_niters))
-      if warm_inverse or dp_mesh is not None:
+      if use_fused and dp_mesh is None:
+        ent = {"pos": pos, "chunk": chunk, "d_in": dictionary,
+               "dinv_in": dinv, "stepsize": stepsize,
+               "upd_niters": upd_niters}
+        dictionary, dinv, ent["res"] = runners[key](
+            dictionary, dinv, training_batches[pos:pos + chunk],
+            jnp.float32(stepsize))
+        pending.append(ent)
+      elif warm_inverse or dp_mesh is not None:
         dictionary, dinv = runners[key](
             dictionary, dinv, training_batches[pos:pos + chunk],
             jnp.float32(stepsize))
@@ -349,6 +439,7 @@ def train_dictionary_scanned(training_batches, init_dictionary,
             dictionary, training_batches[pos:pos + chunk],
             jnp.float32(stepsize))
       pos += chunk
+  _drain_guard()
   if total_iters in ckpt_sched:
     ckpt_util.save_dictionary_checkpoint(
         logging_path, total_iters, np.asarray(dictionary))
