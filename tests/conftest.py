@@ -38,7 +38,7 @@ _QUICK_MODULES = {
     "test_trainer_extras", "test_lca",
     "test_plotting", "test_torch_dataloader_compat",
     "test_dataset_loaders", "test_native_entropy", "test_jpeg_utils",
-    "test_reset_prune",
+    "test_reset_prune", "test_pallas_ica_train",
 }
 
 

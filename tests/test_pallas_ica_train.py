@@ -103,3 +103,17 @@ def test_trainer_guard_falls_back_on_divergence(rng):
   d_fused = _scanned(batches, d0, stepsize, use_fused=True)
   assert np.isfinite(d_xla).all()
   np.testing.assert_allclose(d_fused, d_xla, rtol=1e-5, atol=1e-5)
+
+
+def test_trainer_fused_dp_matches_single_device(rng):
+  """Fused-DP composition (per-shard solve+stats kernel + one stat
+  psum + replicated update) == the single-device fused trainer on the
+  8-device CPU mesh."""
+  from vtc_tpu import parallel
+
+  mesh = parallel.make_mesh(data=8)
+  d0, batches, stepsize = _problem(rng, k=3, b=16)
+  d_single = _scanned(batches, d0, stepsize, use_fused=True)
+  d_dp = _scanned(batches, d0, stepsize, use_fused=True,
+                  extra={"data_parallel": mesh})
+  np.testing.assert_allclose(d_dp, d_single, atol=1e-4)

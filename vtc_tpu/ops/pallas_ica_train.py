@@ -140,6 +140,84 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu):
   return kernel
 
 
+def _make_ica_stats_kernel(refine_iters, mxu):
+  """Per-step DP variant: NS refresh + codes + the shard's UNAVERAGED
+  natural-gradient statistic (no update -- the caller psums the stat
+  and updates replicated)."""
+  ns_dot = _make_ns_dot(mxu)
+
+  def kernel(d_ref, xi_ref, x_ref, xi_out, stat_out, res_out):
+    d = d_ref[:]
+    n_pad = d.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    eye = jnp.where(rows == cols, jnp.float32(1.0), jnp.float32(0.0))
+    eye2 = 2.0 * eye
+
+    def ns_body(_, xi):
+      return ns_dot(xi, eye2 - ns_dot(d, xi))
+
+    xi = jax.lax.fori_loop(0, refine_iters, ns_body, xi_ref[:])
+    xi_out[:] = xi
+    res_out[:] = jnp.max(jnp.abs(_dot(d, xi) - eye)).reshape(1, 1)
+    codes = ns_dot(x_ref[:], xi)
+    stat_out[:] = _tdot(codes, jnp.sign(codes))
+
+  return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("refine_iters", "mxu", "interpret"))
+def ica_solve_stats_pallas(dictionary, inverse_estimate, batch, *,
+                           refine_iters=5, mxu="highest",
+                           interpret=False):
+  """One fused kernel: warm Newton-Schulz inverse refresh + codes +
+  this batch (shard)'s UNAVERAGED natural-gradient statistic
+  codes^T sign(codes).
+
+  Returns (new_inverse, stat_sum (n, n), residual).  DP contract
+  (same shape as fused_solve_stats_pallas's): psum stat_sum over the
+  shards / global_b is exactly the single-device batch-mean statistic,
+  so the caller updates replicated via
+  ica_natural_gradient._update_from_stat; the refresh depends only on
+  the replicated dictionary, so every shard computes the identical
+  inverse and residual (no psum needed for either).
+  """
+  b, n = batch.shape
+  assert dictionary.shape == (n, n) and inverse_estimate.shape == (n, n)
+  assert n % _LANES == 0, n
+  b_pad = round_up(b, _SUBLANES)
+  x_in = jnp.pad(jnp.asarray(batch, jnp.float32),
+                 ((0, b_pad - b), (0, 0)))
+  kernel = _make_ica_stats_kernel(int(refine_iters), str(mxu))
+  zero = lambda i: (0, 0)
+  out = pl.pallas_call(
+      kernel,
+      grid=(1,),
+      in_specs=[
+          pl.BlockSpec((n, n), zero),
+          pl.BlockSpec((n, n), zero),
+          pl.BlockSpec((b_pad, n), zero),
+      ],
+      out_specs=[
+          pl.BlockSpec((n, n), zero),
+          pl.BlockSpec((n, n), zero),
+          pl.BlockSpec((1, 1), zero),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((n, n), jnp.float32),
+          jax.ShapeDtypeStruct((n, n), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ],
+      interpret=interpret,
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+  )(jnp.asarray(dictionary, jnp.float32),
+    jnp.asarray(inverse_estimate, jnp.float32), x_in)
+  xi_fin, stat, res = out
+  return xi_fin, stat, res[0, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("refine_iters", "upd_num_iters", "mxu",
                               "interpret"))

@@ -201,14 +201,24 @@ def _fused_segment_runner(upd_num_iters, refine_iters=5, mxu="highest",
 
 
 def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
-                       refine_iters=5, mxu="highest"):
+                       refine_iters=5, mxu="highest", fused=False,
+                       interpret=False):
   """Multi-chip ICA segment: lax.scan of [per-shard codes -> one psum
   of the natural-gradient statistic codes^T sign(codes) -> replicated
   update] inside one shard_map.  The statistic is a batch MEAN, so
   psum of per-shard sums / global_b is exactly the single-device value
   (up to float reduction order); the inverse tracking (or the LU
   solve) depends only on the replicated dictionary and runs
-  replicated."""
+  replicated.
+
+  ``fused=True`` is the fused-DP composition: each shard runs the
+  refresh + codes + statistic as ONE Pallas kernel per step
+  (ops/pallas_ica_train.ica_solve_stats_pallas) and the only
+  cross-chip traffic stays the one stat psum.  The runner then returns
+  (dict, dinv, max_residual) -- the segment-max of the per-step
+  post-refinement residuals (identical on every shard) -- for the
+  caller's lazy divergence guard, exactly as in the single-chip fused
+  path."""
   from jax.sharding import PartitionSpec as P
 
   from vtc_tpu.ops.precision import matmul_precision
@@ -220,6 +230,32 @@ def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
     size *= mesh.shape[a]
 
   precision, guard_tol = _TIERS[mxu]
+
+  if fused:
+    from vtc_tpu.ops.pallas_ica_train import ica_solve_stats_pallas
+
+    def run(dictionary, dinv, batches, stepsize):
+      def body(carry, batch_shard):
+        d, x, rmax = carry
+        x, stat_sum, res = ica_solve_stats_pallas(
+            d, x, batch_shard, refine_iters=refine_iters, mxu=mxu,
+            interpret=interpret)
+        global_b = batch_shard.shape[0] * size
+        with matmul_precision():
+          stat = jax.lax.psum(stat_sum, axes) / global_b
+        d = ica_natural_gradient._update_from_stat(
+            d, stat, stepsize, upd_num_iters)
+        return (d, x, jnp.maximum(rmax, res)), ()
+
+      (dictionary, dinv, rmax), _ = jax.lax.scan(
+          body, (dictionary, dinv, jnp.float32(0.0)), batches)
+      return dictionary, dinv, rmax
+
+    rep = P()
+    sharded = jax.shard_map(
+        run, mesh=mesh, in_specs=(rep, rep, P(None, axes, None), rep),
+        out_specs=(rep, rep, rep), check_vma=False)
+    return jax.jit(sharded)
 
   def run(dictionary, dinv, batches, stepsize):
     def body(carry, batch_shard):
@@ -269,10 +305,12 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   + codes matmuls (_TIERS); statistic/update matmuls stay parity
   precision.
 
-  On TPU, eligible configs (warm inverse, no DP, geometry passing
+  On TPU, eligible configs (warm inverse, geometry passing
   `pallas_ica_train.fused_ica_segment_supported`) auto-run each
   segment as ONE whole-segment fused Pallas kernel with the dictionary
-  and tracked inverse VMEM-resident (ops/pallas_ica_train); the
+  and tracked inverse VMEM-resident (ops/pallas_ica_train); under
+  data_parallel the per-shard refresh + codes + statistic run as one
+  kernel per step with a single stat psum (fused-DP composition); the
   divergence guard is preserved via a segment-max residual output
   checked lazily at host-sync points with rollback to the guarded XLA
   path.
@@ -357,11 +395,13 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   from vtc_tpu.ops.pallas_ica_train import fused_ica_segment_supported
   guard_tol = _TIERS[mxu][1]
   uf = all_params.get("use_fused")  # None = auto (TPU), True = force
-  fused_ok = (warm_inverse and not data_parallel
+  fused_on = (warm_inverse
               and fused_ica_segment_supported(
-                  dictionary.shape[0], training_batches.shape[1]))
-  use_fused = fused_ok and (
-      uf is True or (uf is None and jax.default_backend() == "tpu"))
+                  dictionary.shape[0], training_batches.shape[1])
+              and (uf is True
+                   or (uf is None and jax.default_backend() == "tpu")))
+  use_fused = fused_on and not data_parallel
+  use_fused_dp = fused_on and bool(data_parallel)
   fused_interpret = jax.default_backend() != "tpu"
   pending = []  # optimistic fused chunks awaiting their guard check
 
@@ -377,7 +417,10 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       ent = pending[bad]
       dictionary, dinv = ent["d_in"], ent["dinv_in"]
       for ent2 in pending[bad:]:  # everything after is stale too
-        fb = _segment_runner_tracked(ent2["upd_niters"], mxu=mxu)
+        fb = (_segment_runner_dp(ent2["upd_niters"], dp_mesh,
+                                 warm_inverse, mxu=mxu)
+              if dp_mesh is not None
+              else _segment_runner_tracked(ent2["upd_niters"], mxu=mxu))
         dictionary, dinv = fb(
             dictionary, dinv,
             training_batches[ent2["pos"]:ent2["pos"] + ent2["chunk"]],
@@ -413,8 +456,9 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       key = (upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          runners[key] = _segment_runner_dp(upd_niters, dp_mesh,
-                                            warm_inverse, mxu=mxu)
+          runners[key] = _segment_runner_dp(
+              upd_niters, dp_mesh, warm_inverse, mxu=mxu,
+              fused=use_fused_dp, interpret=fused_interpret)
         elif use_fused:
           runners[key] = _fused_segment_runner(
               upd_niters, mxu=mxu, interpret=fused_interpret)
@@ -422,7 +466,7 @@ def train_dictionary_scanned(training_batches, init_dictionary,
           runners[key] = (_segment_runner_tracked(upd_niters, mxu=mxu)
                           if warm_inverse
                           else _segment_runner(upd_niters))
-      if use_fused and dp_mesh is None:
+      if use_fused or use_fused_dp:
         ent = {"pos": pos, "chunk": chunk, "d_in": dictionary,
                "dinv_in": dinv, "stepsize": stepsize,
                "upd_niters": upd_niters}
