@@ -117,3 +117,48 @@ def test_trainer_fused_dp_matches_single_device(rng):
   d_dp = _scanned(batches, d0, stepsize, use_fused=True,
                   extra={"data_parallel": mesh})
   np.testing.assert_allclose(d_dp, d_single, atol=1e-4)
+
+
+def test_trainer_refine_iters_pass_through(rng):
+  """all_params['refine_iters'] reaches both the fused and XLA paths
+  (trajectories at the same count agree; different counts differ)."""
+  d0, batches, stepsize = _problem(rng, k=3)
+  extra = {"refine_iters": 2}
+  d_xla = _scanned(batches, d0, stepsize, use_fused=False, extra=extra)
+  d_fused = _scanned(batches, d0, stepsize, use_fused=True, extra=extra)
+  np.testing.assert_allclose(d_fused, d_xla, atol=2e-5)
+
+
+def test_ica_boost_restores_deep_refinement_accuracy(rng):
+  """A stale inverse seed (residual ~0.35, e.g. after a dictionary
+  jump) leaves depth-3 refinement at a ~2e-4 residual -- above the
+  'highest' boost tol -- so the residual-adaptive boost (_TIERS /
+  BENCH_NOTES UPDATE 30d) must fire and restore deep-refinement
+  accuracy: the boosted trajectory tracks the exact-inverse trainer
+  ~40x tighter than bare depth 3."""
+  n = 128
+  d0 = (np.linalg.qr(rng.randn(n, n))[0]
+        + 0.05 * rng.randn(n, n)).astype(np.float32)
+  batches = (0.5 * rng.randn(3, 32, n)).astype(np.float32)
+  xi0 = np.asarray(invertible_linear.exact_inverse(jnp.asarray(d0)))
+  xi_stale = (1.35 * xi0).astype(np.float32)  # residual 0.35, NS-safe
+  step = 0.01
+
+  d_exact = jnp.asarray(d0)
+  for b in batches:
+    codes = invertible_linear._solve_nonortho(jnp.asarray(b), d_exact)
+    d_exact = ica_natural_gradient._update(
+        d_exact, codes, jnp.float32(step), 1)
+  d_exact = np.asarray(d_exact)
+
+  bare = fused_ica_train_segment_pallas(
+      d0, xi_stale, batches, step, refine_iters=3, interpret=True)
+  boost = fused_ica_train_segment_pallas(
+      d0, xi_stale, batches, step, refine_iters=3, boost_tol=1e-6,
+      interpret=True)
+  e_bare = np.abs(np.asarray(bare[0]) - d_exact).max()
+  e_boost = np.abs(np.asarray(boost[0]) - d_exact).max()
+  assert float(bare[2]) > 1e-5     # bare depth left a visible residual
+  assert float(boost[2]) < 1e-6    # the boost recovered the fp floor
+  assert e_boost < 1e-6, e_boost
+  assert e_boost < e_bare / 10, (e_boost, e_bare)

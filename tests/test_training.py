@@ -312,6 +312,13 @@ def test_ica_scanned_precision_tiers(rng, tmp_path):
       "dictionary_update_algorithm": "ica_natural_gradient",
       "dict_update_param_schedule": {0: {"stepsize": 0.02, "num_iters": 1}},
       "stdout_print_interval": 1000,
+      # pin the refinement depth so the tiers' residual-adaptive boost
+      # thresholds (_TIERS, BENCH_NOTES UPDATE 30d) cannot fire on this
+      # deliberately ill-conditioned data: at depth 5 every tier sits at
+      # the fp floor, restoring the exact tiers==f32 CPU invariant this
+      # test pins (adaptive-depth behavior is covered by
+      # test_ica_boost_restores_deep_refinement_accuracy)
+      "refine_iters": 5,
   }
   stacked = np.stack(list(data))
   ref = np.asarray(ica_trainer.train_dictionary_scanned(
@@ -320,8 +327,8 @@ def test_ica_scanned_precision_tiers(rng, tmp_path):
     got = np.asarray(ica_trainer.train_dictionary_scanned(
         stacked, d0, dict(params, train_precision=tier)))
     assert np.all(np.isfinite(got))
-    # CPU backend executes every tier in f32; only the guard tolerance
-    # differs, and a healthy run never trips it
+    # CPU backend executes every tier in f32; only the guard/boost
+    # tolerances differ, and at the pinned depth neither fires
     np.testing.assert_allclose(got, ref, atol=2e-5)
   with pytest.raises(AssertionError, match="warm_inverse"):
     ica_trainer.train_dictionary_scanned(

@@ -60,10 +60,11 @@ def newton_refine_inverse(dictionary, inverse_estimate, num_iters: int = 5,
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "precision"))
+@functools.partial(jax.jit, static_argnames=("num_iters", "precision",
+                                             "boost_tol"))
 def refine_inverse_guarded(dictionary, inverse_estimate,
                            num_iters: int = 5, residual_tol=1e-3,
-                           precision=None):
+                           precision=None, boost_tol=None):
   """`newton_refine_inverse` with a divergence guard.
 
   Newton-Schulz only converges when the incoming residual
@@ -80,12 +81,28 @@ def refine_inverse_guarded(dictionary, inverse_estimate,
   fallback ALWAYS run at parity precision, so callers must pass a
   ``residual_tol`` above the tier's residual floor or every step would
   take the fallback (the tiered runners in training/ica.py do).
+
+  ``boost_tol`` enables residual-ADAPTIVE refinement: when the
+  post-refinement residual exceeds it (ill-conditioned dictionaries
+  raise the Newton-Schulz floor), two extra refinements run and the
+  residual is recomputed -- so a small ``num_iters`` keeps the
+  healthy-case speed while hard cases self-correct to the deeper
+  refinement's accuracy instead of silently degrading (a NaN residual
+  skips the boost and goes straight to the LU guard).
   """
   with matmul_precision():
     x = newton_refine_inverse(dictionary, inverse_estimate, num_iters,
                               precision=precision)
     eye = jnp.eye(dictionary.shape[0], dtype=x.dtype)
     resid = jnp.max(jnp.abs(dictionary @ x - eye))
+    if boost_tol is not None:
+      def boosted(args):
+        xb = newton_refine_inverse(dictionary, args[0], 2,
+                                   precision=precision)
+        return xb, jnp.max(jnp.abs(dictionary @ xb - eye))
+
+      x, resid = jax.lax.cond(resid > boost_tol, boosted,
+                              lambda args: args, (x, resid))
     # NOT (resid < tol), not (resid > tol): a diverged estimate can
     # produce a NaN residual, and NaN must take the fallback branch
     return jax.lax.cond(jnp.logical_not(resid < residual_tol),

@@ -88,7 +88,7 @@ def fused_ica_segment_supported(n, batch_size):
   return vmem <= _VMEM_BUDGET_BYTES
 
 
-def _make_ica_kernel(refine_iters, upd_num_iters, mxu):
+def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None):
   ns_dot = _make_ns_dot(mxu)
 
   def kernel(scalars_ref, d_ref, xi_ref, x_ref, d_out, xi_out, res_out):
@@ -116,15 +116,26 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu):
       return ns_dot(xi, eye2 - ns_dot(d, xi))
 
     xi = jax.lax.fori_loop(0, refine_iters, ns_body, xi_out[:])
+    # guard residual at parity precision, as in refine_inverse_guarded
+    res = jnp.max(jnp.abs(_dot(d, xi) - eye))
+    if boost_tol is not None:
+      # residual-ADAPTIVE depth (invertible_linear boost semantics):
+      # above the tier's boost tol, two extra refinements run and the
+      # residual is recomputed.  A NaN residual skips the boost (NaN >
+      # tol is False) and goes straight to the caller's guard.
+      def boosted(args):
+        xb = ns_body(0, ns_body(0, args[0]))
+        return xb, jnp.max(jnp.abs(_dot(d, xb) - eye))
+
+      xi, res = jax.lax.cond(res > boost_tol, boosted, lambda a: a,
+                             (xi, res))
     xi_out[:] = xi
-    # guard residual at parity precision, as in refine_inverse_guarded;
     # a running MAX over the segment's steps (the caller's rollback
     # granularity is the whole segment, so per-step values buy nothing,
     # and a (1, 1) VMEM-resident block is Mosaic-tileable where a
     # per-step (k, 1) output is not).  NaNs propagate through maximum
     # here (jnp.maximum keeps NaN), so a diverged step stays visible.
-    res_out[:] = jnp.maximum(
-        res_out[:], jnp.max(jnp.abs(_dot(d, xi) - eye)).reshape(1, 1))
+    res_out[:] = jnp.maximum(res_out[:], res.reshape(1, 1))
 
     codes = ns_dot(x_ref[0], xi)
     # natural-gradient statistic + update stay HIGHEST in every tier
@@ -140,7 +151,7 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu):
   return kernel
 
 
-def _make_ica_stats_kernel(refine_iters, mxu):
+def _make_ica_stats_kernel(refine_iters, mxu, boost_tol=None):
   """Per-step DP variant: NS refresh + codes + the shard's UNAVERAGED
   natural-gradient statistic (no update -- the caller psums the stat
   and updates replicated)."""
@@ -158,8 +169,16 @@ def _make_ica_stats_kernel(refine_iters, mxu):
       return ns_dot(xi, eye2 - ns_dot(d, xi))
 
     xi = jax.lax.fori_loop(0, refine_iters, ns_body, xi_ref[:])
+    res = jnp.max(jnp.abs(_dot(d, xi) - eye))
+    if boost_tol is not None:
+      def boosted(args):
+        xb = ns_body(0, ns_body(0, args[0]))
+        return xb, jnp.max(jnp.abs(_dot(d, xb) - eye))
+
+      xi, res = jax.lax.cond(res > boost_tol, boosted, lambda a: a,
+                             (xi, res))
     xi_out[:] = xi
-    res_out[:] = jnp.max(jnp.abs(_dot(d, xi) - eye)).reshape(1, 1)
+    res_out[:] = res.reshape(1, 1)
     codes = ns_dot(x_ref[:], xi)
     stat_out[:] = _tdot(codes, jnp.sign(codes))
 
@@ -167,10 +186,11 @@ def _make_ica_stats_kernel(refine_iters, mxu):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("refine_iters", "mxu", "interpret"))
+    jax.jit, static_argnames=("refine_iters", "mxu", "boost_tol",
+                              "interpret"))
 def ica_solve_stats_pallas(dictionary, inverse_estimate, batch, *,
                            refine_iters=5, mxu="highest",
-                           interpret=False):
+                           boost_tol=None, interpret=False):
   """One fused kernel: warm Newton-Schulz inverse refresh + codes +
   this batch (shard)'s UNAVERAGED natural-gradient statistic
   codes^T sign(codes).
@@ -189,7 +209,8 @@ def ica_solve_stats_pallas(dictionary, inverse_estimate, batch, *,
   b_pad = round_up(b, _SUBLANES)
   x_in = jnp.pad(jnp.asarray(batch, jnp.float32),
                  ((0, b_pad - b), (0, 0)))
-  kernel = _make_ica_stats_kernel(int(refine_iters), str(mxu))
+  kernel = _make_ica_stats_kernel(int(refine_iters), str(mxu),
+                                  boost_tol)
   zero = lambda i: (0, 0)
   out = pl.pallas_call(
       kernel,
@@ -220,11 +241,12 @@ def ica_solve_stats_pallas(dictionary, inverse_estimate, batch, *,
 
 @functools.partial(
     jax.jit, static_argnames=("refine_iters", "upd_num_iters", "mxu",
-                              "interpret"))
+                              "boost_tol", "interpret"))
 def fused_ica_train_segment_pallas(dictionary, inverse_estimate,
                                    batches, stepsize, *,
                                    refine_iters=5, upd_num_iters=1,
-                                   mxu="highest", interpret=False):
+                                   mxu="highest", boost_tol=None,
+                                   interpret=False):
   """Run a whole ICA training segment in one kernel launch.
 
   batches: (k, b, n); dictionary / inverse_estimate: (n, n) with
@@ -249,7 +271,7 @@ def fused_ica_train_segment_pallas(dictionary, inverse_estimate,
                        jnp.float32(1.0 / b)])
 
   kernel = _make_ica_kernel(int(refine_iters), int(upd_num_iters),
-                            str(mxu))
+                            str(mxu), boost_tol)
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,

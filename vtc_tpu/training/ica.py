@@ -131,42 +131,55 @@ def _segment_runner(upd_num_iters):
 # check against a 1e-3 tol would otherwise take the LU fallback every
 # step, silently negating the tier).  The guard still catches true
 # divergence (residual >= 1) in every tier.
+#   tier -> (matmul precision, guard residual_tol, BOOST tol).
+# The boost tol drives residual-ADAPTIVE refinement depth (BENCH_NOTES
+# UPDATE 30d): the default 3 Newton-Schulz refreshes reach the fp
+# floor on healthy problems; when the post-refinement residual sits
+# above the boost tol (ill-conditioned dictionaries raise the floor),
+# two extra refinements run automatically -- so the small default is
+# never a silent accuracy downgrade.  Each tier's boost tol sits just
+# above that tier's own residual floor (a lower value would fire the
+# boost every step and negate the tier).
 _TIERS = {
-    "highest": ("highest", 1e-3),
+    "highest": ("highest", 1e-3, 1e-6),
     # 5-pass exact-split near-parity tier (BENCH_NOTES UPDATE 29):
     # only the fused Pallas segment kernel implements it (XLA has no
     # 5-pass precision enum), so the XLA fallback runs 'highest'
     # (conservative; the fallback is the rare divergence path).  The
     # guard tolerance sits above the tier's ~1e-4-scale residual floor.
-    "bf16x5": ("highest", 3e-3),
-    "bf16x3": ("tensorfloat32", 1e-2),
-    "bf16": ("bfloat16", 0.3),
+    "bf16x5": ("highest", 3e-3, 1e-4),
+    "bf16x3": ("tensorfloat32", 1e-2, 3e-3),
+    "bf16": ("bfloat16", 0.3, 0.25),
 }
 
 
-def _segment_runner_tracked(upd_num_iters, refine_iters=5,
+def _segment_runner_tracked(upd_num_iters, refine_iters=3,
                             mxu="highest"):
   """Scanned ICA step with warm Newton-Schulz inverse tracking: the
-  per-batch LU solve (latency-bound on TPU) becomes five MXU matmul
-  refinements of the carried D^{-1} estimate plus one codes matmul.
-  Exact-parity grade at the default tier: the natural gradient moves D
-  by O(stepsize) per batch, so the refreshed inverse holds fp-level
-  residual; a per-step residual guard falls back to the exact LU
-  inverse if refinement ever diverges (see
-  invertible_linear.refine_inverse_guarded).  ``mxu`` is the opt-in
+  per-batch LU solve (latency-bound on TPU) becomes ``refine_iters``
+  MXU matmul refinements of the carried D^{-1} estimate plus one codes
+  matmul.  Exact-parity grade at the default tier: the natural
+  gradient moves D by O(stepsize) per batch and each refinement
+  SQUARES the residual, so 3 refinements take even a 2e-1 incoming
+  drift to fp level (measured: fp-floor residuals at 20x the bench
+  stepsize, BENCH_NOTES UPDATE 30d); the per-step residual guard falls
+  back to the exact LU inverse if refinement is ever insufficient or
+  diverges (see invertible_linear.refine_inverse_guarded) -- unlike a
+  fixed iteration count, under-refinement here is DETECTED, not
+  assumed away.  ``mxu`` is the opt-in
   training-speed tier for the refinement + codes matmuls (the
   natural-gradient statistic and update stay at parity precision in
   every tier); see _TIERS."""
   from vtc_tpu.ops.precision import matmul_precision
 
-  precision, guard_tol = _TIERS[mxu]
+  precision, guard_tol, boost_tol = _TIERS[mxu]
 
   def run(dictionary, dinv, batches, stepsize):
     def body(carry, batch):
       d, x = carry
       x = invertible_linear.refine_inverse_guarded(
           d, x, refine_iters, residual_tol=guard_tol,
-          precision=precision)
+          precision=precision, boost_tol=boost_tol)
       with matmul_precision(precision):
         codes = batch @ x
       d = ica_natural_gradient._update(d, codes, stepsize, upd_num_iters)
@@ -179,7 +192,7 @@ def _segment_runner_tracked(upd_num_iters, refine_iters=5,
   return jax.jit(run)
 
 
-def _fused_segment_runner(upd_num_iters, refine_iters=5, mxu="highest",
+def _fused_segment_runner(upd_num_iters, refine_iters=3, mxu="highest",
                           interpret=False):
   """Whole-segment fused Pallas ICA runner (ops/pallas_ica_train): D
   and the tracked inverse stay VMEM-resident across the segment;
@@ -191,17 +204,19 @@ def _fused_segment_runner(upd_num_iters, refine_iters=5, mxu="highest",
   train_dictionary_scanned."""
   from vtc_tpu.ops.pallas_ica_train import fused_ica_train_segment_pallas
 
+  boost_tol = _TIERS[mxu][2]
+
   def run(dictionary, dinv, batches, stepsize):
     return fused_ica_train_segment_pallas(
         dictionary, dinv, batches, stepsize,
         refine_iters=refine_iters, upd_num_iters=upd_num_iters,
-        mxu=mxu, interpret=interpret)
+        mxu=mxu, boost_tol=boost_tol, interpret=interpret)
 
   return run
 
 
 def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
-                       refine_iters=5, mxu="highest", fused=False,
+                       refine_iters=3, mxu="highest", fused=False,
                        interpret=False):
   """Multi-chip ICA segment: lax.scan of [per-shard codes -> one psum
   of the natural-gradient statistic codes^T sign(codes) -> replicated
@@ -229,7 +244,7 @@ def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
   for a in axes:
     size *= mesh.shape[a]
 
-  precision, guard_tol = _TIERS[mxu]
+  precision, guard_tol, boost_tol = _TIERS[mxu]
 
   if fused:
     from vtc_tpu.ops.pallas_ica_train import ica_solve_stats_pallas
@@ -239,7 +254,7 @@ def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
         d, x, rmax = carry
         x, stat_sum, res = ica_solve_stats_pallas(
             d, x, batch_shard, refine_iters=refine_iters, mxu=mxu,
-            interpret=interpret)
+            boost_tol=boost_tol, interpret=interpret)
         global_b = batch_shard.shape[0] * size
         with matmul_precision():
           stat = jax.lax.psum(stat_sum, axes) / global_b
@@ -263,7 +278,7 @@ def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
       if warm_inverse:
         x = invertible_linear.refine_inverse_guarded(
             d, x, refine_iters, residual_tol=guard_tol,
-            precision=precision)
+            precision=precision, boost_tol=boost_tol)
         with matmul_precision(precision):
           codes = batch_shard @ x
       else:
@@ -298,6 +313,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   True for the full default mesh) shards each batch over the mesh's
   data axes; the only cross-chip traffic is one psum of the
   natural-gradient statistic per step (see _segment_runner_dp).
+
+  all_params['refine_iters'] (default 3) sets the warm Newton-Schulz
+  refreshes per step; each SQUARES the inverse residual, the per-step
+  guard detects any insufficiency (exact-LU fallback), and 2 is
+  another ~+15% for gentle schedules (BENCH_NOTES UPDATE 30d).
 
   all_params['train_precision'] ('highest' default | 'bf16x5' |
   'bf16x3' | 'bf16') is the same opt-in training-speed flag as the
@@ -394,6 +414,14 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   # state and reruns from there on the per-step-guarded XLA path.
   from vtc_tpu.ops.pallas_ica_train import fused_ica_segment_supported
   guard_tol = _TIERS[mxu][1]
+  # Newton-Schulz refreshes per step (all_params['refine_iters']).
+  # Each refresh SQUARES the residual, so 3 takes even a ~2e-1 drift
+  # to fp level; the per-step guard residual DETECTS any config where
+  # that is insufficient and the trainer falls back to the exact path
+  # (measured: fp-floor residuals at 20x the bench stepsize; refine=2
+  # is another +15% for configs whose drift allows it -- BENCH_NOTES
+  # UPDATE 30d).
+  refine = int(all_params.get("refine_iters", 3))
   uf = all_params.get("use_fused")  # None = auto (TPU), True = force
   fused_on = (warm_inverse
               and fused_ica_segment_supported(
@@ -418,9 +446,12 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       dictionary, dinv = ent["d_in"], ent["dinv_in"]
       for ent2 in pending[bad:]:  # everything after is stale too
         fb = (_segment_runner_dp(ent2["upd_niters"], dp_mesh,
-                                 warm_inverse, mxu=mxu)
+                                 warm_inverse, refine_iters=refine,
+                                 mxu=mxu)
               if dp_mesh is not None
-              else _segment_runner_tracked(ent2["upd_niters"], mxu=mxu))
+              else _segment_runner_tracked(ent2["upd_niters"],
+                                           refine_iters=refine,
+                                           mxu=mxu))
         dictionary, dinv = fb(
             dictionary, dinv,
             training_batches[ent2["pos"]:ent2["pos"] + ent2["chunk"]],
@@ -457,13 +488,15 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       if key not in runners:
         if dp_mesh is not None:
           runners[key] = _segment_runner_dp(
-              upd_niters, dp_mesh, warm_inverse, mxu=mxu,
-              fused=use_fused_dp, interpret=fused_interpret)
+              upd_niters, dp_mesh, warm_inverse, refine_iters=refine,
+              mxu=mxu, fused=use_fused_dp, interpret=fused_interpret)
         elif use_fused:
           runners[key] = _fused_segment_runner(
-              upd_niters, mxu=mxu, interpret=fused_interpret)
+              upd_niters, refine_iters=refine, mxu=mxu,
+              interpret=fused_interpret)
         else:
-          runners[key] = (_segment_runner_tracked(upd_niters, mxu=mxu)
+          runners[key] = (_segment_runner_tracked(
+              upd_niters, refine_iters=refine, mxu=mxu)
                           if warm_inverse
                           else _segment_runner(upd_niters))
       if use_fused or use_fused_dp:
