@@ -132,12 +132,15 @@ def conv_step_flops(b, iters=FISTA_ITERS, s=64, code_h=33, code_w=33,
   return iters * interior + bterm + update
 
 
-def ica_step_flops(b, n=N, refine_iters=5, upd_iters=1):
+def ica_step_flops(b, n=N, refine_iters=3, upd_iters=1):
   """Matmul FLOPs of one scanned ICA train step with warm inverse
-  tracking (training/ica._segment_runner_tracked): each Newton-Schulz
-  refinement is two (n,n) matmuls, the divergence guard one, the code
-  solve and the natural-gradient statistic one (b,n)x(n,n) each, and
-  the update one (n,n) matmul per iteration."""
+  tracking (training/ica): each Newton-Schulz refinement is two (n,n)
+  matmuls (default depth 3 -- the residual-adaptive boost adds more
+  only when the guard residual sits above the tier floor, which the
+  bench's healthy config never does; BENCH_NOTES UPDATE 30d), the
+  divergence guard one, the code solve and the natural-gradient
+  statistic one (b,n)x(n,n) each, and the update one (n,n) matmul per
+  iteration."""
   return ((4 * refine_iters + 2 + 2 * upd_iters) * n * n * n
           + 4 * b * n * n)
 
