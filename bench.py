@@ -153,6 +153,7 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
   the tracked inverse VMEM-resident -- what the scanned trainer
   auto-selects on TPU; ops/pallas_ica_train) or 'xla' (the lax.scan of
   separate ops with warm Newton-Schulz inverse tracking)."""
+  import jax
   import jax.numpy as jnp
 
   from vtc_tpu.training.ica import (_fused_segment_runner,
@@ -165,7 +166,9 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
   data = jnp.asarray(
       rng.randn(scan_steps, batch_size, N).astype(np.float32))
   if formulation == "fused":
-    fused = _fused_segment_runner(1, mxu=mxu)
+    # interpret off-TPU so smoke runs don't hit Mosaic lowering
+    fused = _fused_segment_runner(
+        1, mxu=mxu, interpret=jax.default_backend() != "tpu")
     runner = lambda dd, xx, bb, ss: fused(dd, xx, bb, ss)[:2]
   else:
     runner = _segment_runner_tracked(1, mxu=mxu)

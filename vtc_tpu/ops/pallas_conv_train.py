@@ -239,6 +239,7 @@ def _make_deep_dot(mxu):
               + _dot_b(w_lo, b_hi) + _dot_b(w_hi, b_lo))
 
     return _split3, deep_dot
+  assert mxu == "highest", mxu  # no silent fall-through on typos
   return (lambda w: w), _dot
 
 

@@ -72,6 +72,7 @@ def _make_ns_dot(mxu):
               + _dot_b(a3, b1) + _dot_b(a1, b3))
 
     return dot5
+  assert mxu == "highest", mxu  # no silent fall-through on typos
   return _dot
 
 

@@ -165,6 +165,7 @@ def _make_iter_dot(mxu):
               + _dot_b(z_lo, g_hi) + _dot_b(z_hi, g_lo))
 
     return _split3, iter_dot
+  assert mxu == "highest", mxu  # no silent fall-through on typos
   return (lambda g: g), _dot
 
 
@@ -175,8 +176,10 @@ def _make_prox_dots(mxu):
   (1, 1) (broadcast scale @ E^T).  The 0/1 operand is EXACT in bf16,
   so every tier runs hand-split single-pass matmuls: 'bf16x3' keeps a
   2-term split (~16 bits, matching its iteration tier), and 'highest'
-  uses the EXACT 3-term split (_split3) -- bitwise parity-grade at 3
-  MXU passes instead of XLA HIGHEST's 6 (BENCH_NOTES UPDATE 28).
+  uses the EXACT 3-term split (_split3) -- each cross product is exact
+  against the 0/1 operand, so the sum matches a true f32 matmul up to
+  accumulation-order rounding (tests pin rtol=1e-6), at 3 MXU passes
+  instead of XLA HIGHEST's 6 (BENCH_NOTES UPDATE 28).
   Tiering these is numerically safe: the norm matmul sums squares (no
   cancellation) and the broadcast matmul copies one scale per slot
   (products against exact 0/1)."""
@@ -192,6 +195,7 @@ def _make_prox_dots(mxu):
       return _dot_t_b(x_hi, e) + _dot_t_b(x_lo, e)
 
     return pdot, pdot_t
+  assert mxu in ("highest", "bf16x5"), mxu
 
   def pdot_hi(x, e):
     x_hi, x_mid, x_lo = _split3(x)

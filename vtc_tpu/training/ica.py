@@ -423,9 +423,17 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   # UPDATE 30d).
   refine = int(all_params.get("refine_iters", 3))
   uf = all_params.get("use_fused")  # None = auto (TPU), True = force
-  fused_on = (warm_inverse
-              and fused_ica_segment_supported(
-                  dictionary.shape[0], training_batches.shape[1])
+  fused_geom_ok = fused_ica_segment_supported(
+      dictionary.shape[0], training_batches.shape[1])
+  if uf is True and not (warm_inverse and fused_geom_ok):
+    import warnings
+    warnings.warn(
+        "use_fused=True but the fused ICA kernel does not support this "
+        "configuration (needs lipschitz-free warm_inverse and an "
+        "MXU-aligned square dictionary; see "
+        "pallas_ica_train.fused_ica_segment_supported) -- running the "
+        "XLA path instead", stacklevel=2)
+  fused_on = (warm_inverse and fused_geom_ok
               and (uf is True
                    or (uf is None and jax.default_backend() == "tpu")))
   use_fused = fused_on and not data_parallel
