@@ -259,6 +259,16 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
           power_iters=2,  # exact-eigenpair seed below
           mxu=mxu)
       return d, h, v
+  elif formulation == "dp_rdma":
+    # multi-chip production path on a 1-device mesh: the whole-segment
+    # DP kernel with in-kernel RDMA stats all-reduce
+    # (ops/pallas_dp_train; at axis size 1 the communication vanishes,
+    # so this measures the per-chip kernel speed multi-chip DP keeps)
+    from vtc_tpu.parallel import make_mesh
+    from vtc_tpu.training.compiled_epoch import _dp_rdma_segment_runner
+    epoch_fn = _dp_rdma_segment_runner(
+        make_mesh(data=1), "data", 1, "fista",
+        "sc_cheap_quadratic_descent", 1, False, False, True, mxu=mxu)
   else:
     raw = build_raw_step_fn(
         "fully-connected", "fista", "sc_cheap_quadratic_descent",
@@ -443,6 +453,14 @@ def main():
         **roofline_fields(ica_step_flops(250), pps_ica / 250)}
     detail["fc_batch250"] = roofline_fields(fc_step_flops(250),
                                             pps_ref / 250)
+    # per-chip speed of the multi-chip whole-segment DP kernel
+    # (in-kernel RDMA stats all-reduce) on a 1-device mesh -- the rate
+    # each chip sustains under data parallelism
+    pps_dp, _ = measure(250, 1000, timed_calls=4, log=log,
+                        formulation="dp_rdma")
+    detail["fc_dp_rdma_batch250"] = {
+        "patches_per_sec_per_chip": round(pps_dp, 1),
+        "pct_of_single_chip_fused": round(100 * pps_dp / pps_ref, 1)}
     detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
                                              pps_big / 2048)
     # opt-in bf16 training-speed mode (all_params['train_precision'] =

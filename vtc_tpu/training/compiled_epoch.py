@@ -187,6 +187,40 @@ def _dp_fused_segment_runner(local_step, mesh, conv_mode=False):
   return jax.jit(sharded)
 
 
+def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
+                            update_alg, upd_niters, nonneg, hard,
+                            renormalize, mxu="highest"):
+  """Multi-chip segment as ONE whole-segment Pallas kernel PER CHIP:
+  the per-step cross-chip reduction of the gram-form update stats runs
+  IN-KERNEL over ICI (async remote DMAs, fixed-order slot sum -- see
+  ops/pallas_dp_train), removing the per-step launch + epilogue
+  overhead that cost the per-step fused-DP path ~40% of single-chip
+  speed (BENCH_NOTES UPDATE 10).  Semantics == the per-step path:
+  every step's replicated update sees the GLOBAL batch statistics,
+  warm Lipschitz tracking included.  Off-TPU the kernel runs in TPU
+  interpret mode, which simulates the remote DMAs (how the 8-CPU mesh
+  tests and the driver dryrun execute it)."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.pallas_dp_train import fused_dp_train_segment_pallas
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    d, h, v, _ = fused_dp_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        axis_name=axis_name, axis_size=axis_size, variant=variant,
+        update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
+        hard=hard, renormalize=renormalize, power_iters=2,
+        interpret=jax.default_backend() != "tpu", mxu=mxu)
+    return d, h, v
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(rep, rep, rep, P(None, axis_name, None), rep, rep, rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def _dp_segment_runner(local_step, mesh, conv_mode):
   """Multi-chip segment: lax.scan of the psum-reduced DP local step
   INSIDE one shard_map -- each device owns its batch shard for the
@@ -339,6 +373,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
   data_parallel = all_params.get("data_parallel", False)
   dp_mesh = None
   dp_fused = False
+  dp_rdma = False
   resolved_formulation = all_params.get(
       "fc_formulation",
       "pallas" if jax.default_backend() == "tpu" else "gram")
@@ -370,6 +405,24 @@ def train_dictionary_scanned(training_batches, validation_batches,
           and fused_solve_stats_supported(
               global_b // dp_size, init_dictionary.shape[0],
               training_batches.shape[-1]))
+      # whole-segment DP kernel (in-kernel RDMA stats all-reduce):
+      # needs 'data' to be the mesh's only non-trivial axis so logical
+      # RDMA device ids == the data axis index (ops/pallas_dp_train)
+      if dp_fused:
+        from vtc_tpu.ops.pallas_dp_train import fused_dp_segment_supported
+        others = [a for a in dp_mesh.axis_names if a != "data"]
+        dp_rdma = (
+            "dcn" not in dp_mesh.axis_names
+            and all(dp_mesh.shape[a] == 1 for a in others)
+            # off-TPU the kernel runs in TPU interpret mode, whose
+            # blocking semaphore waits need one spare host-client
+            # thread (the CPU client's pool is sized to the device
+            # count; a mesh over ALL virtual devices deadlocks)
+            and (jax.default_backend() == "tpu"
+                 or dp_size < len(jax.devices()))
+            and fused_dp_segment_supported(
+                global_b // dp_size, init_dictionary.shape[0],
+                training_batches.shape[-1], dp_size))
     else:
       from vtc_tpu.ops.pallas_conv_train import (
           conv_solve_stats_supported)
@@ -657,7 +710,17 @@ def train_dictionary_scanned(training_batches, validation_batches,
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          if dp_fused and mode == "convolutional" and upd_niters > 1:
+          if dp_rdma:
+            from vtc_tpu.parallel.mesh import dp_axes
+            runners[key] = _dp_rdma_segment_runner(
+                dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
+                update_alg, upd_niters,
+                bool(all_params.get("nonnegative_only", False)),
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                mxu=str(all_params.get("train_precision", "highest")))
+            dp_fused_now = False
+          elif dp_fused and mode == "convolutional" and upd_niters > 1:
             # multi-iteration conv DP updates psum gram-form stats:
             # needs the stride-block-uniform mask
             from vtc_tpu.ops.pallas_conv_train import (
@@ -711,7 +774,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   upd_num_iters=upd_niters, **common)
             runners[key] = _dp_fused_segment_runner(
                 local, dp_mesh, mode == "convolutional")
-          else:
+          elif not dp_rdma:
             runners[key] = _dp_segment_runner(
                 make_dp_local(upd_niters), dp_mesh,
                 mode == "convolutional")
