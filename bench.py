@@ -354,13 +354,17 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
 
 
 def measure_conv(batch_size, scan_steps, timed_calls=2,
-                 log=lambda *a: None, mxu="highest"):
-  """Convolutional train step at the reference conv config (64 16x16
-  kernels, stride 8, 256x256 images + analysis padding -> 33x33 code
-  maps), scanned over `scan_steps` batches resident in HBM -- via the
-  whole-segment fused conv kernel the scanned trainer auto-selects
+                 log=lambda *a: None, mxu="highest", kdim=16, s=64,
+                 formulation="fused", tag=""):
+  """Convolutional train step, default the reference conv config (64
+  16x16 kernels, stride 8, 256x256 images + analysis padding -> 33x33
+  code maps), scanned over `scan_steps` batches resident in HBM -- via
+  the whole-segment fused conv kernel the scanned trainer auto-selects
   (ops/pallas_conv_train; warm Lipschitz tracking, exact eigenpair
-  seed)."""
+  seed).  kdim/s vary the geometry (non-stride-multiple kernels run
+  the zero-extension path); formulation='gram' times the XLA scan of
+  the gram-formulation step instead (the fallback path, for A/B
+  rows)."""
   import jax
   import jax.numpy as jnp
 
@@ -369,8 +373,12 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
   from vtc_tpu.ops.pallas_conv_train import (
       fused_conv_train_segment_pallas)
 
-  kdim, stride, img, s = 16, (8, 8), 256, 64
-  pad = conv_shapes.get_padding_amt(img, kdim, stride[0])
+  stride, img = (8, 8), 256
+  lead, trail = conv_shapes.get_padding_amt(img, kdim, stride[0])
+  # stride-exact trailing correction ((padded - kernel) % stride == 0,
+  # the repo's conv shape contract) for non-stride-multiple kernels
+  trail += (-(img + lead + trail - kdim)) % stride[0]
+  pad = (lead, trail)
   padding = (pad, pad)
   hw = img + pad[0] + pad[1]
 
@@ -387,17 +395,34 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
   data = data * mask  # zero the analysis-padding border like real input
   float(jnp.sum(data))  # materialize before timing
 
-  def epoch(dd, hh, vv):
-    out = fused_conv_train_segment_pallas(
-        dd, hh, vv, data, jnp.float32(0.05), jnp.int32(FISTA_ITERS),
-        jnp.float32(0.05), kernel_stride=stride, padding=padding,
-        power_iters=2, mxu=mxu)
-    return out[:3]
+  if formulation == "fused":
+    def epoch(dd, hh, vv):
+      out = fused_conv_train_segment_pallas(
+          dd, hh, vv, data, jnp.float32(0.05), jnp.int32(FISTA_ITERS),
+          jnp.float32(0.05), kernel_stride=stride, padding=padding,
+          power_iters=2, mxu=mxu)
+      return out[:3]
+  else:
+    # the XLA fallback: lax.scan of the gram-formulation conv step with
+    # warm power tracking (compiled_epoch._segment_runner semantics)
+    from vtc_tpu.training.compiled_epoch import _segment_runner
+    from vtc_tpu.training.sparse_coding import build_raw_step_fn
+    raw = build_raw_step_fn(
+        "convolutional", "fista", "sc_cheap_quadratic_descent",
+        kernel_stride=stride, padding=padding,
+        conv_formulation="gram", compute_stepsize_in_step=False)
+    runner = _segment_runner(raw, 1, True,
+                             lambda dd: dd.reshape(dd.shape[0], -1))
+
+    def epoch(dd, hh, vv):
+      return runner(dd, hh, vv, data, jnp.float32(0.05),
+                    jnp.int32(FISTA_ITERS), jnp.float32(0.05))
 
   t0 = time.time()
   st = epoch(d, h, v)
   float(jnp.sum(st[0]))
-  log(f"conv b={batch_size}: compile+first call {time.time() - t0:.1f}s")
+  log(f"conv{tag} b={batch_size}: compile+first call "
+      f"{time.time() - t0:.1f}s")
 
   def run_once(state):
     dd, hh, vv = state if state is not None else st
@@ -406,7 +431,7 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
   dt = _timed_best_of_two(run_once, timed_calls,
                           lambda s_: float(jnp.sum(s_[0])))
   ips = scan_steps * batch_size * timed_calls / dt
-  log(f"conv b={batch_size}: {ips:,.0f} images/s")
+  log(f"conv{tag} b={batch_size}: {ips:,.0f} images/s")
   return ips
 
 
@@ -447,6 +472,26 @@ def main():
     detail["conv_batch40"] = {
         "images_per_sec": round(ips_conv40, 1),
         **roofline_fields(conv_step_flops(40), ips_conv40 / 40)}
+    # kernel % stride != 0 (12x12 kernels, stride 8): the fused direct
+    # kernel's zero-extension path vs the XLA gram-scan fallback that
+    # previously served this geometry
+    ips_nm = measure_conv(40, 25, log=log, kdim=12, tag="-k12s8")
+    ips_nm_gram = measure_conv(40, 10, log=log, kdim=12,
+                               formulation="gram", tag="-k12s8-gram")
+    detail["conv_nonmultiple_k12s8_batch40"] = {
+        "images_per_sec": round(ips_nm, 1),
+        "images_per_sec_gram_fallback": round(ips_nm_gram, 1),
+        "speedup_vs_gram": round(ips_nm / ips_nm_gram, 2),
+        # the zero-extended 12x12@8 kernel computes the SAME matmul
+        # shapes as 16x16@8 (khp=16, R=4, 33x33 codes), so the
+        # reference-geometry FLOP model measures its MXU utilization
+        **roofline_fields(conv_step_flops(40), ips_nm / 40)}
+    # full-occupancy geometry (s=128 >= one MXU tile; BENCH_NOTES
+    # UPDATE 17 predicted full occupancy here -- measured evidence)
+    ips_s128 = measure_conv(40, 25, log=log, s=128, tag="-s128")
+    detail["conv_s128_batch40"] = {
+        "images_per_sec": round(ips_s128, 1),
+        **roofline_fields(conv_step_flops(40, s=128), ips_s128 / 40)}
     pps_ica = measure_ica(250, 1000, log=log)
     detail["ica_batch250"] = {
         "patches_per_sec": round(pps_ica, 1),

@@ -124,7 +124,12 @@ def test_conv_solver_random_geometry(seed):
   ref = oracle.conv_ista_fista(
       images.astype(np.float64), d.astype(np.float64), (sv, sh_),
       padding, lam, iters, variant=variant, stepsize=step)
-  for formulation in ("gram", "direct"):
+  # every fuzz geometry must take the fused direct kernel under the
+  # 'pallas' formulation (non-stride-multiple kernels run
+  # zero-extended; pallas_conv_direct._geometry)
+  from vtc_tpu.ops import pallas_conv_direct
+  assert pallas_conv_direct.supported(images.shape, d.shape, (sv, sh_))
+  for formulation in ("gram", "direct", "pallas"):
     got = np.asarray(conv_ista_fista.run(
         images, d, (sv, sh_), padding, lam, iters, variant=variant,
         stepsize=step, formulation=formulation))

@@ -301,3 +301,68 @@ def test_fused_conv_segment_bf16x5_tracks_f32(rng):
   e3 = np.abs(np.asarray(dx3) - np.asarray(d32)).max()
   assert e5 < 1e-3, e5
   assert e5 <= e3, (e5, e3)
+
+
+def _problem_nonmultiple(rng, k=2, b=3, s=6, c=1, kdim=5, stride=2,
+                         img=12):
+  """kernel % stride != 0: the kernel runs zero-extended
+  (pallas_conv_direct._geometry) with the update gradient projected
+  onto the real support.  Padding is built stride-exact by hand
+  ((padded - kernel) % stride == 0, the repo's conv contract)."""
+  lead = kdim - stride
+  trail = kdim - stride
+  trail += (-(img + lead + trail - kdim)) % stride
+  padding = ((lead, trail), (lead, trail))
+  height = img + lead + trail
+  d = rng.randn(s, c, kdim, kdim).astype(np.float32)
+  d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
+  x = np.zeros((k, b, c, height, height), np.float32)
+  x[:, :, :, lead:height - trail, lead:height - trail] = (
+      0.3 * rng.randn(k, b, c, img, img))
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v = rng.randn(min(s, c * kdim * kdim)).astype(np.float32)
+  return d, h, v, x, (stride, stride), padding
+
+
+@pytest.mark.parametrize("update_alg", [
+    "sc_cheap_quadratic_descent", "sc_steepest_descent"])
+def test_fused_conv_segment_kernel_not_stride_multiple(rng, update_alg):
+  """5x5 kernels, stride 2: the zero-extension path.  The dictionary
+  must stay exactly on the real kernel support and track the composed
+  XLA path."""
+  d, h, v, x, strides, padding = _problem_nonmultiple(rng)
+  assert fused_conv_segment_supported(
+      x.shape[1:], d.shape, strides, "fista", update_alg)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 8,
+                            0.1, 1, "fista", update_alg)
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 8, 0.1, kernel_stride=strides,
+      padding=padding, variant="fista", update_alg=update_alg,
+      power_iters=2, interpret=True)
+  chaotic = update_alg == "sc_cheap_quadratic_descent"
+  tols = {"dict": 1e-4 if chaotic else 2e-5,
+          "hessian": 1e-3 if chaotic else 2e-5, "eigvec": 2e-5,
+          "codes": 5e-3 if chaotic else 2e-5}
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, tols[name], name)
+  # trained kernels keep the real (kh, kw) shape and unit norms
+  assert np.asarray(got[0]).shape == d.shape
+  norms = np.sqrt((np.asarray(got[0]) ** 2).sum(axis=(1, 2, 3)))
+  np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_fused_conv_segment_nonmultiple_multi_update(rng):
+  """Zero-extension + multi-iteration updates (the in-kernel support
+  projection must hold at every iteration, not just the first)."""
+  d, h, v, x, strides, padding = _problem_nonmultiple(rng, k=2)
+  want = _reference_segment(d, h, v, x, strides, padding, 0.05, 8,
+                            0.1, 3, "fista", "sc_steepest_descent")
+  got = fused_conv_train_segment_pallas(
+      d, h, v, x, 0.05, 8, 0.1, kernel_stride=strides,
+      padding=padding, variant="fista",
+      update_alg="sc_steepest_descent", upd_num_iters=3,
+      power_iters=2, interpret=True)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    _assert_close(g, w, 2e-5, name)

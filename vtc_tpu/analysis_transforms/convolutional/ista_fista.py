@@ -140,9 +140,10 @@ def run(images_padded, dictionary, kernel_stride, padding_dims,
         or pallas_conv_direct.early_stop_supported(
             images_padded.shape, dictionary.shape, kernel_stride)):
       # block-matmul direct kernel: deep-contraction matmuls, no
-      # border corrections (fastest; needs kernel % stride == 0).
-      # Early stopping runs as an in-kernel while_loop on the
-      # batch-global mean |delta|/eta when the batch fits one tile.
+      # border corrections (fastest; non-stride-multiple kernels run
+      # zero-extended, see pallas_conv_direct._geometry).  Early
+      # stopping runs as an in-kernel while_loop on the batch-global
+      # mean |delta|/eta when the batch fits one tile.
       return pallas_conv_direct.conv_direct_solve_pallas(
           images_padded, dictionary, sparsity_weight, num_iters,
           stepsize, kernel_stride=kernel_stride,

@@ -2,9 +2,15 @@
 
 The conv iteration is grad(z) = A(mask * S(z)) - A(mask * X) (reference
 convolutional/ista_fista.py:152-195, with the padding mask folded in).
-When the kernel dims are MULTIPLES of the strides (the reference's own
-configuration: 16x16 kernels, stride 8), synthesis and analysis become
-BLOCK matmuls with a deep contraction and no border special-casing:
+In the stride-block formulation synthesis and analysis become BLOCK
+matmuls with a deep contraction and no border special-casing.  Kernel
+dims that are NOT multiples of the strides are zero-EXTENDED to the
+next multiple (with matching trailing zero rows/cols on the padded
+image): the zero taps contribute nothing in either direction and the
+appended image rows receive only zero-tap writes, so codes and
+gradients at the real kernel support are exact (see _geometry).  With
+stride-multiple kernels (the reference's own configuration: 16x16
+kernels, stride 8) the extension is empty:
 
   * the padded image splits into non-overlapping stride-sized blocks
     (sv x sh pixels); a kh x kw kernel covers R = (kh/sv)*(kw/sh)
@@ -39,7 +45,7 @@ recompile); matmuls run at HIGHEST precision (parity grade).
 
 Reference semantics mirrored: convolutional/ista_fista.py:100-195
 (zero/warm init, soft/nonneg/hard thresholds, FISTA momentum).  Early
-stopping and non-divisible geometry use the XLA / gram-kernel paths.
+stopping beyond one batch tile uses the XLA / gram-kernel paths.
 """
 import functools
 
@@ -59,11 +65,24 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _geometry(img_shape, dict_shape, kernel_stride):
+  """Stride-block geometry.  Kernels whose dims are NOT multiples of
+  the strides are zero-EXTENDED to the next multiple (khp, kwp) and the
+  padded image gains matching trailing zero rows/cols (hhe, wwe): the
+  zero kernel taps contribute nothing to synthesis or analysis, the
+  appended image rows receive only zero-tap writes, and every code
+  position's extended window fits -- so codes and gradients at the REAL
+  kernel support are exact, while code_h/code_w stay
+  1 + (padded - kernel)/stride (the repo's conv contract, matching the
+  reference's code_dim_from_padded_img_dim for stride-exact padding)."""
   b, c, hh, ww = img_shape
   s, _, kh, kw = dict_shape
   sv, sh_ = kernel_stride
-  ay, ax = kh // sv, kw // sh_
-  bh, bw = hh // sv, ww // sh_
+  khp = -(-kh // sv) * sv
+  kwp = -(-kw // sh_) * sh_
+  ekh, ekw = khp - kh, kwp - kw
+  hhe, wwe = hh + ekh, ww + ekw
+  ay, ax = khp // sv, kwp // sh_
+  bh, bw = hhe // sv, wwe // sh_
   code_h, code_w = bh - (ay - 1), bw - (ax - 1)
   rc, wc = bh + (ay - 1), bw + (ax - 1)
   ell = rc * wc
@@ -72,17 +91,20 @@ def _geometry(img_shape, dict_shape, kernel_stride):
   rolls = tuple(a_y * wc + a_x for a_y in range(ay) for a_x in range(ax))
   return dict(s=s, c=c, px=px, cpx=c * px, r=ay * ax, ay=ay, ax=ax,
               sv=sv, sh=sh_, bh=bh, bw=bw, code_h=code_h, code_w=code_w,
-              rc=rc, wc=wc, ell=ell, ells=ells, rolls=rolls)
+              rc=rc, wc=wc, ell=ell, ells=ells, rolls=rolls,
+              kh=kh, kw=kw, khp=khp, kwp=kwp, ekh=ekh, ekw=ekw)
 
 
 def supported(img_shape, dict_shape, kernel_stride):
-  """True when the block-matmul geometry applies: kernel dims divide by
-  the strides, padded image dims divide by the strides, and the
-  per-part weight matrices stay MXU-sized."""
+  """True when the block-matmul geometry applies: the padded image dims
+  are stride-exact relative to the kernel ((padded - kernel) % stride
+  == 0, the repo's conv shape contract -- non-multiple kernels are
+  handled by zero extension, see _geometry) and the per-part weight
+  matrices stay MXU-sized."""
   _, c, hh, ww = img_shape
   s, _, kh, kw = dict_shape
   sv, sh_ = kernel_stride
-  if kh % sv or kw % sh_ or hh % sv or ww % sh_:
+  if (hh - kh) % sv or (ww - kw) % sh_:
     return False
   if c * sv * sh_ > 512 or s > 512:
     return False
@@ -103,10 +125,16 @@ def _pick_batch_tile(b, geo):
 
 
 def _pack_weights(dictionary, geo):
-  """(dstk, dall): synthesis (cpx, R*s) and analysis (s, R*cpx)."""
+  """(dstk, dall): synthesis (cpx, R*s) and analysis (s, R*cpx).
+  Non-stride-multiple kernels are zero-extended to (khp, kwp) first
+  (see _geometry)."""
   s, c = geo["s"], geo["c"]
   sv, sh_ = geo["sv"], geo["sh"]
   ay, ax = geo["ay"], geo["ax"]
+  if geo["ekh"] or geo["ekw"]:
+    dictionary = jnp.pad(jnp.asarray(dictionary),
+                         ((0, 0), (0, 0), (0, geo["ekh"]),
+                          (0, geo["ekw"])))
   # parts[a, ch, c, py, px] = D[ch, c, a_y*sv+py, a_x*sh+px]
   d = dictionary.reshape(s, c, ay, sv, ax, sh_)
   parts = d.transpose(2, 4, 0, 1, 3, 5).reshape(ay * ax, s, c * sv * sh_)
@@ -128,8 +156,13 @@ def _to_canvas(x, rows, geo, b_pad):
 
 def _blockify(img, geo):
   """(b, c, H, W) -> (b, cpx, Bh, Bw) stride-blocks with the pixel
-  index (c, py, px) in the row dim."""
+  index (c, py, px) in the row dim.  Appends the kernel-extension
+  trailing zero rows/cols first (see _geometry) -- they carry exact
+  zeros through synthesis/analysis."""
   b = img.shape[0]
+  if geo["ekh"] or geo["ekw"]:
+    img = jnp.pad(jnp.asarray(img),
+                  ((0, 0), (0, 0), (0, geo["ekh"]), (0, geo["ekw"])))
   x = img.reshape(b, geo["c"], geo["bh"], geo["sv"], geo["bw"],
                   geo["sh"])
   return x.transpose(0, 1, 3, 5, 2, 4).reshape(
@@ -153,12 +186,17 @@ def _rolled_stack(xcv, geo, batch_tile, sign):
 
 def _unpack_dstk(grad_dstk, geo, kernel_shape):
   """(cpx, R*s) dstk-layout gradient -> (s, c, kh, kw) kernel layout
-  (exact inverse of the _pack_weights dstk permutation)."""
+  (exact inverse of the _pack_weights dstk permutation; the kernel
+  zero-extension rows/cols are sliced away -- projecting the gradient
+  onto the real kernel support)."""
   s, c, kh, kw = kernel_shape
   parts = grad_dstk.reshape(geo["cpx"], geo["r"], s).transpose(1, 2, 0)
-  return parts.reshape(geo["ay"], geo["ax"], s, c, geo["sv"],
+  full = parts.reshape(geo["ay"], geo["ax"], s, c, geo["sv"],
                        geo["sh"]).transpose(2, 3, 0, 4, 1, 5).reshape(
-                           s, c, kh, kw)
+                           s, c, geo["khp"], geo["kwp"])
+  if geo["ekh"] or geo["ekw"]:
+    full = full[:, :, :kh, :kw]
+  return full
 
 
 def _block_mask_canvas(images_shape, padding, geo):

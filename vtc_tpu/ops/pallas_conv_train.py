@@ -6,7 +6,9 @@ dictionary update -> renormalize` per batch) previously ran as a
 lax.scan of separate ops, so the dictionary and the per-batch code
 canvases round-tripped HBM at every op boundary.  This kernel runs the
 ENTIRE segment on-core in the stride-block-space formulation of
-ops/pallas_conv_direct.py (kernel % stride == 0 geometry):
+ops/pallas_conv_direct.py (non-stride-multiple kernels run
+zero-extended with the update gradient projected back onto the real
+support -- see pallas_conv_direct._geometry and the `supp` mask):
 
   grid = (num_steps,) or (num_steps, batch_tiles) -- TPU grid cells
         execute sequentially, so the packed dictionary (dstk), the
@@ -149,6 +151,19 @@ def _mask_block_uniform(padding, kernel_stride):
           and ph0 % sh_ == 0 and ph1 % sh_ == 0)
 
 
+def gram_stats_supported(img_shape, dict_shape, kernel_stride, padding):
+  """True when the gram-form update stats (C_m, B_x) are exact: the
+  mask must factor per stride block, which needs BOTH stride-multiple
+  padding amounts AND no kernel zero-extension (the extension zeroes
+  individual pixels WITHIN the trailing blocks, breaking the
+  1_cpx (x) m_lanes factorization -- pallas_conv_direct._geometry)."""
+  if not _mask_block_uniform(padding, kernel_stride):
+    return False
+  _, _, kh, kw = dict_shape
+  sv, sh_ = kernel_stride
+  return kh % sv == 0 and kw % sh_ == 0
+
+
 def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
                                  inference_alg, update_alg, *,
                                  group_assignments=None,
@@ -179,9 +194,10 @@ def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
     return True
   # batch-tiled + multi-iteration updates need the gram-form
   # accumulators (C_m = Zm Z^T, B_x = X Z^T), exact only for a
-  # block-uniform mask
-  return padding is not None and _mask_block_uniform(
-      tuple(tuple(int(x) for x in p) for p in padding), kernel_stride)
+  # block-factorizable mask (block-uniform padding, no zero-extension)
+  return padding is not None and gram_stats_supported(
+      img_shape, dict_shape, kernel_stride,
+      tuple(tuple(int(x) for x in p) for p in padding))
 
 
 def _selection_matrices(geo):
@@ -316,7 +332,8 @@ def _power_refresh(dallv, v_ref, power_iters):
 def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
                          lowest_code_val, geo, batch_tile, num_tiles,
-                         gram_update=False, mxu="highest"):
+                         gram_update=False, has_supp=False,
+                         mxu="highest"):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
@@ -326,8 +343,16 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
-             d_out, h_out, v_out, codes_out,
-             stack, gradacc, statacc, eta_ref, cmacc):
+             *rest):
+    # zero-extended kernels (kernel % stride != 0, see
+    # pallas_conv_direct._geometry) append a 0/1 support mask in dstk
+    # layout: the update gradient is projected onto the REAL kernel
+    # support every iteration so the zero-extension taps stay zero
+    # across the whole VMEM-resident segment
+    if has_supp:
+      supp_ref, rest = rest[0], rest[1:]
+    (d_out, h_out, v_out, codes_out,
+     stack, gradacc, statacc, eta_ref, cmacc) = rest
     step = pl.program_id(0)
     tile = pl.program_id(1) if multi else None
 
@@ -388,6 +413,11 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
 
       def update_body(_, d):
         grad = grad_fn(d)
+        if has_supp:
+          # project onto the real kernel support BEFORE the Frobenius
+          # rescale (the reference's gradient only has real-support
+          # entries, sc_steepest_descent.py:59-69)
+          grad = grad * supp_ref[:]
         if uses_hessian:
           grad = grad * scale_row
         # dimensionless stepsize (reference sc_steepest_descent.py:68):
@@ -534,8 +564,9 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
     tile, num_tiles = _pick_tile(b, geo)
   assert tile is not None, "caller must check fused_conv_segment_supported"
   gram_update = (num_tiles > 1 and upd_num_iters > 1)
-  assert not gram_update or _mask_block_uniform(padding, kernel_stride), (
-      "batch-tiled multi-iteration updates need a stride-block-uniform "
+  assert not gram_update or gram_stats_supported(
+      img_shape, dictionary.shape, kernel_stride, padding), (
+      "batch-tiled multi-iteration updates need a block-factorizable "
       "mask (caller must check fused_conv_segment_supported)")
   b_pad = tile * num_tiles
   tl = tile * geo["ells"]
@@ -559,10 +590,18 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
                        jnp.float32(1.0 / b)])
   niter = inf_num_iters.reshape(1)
 
+  # kernel % stride != 0: the packed dictionary carries zero-extension
+  # taps (pallas_conv_direct._geometry); the in-kernel update projects
+  # the gradient onto the real support with this 0/1 dstk-layout mask
+  has_supp = bool(geo["ekh"] or geo["ekw"])
+  if has_supp:
+    supp0, _ = _pack_weights(
+        jnp.ones(dictionary.shape, jnp.float32), geo)
+
   kernel = _make_segment_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
       power_iters, lowest_code_val, geo, tile, num_tiles,
-      gram_update=gram_update, mxu=mxu)
+      gram_update=gram_update, has_supp=has_supp, mxu=mxu)
   grid = (k,) if num_tiles == 1 else (k, num_tiles)
   if num_tiles == 1:
     bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(
@@ -592,7 +631,7 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
               bcast((cpx, tl)),            # mblk (pre-tiled)
               bcast((1, tl)),              # zmask (pre-tiled)
               xcv_spec,
-          ],
+          ] + ([bcast(dstk0.shape)] if has_supp else []),  # supp mask
           out_specs=[
               bcast(dstk0.shape),
               bcast((1, s)),
@@ -623,7 +662,8 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
           transcendentals=0),
   )(niter, scalars, jnp.asarray(dstk0), h_in, v_in, jnp.asarray(pmats),
     jnp.asarray(sel), jnp.asarray(selt), jnp.tile(mblk_cv, (1, tile)),
-    jnp.tile(zmask_cv, (1, tile)), xcv_all)
+    jnp.tile(zmask_cv, (1, tile)), xcv_all,
+    *((jnp.asarray(supp0),) if has_supp else ()))
 
   new_dict = _unpack_dstk(d_new, geo, dictionary.shape)
   canv = codes.reshape(s, b_pad, geo["ells"])[:, :, :geo["ell"]].reshape(
@@ -645,9 +685,9 @@ def conv_solve_stats_supported(img_shape, dict_shape, kernel_stride,
     return False
   if int(upd_num_iters) == 1:
     return True
-  return padding is not None and _mask_block_uniform(
-      tuple(tuple(int(x) for x in p) for p in padding),
-      tuple(int(x) for x in kernel_stride))
+  return padding is not None and gram_stats_supported(
+      img_shape, dict_shape, tuple(int(x) for x in kernel_stride),
+      tuple(tuple(int(x) for x in p) for p in padding))
 
 
 def _make_stats_kernel(variant, nonneg, hard, power_iters, geo,
@@ -742,8 +782,9 @@ def conv_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
   padding_static = (None if padding is None else
                     tuple(tuple(int(x) for x in p) for p in padding))
   if gram_stats:
-    assert _mask_block_uniform(padding_static, kernel_stride), (
-        "gram_stats needs a stride-block-uniform mask")
+    assert gram_stats_supported(np.shape(batch), np.shape(dictionary),
+                                kernel_stride, padding_static), (
+        "gram_stats needs a block-factorizable mask")
   return _conv_solve_stats_impl(
       jnp.asarray(dictionary, jnp.float32),
       jnp.asarray(eigvec, jnp.float32),

@@ -176,39 +176,16 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     stat = jnp.sum(codes * codes, axis=0, keepdims=True)
 
     if num_devices > 1:
+      from vtc_tpu.ops.pallas_collective import slot_exchange
       phase = jax.lax.rem(step, 2)
       my_idx = jax.lax.axis_index(axis_name)
-      # stage my packed slot locally, then all-to-all RDMA it out
+      # stage my packed slot region-wise, all-to-all it, then sum the
+      # slots in FIXED index order (bitwise identical on every chip)
       comm[phase, my_idx, 0:s_pad, 0:s_pad] = cmat
       comm[phase, my_idx, 0:s_pad, s_pad:s_pad + n_pad] = bmat
       comm[phase, my_idx, s_pad:s_pad + 1, 0:s_pad] = stat
-      copies = []
-      for off in range(1, num_devices):
-        peer = jax.lax.rem(my_idx + off, num_devices)
-        rdma = pltpu.make_async_remote_copy(
-            src_ref=comm.at[phase, my_idx],
-            dst_ref=comm.at[phase, my_idx],
-            send_sem=send_sem.at[phase, off - 1],
-            recv_sem=recv_sem.at[phase, my_idx],
-            device_id=peer,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        )
-        rdma.start()
-        copies.append(rdma)
-      for c in copies:
-        c.wait_send()
-      for off in range(1, num_devices):
-        src = jax.lax.rem(my_idx + num_devices - off, num_devices)
-        pltpu.make_async_remote_copy(
-            src_ref=comm.at[phase, src],
-            dst_ref=comm.at[phase, src],
-            send_sem=send_sem.at[phase, off - 1],
-            recv_sem=recv_sem.at[phase, src],
-            device_id=my_idx,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
-        ).wait_recv()
-      # fixed-order slot sum: identical accumulation order on every
-      # chip -> replicated state stays bitwise identical
+      slot_exchange(comm, send_sem, recv_sem, phase=phase,
+                    my_idx=my_idx, num_devices=num_devices)
       total = comm[phase, 0]
       for slot in range(1, num_devices):
         total = total + comm[phase, slot]

@@ -722,10 +722,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
             dp_fused_now = False
           elif dp_fused and mode == "convolutional" and upd_niters > 1:
             # multi-iteration conv DP updates psum gram-form stats:
-            # needs the stride-block-uniform mask
+            # needs a block-factorizable mask
             from vtc_tpu.ops.pallas_conv_train import (
-                _mask_block_uniform)
-            dp_fused_now = _mask_block_uniform(padding, kernel_stride)
+                gram_stats_supported)
+            dp_fused_now = gram_stats_supported(
+                training_batches.shape[1:], dictionary.shape,
+                kernel_stride, padding)
           else:
             dp_fused_now = dp_fused
           if dp_fused_now:
