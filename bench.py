@@ -353,6 +353,67 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
   return pps
 
 
+def measure_bigdict(scan_steps, timed_calls=2, log=lambda *a: None,
+                    s=2048, b=128, formulation="residual"):
+  """Beyond-VMEM dictionary: s=2048 @ n=256 -- the (s, s) Gram alone
+  is 16 MB, so ops/pallas_train_step's gram-form kernel rejects the
+  shape and round-2 fell back to the XLA scan.  The code-sharded
+  segment kernel's RESIDUAL form (ops/pallas_code_shard_train, axis
+  size 1 here) never builds that Gram, keeping huge dictionaries on a
+  fused path.  formulation='xla' times the scan fallback for the A/B
+  row."""
+  import jax
+  import jax.numpy as jnp
+
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_train_step import fused_segment_supported
+  from vtc_tpu.parallel import make_mesh
+  from vtc_tpu.training.compiled_epoch import (_code_shard_segment_runner,
+                                               _segment_runner)
+  from vtc_tpu.training.sparse_coding import build_raw_step_fn
+
+  assert not fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=b, code_size=s, input_size=N), (
+      "config must exceed the gram-form kernel's VMEM budget")
+
+  rng = np.random.RandomState(0)
+  d0 = rng.randn(s, N).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  d = jnp.asarray(d0)
+  h = jnp.zeros(s, jnp.float32)
+  _, v = lip.top_gram_eigenpair(d)  # n-dim (s > n)
+  data = jnp.asarray(
+      rng.randn(scan_steps, b, N).astype(np.float32))
+  args = (jnp.float32(0.008), jnp.int32(FISTA_ITERS), jnp.float32(0.1))
+
+  if formulation == "residual":
+    runner = _code_shard_segment_runner(
+        make_mesh(data=1, code=1), 1, "fista",
+        "sc_cheap_quadratic_descent", 1, False, False, True)
+  else:
+    raw = build_raw_step_fn(
+        "fully-connected", "fista", "sc_cheap_quadratic_descent",
+        fc_formulation="gram", compute_stepsize_in_step=False)
+    runner = _segment_runner(raw, 1, True, lambda dd: dd)
+
+  t0 = time.time()
+  st = runner(d, h, v, data, *args)
+  float(jnp.sum(st[0]))
+  log(f"bigdict[{formulation}] s={s} b={b}: compile+first "
+      f"{time.time() - t0:.1f}s")
+
+  def run_once(state):
+    dd, hh, vv = state if state is not None else st
+    return runner(dd, hh, vv, data, *args)
+
+  dt = _timed_best_of_two(run_once, timed_calls,
+                          lambda s_: float(jnp.sum(s_[0])))
+  pps = scan_steps * b * timed_calls / dt
+  log(f"bigdict[{formulation}] s={s}: {pps:,.0f} patches/s")
+  return pps
+
+
 def measure_conv(batch_size, scan_steps, timed_calls=2,
                  log=lambda *a: None, mxu="highest", kdim=16, s=64,
                  formulation="fused", tag=""):
@@ -506,6 +567,15 @@ def main():
     detail["fc_dp_rdma_batch250"] = {
         "patches_per_sec_per_chip": round(pps_dp, 1),
         "pct_of_single_chip_fused": round(100 * pps_dp / pps_ref, 1)}
+    # beyond-VMEM dictionary (s=2048: the s x s Gram breaks the fused
+    # kernel's budget): residual-form code-shard kernel vs the XLA
+    # scan fallback round 2 used for this shape
+    pps_big_res = measure_bigdict(200, log=log)
+    pps_big_xla = measure_bigdict(200, log=log, formulation="xla")
+    detail["fc_bigdict_s2048_batch128"] = {
+        "patches_per_sec": round(pps_big_res, 1),
+        "patches_per_sec_xla_fallback": round(pps_big_xla, 1),
+        "speedup_vs_fallback": round(pps_big_res / pps_big_xla, 2)}
     detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
                                              pps_big / 2048)
     # opt-in bf16 training-speed mode (all_params['train_precision'] =

@@ -1,0 +1,333 @@
+"""Whole CODE-SHARDED (tensor-parallel) training segments as one Pallas
+kernel per chip -- the scaling axis for beyond-VMEM dictionaries.
+
+SURVEY §2.2 names code-dimension sharding as the TP analogue for very
+large (heavily overcomplete) dictionaries: each chip owns a ROW SHARD
+of the dictionary, solves against it, and the only cross-chip quantity
+is the partial reconstruction.  Until now that sharding existed only in
+the GSPMD pjit step (parallel/data_parallel.build_pjit_train_step);
+dictionaries past the fused kernel's VMEM gate fell back to the XLA
+scan.  This kernel runs the ENTIRE segment on-core per chip with the
+dictionary shard VMEM-resident:
+
+  grid = (num_steps,), per step on every chip (batch REPLICATED,
+  dictionary rows sharded s -> P x s_l):
+    power refresh on the n x n Gram D^T D: per iteration the partial
+      w_l = (v D_l^T) D_l is all-reduced (ops/pallas_collective slot
+      all-reduce, fixed-order sum -> v and eta bitwise identical on
+      every chip)
+    FISTA in RESIDUAL form (no s x s Gram is ever built -- that Gram
+      is exactly what breaks the VMEM budget for large s): per
+      iteration the partial reconstruction r_l = z_l D_l is
+      all-reduced to the replicated r, then
+      codes_l = shrink(z_l - eta ((r - X) D_l^T), lam eta); momentum
+      stays local.  Math == fully_connected/ista_fista.py:100-146 on
+      the unsharded dictionary (the reference's two-matmul iteration,
+      re-associated over shards).
+    update: resid = allreduce(codes_l D'_l) - X (one exchange per
+      update iteration), then the row-shard gradient
+      codes_l^T resid / b, Hessian-EMA scaling, and renormalization
+      are ALL LOCAL (row operations never cross shards) -- reference
+      sc_steepest_descent.py:37-43, sc_cheap_quadratic_descent.py:44-49,
+      training/sparse_coding.py:154.
+
+Cross-chip traffic per step: (power_iters + 1) small (8, n) exchanges
++ (inf_num_iters + upd_num_iters) exchanges of the (b, n) partial
+reconstruction -- the TP-matmul psum SURVEY §2.2 calls for, riding ICI
+in-kernel.
+
+axis_size == 1 degenerates to a single-chip whole-segment solver for
+dictionaries too large for ops/pallas_train_step's gram-form kernel
+(s x s Gram >> VMEM) -- the residual form needs only O(b*s + s*n)
+VMEM, so e.g. s=2048 trains fused on one chip.
+
+The double-buffer phase for the reconstruction exchanges is a running
+counter in SMEM (the FISTA trip count is a dynamic scalar, so phases
+can't be computed statically); the power exchanges alternate on a
+static per-step schedule in their own buffer family.  See
+ops/pallas_collective for the phase-safety argument.
+"""
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vtc_tpu.ops.pallas_collective import slot_allreduce
+from vtc_tpu.ops.pallas_common import (LANES as _LANES,
+                                       SUBLANES as _SUBLANES, round_up)
+from vtc_tpu.ops.pallas_train_step import _dot, _dot_t, _tdot
+
+_CS_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+_CS_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+
+
+def _make_tier_dots(mxu):
+  """Both-operands-vary tier forms for the residual-form matmuls
+  (mirrors ops/pallas_ica_train._make_ns_dot): (dot, dot_t) at the
+  requested tier.  Update-path matmuls always stay HIGHEST."""
+  if mxu == "highest":
+    return _dot, _dot_t
+  from vtc_tpu.ops.pallas_train_step import (_dot_b, _dot_t_b, _split3,
+                                             _split_hi_lo)
+  if mxu == "bf16":
+    return _dot_b, _dot_t_b
+  if mxu == "bf16x3":
+    def dot3(a, b):
+      a_hi, a_lo = _split_hi_lo(a)
+      b_hi, b_lo = _split_hi_lo(b)
+      return (_dot_b(a_hi, b_hi) + _dot_b(a_lo, b_hi)
+              + _dot_b(a_hi, b_lo))
+
+    def dot3_t(a, b):
+      a_hi, a_lo = _split_hi_lo(a)
+      b_hi, b_lo = _split_hi_lo(b)
+      return (_dot_t_b(a_hi, b_hi) + _dot_t_b(a_lo, b_hi)
+              + _dot_t_b(a_hi, b_lo))
+
+    return dot3, dot3_t
+  assert mxu == "bf16x5", mxu
+
+  def dot5(a, b):
+    a1, a2, a3 = _split3(a)
+    b1, b2, b3 = _split3(b)
+    return (_dot_b(a1, b1) + _dot_b(a2, b1) + _dot_b(a1, b2)
+            + _dot_b(a3, b1) + _dot_b(a1, b3))
+
+  def dot5_t(a, b):
+    a1, a2, a3 = _split3(a)
+    b1, b2, b3 = _split3(b)
+    return (_dot_t_b(a1, b1) + _dot_t_b(a2, b1) + _dot_t_b(a1, b2)
+            + _dot_t_b(a3, b1) + _dot_t_b(a1, b3))
+
+  return dot5, dot5_t
+
+
+def _cs_vmem_bytes(b_pad, sl_pad, n_pad, num_devices):
+  buffers = (
+      2 * sl_pad * n_pad       # dictionary shard in + out
+      + 2 * b_pad * n_pad      # X double buffer
+      + 5 * b_pad * sl_pad     # corr, z, old, codes, codes out
+      + 2 * b_pad * n_pad      # replicated recon + resid
+      + 2 * num_devices * b_pad * n_pad     # recon comm slots
+      + 2 * num_devices * _SUBLANES * n_pad)  # power comm slots
+  return 4 * buffers
+
+
+def code_shard_segment_supported(batch_size, shard_code_size,
+                                 input_size, num_devices):
+  """True when the code-sharded segment kernel fits this per-shard
+  geometry."""
+  return _cs_vmem_bytes(
+      round_up(batch_size, _SUBLANES), round_up(shard_code_size, _LANES),
+      round_up(input_size, _LANES),
+      int(num_devices)) <= _CS_VMEM_BUDGET_BYTES
+
+
+def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
+                    upd_num_iters, power_iters, lowest_code_val,
+                    axis_name, num_devices, mxu="highest"):
+  use_fista = variant == "fista"
+  tdot_, tdot_t = _make_tier_dots(mxu)
+
+  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
+             d_out, h_out, v_out, codes_out,
+             rcomm, rsend, rrecv, vcomm, vsend, vrecv, rphase):
+    step = pl.program_id(0)
+    my_idx = (jax.lax.axis_index(axis_name) if num_devices > 1
+              else jnp.int32(0))
+
+    @pl.when(step == 0)
+    def _():
+      d_out[:] = d_ref[:]
+      h_out[:] = h_ref[:]
+      v_out[:] = v_ref[:]
+      rphase[0] = 0
+
+    num_iters = niter_ref[0]
+    sw = scalars_ref[0]
+    upd_step = scalars_ref[1]
+    inv_b = scalars_ref[2]
+
+    d_shard = d_out[:]                            # (sl_pad, n_pad)
+    images = x_ref[0]                             # (b_pad, n_pad)
+
+    # ---- warm Lipschitz refresh on the n x n Gram (static phases:
+    # power_iters + 1 exchanges per step in the vcomm family) ----
+    def vreduce(row, j):
+      payload = jnp.concatenate(
+          [row, jnp.zeros((_SUBLANES - 1, row.shape[-1]), jnp.float32)],
+          axis=0)
+      phase = jax.lax.rem(step * (power_iters + 1) + j, 2)
+      total = slot_allreduce(vcomm, vsend, vrecv, payload, phase=phase,
+                             my_idx=my_idx, num_devices=num_devices)
+      return total[0:1]
+
+    def gram_apply(vec, j):
+      """allreduce((vec D_l^T) D_l) == vec @ (D^T D)."""
+      return vreduce(_dot(_dot_t(vec, d_shard), d_shard), j)
+
+    v = v_out[:]
+    v = v / jnp.sqrt(jnp.sum(v * v))
+    for j in range(power_iters):
+      w = gram_apply(v, j)
+      v = w / jnp.sqrt(jnp.sum(w * w))
+    v_out[:] = v
+    gv = gram_apply(v, power_iters)
+    eta = 1.0 / jnp.sum(gv * v)
+    lam_eta = sw * eta
+
+    def threshold(x):
+      if hard:
+        if nonneg:
+          return jnp.where(x < lam_eta, 0.0, x)
+        return jnp.where(jnp.abs(x) < lam_eta, 0.0, x)
+      if nonneg:
+        return jnp.maximum(x - lam_eta, 0.0)
+      return x - jnp.clip(x, -lam_eta, lam_eta)
+
+    def rreduce(partial):
+      phase = jax.lax.rem(rphase[0], 2)
+      rphase[0] = rphase[0] + 1
+      return slot_allreduce(rcomm, rsend, rrecv, partial, phase=phase,
+                            my_idx=my_idx, num_devices=num_devices)
+
+    # ---- FISTA in residual form (never builds the s x s Gram) ----
+    init = jnp.zeros((images.shape[0], d_shard.shape[0]), jnp.float32)
+
+    def fista_body(carry):
+      k, z, old, t_k = carry
+      recon = rreduce(tdot_(z, d_shard))          # (b_pad, n_pad)
+      grad = tdot_t(recon - images, d_shard)      # (b_pad, sl_pad)
+      codes = threshold(z - eta * grad)
+      if use_fista:
+        t_next = (1.0 + jnp.sqrt(1.0 + 4.0 * t_k * t_k)) / 2.0
+        beta = (t_k - 1.0) / t_next
+        return k + 1, codes + beta * (codes - old), codes, t_next
+      return k + 1, codes, codes, t_k
+
+    # while_loop (not fori) so the rphase side effects sequence with
+    # the dynamic trip count
+    _, _, codes, _ = jax.lax.while_loop(
+        lambda c: c[0] < num_iters, lambda c: fista_body(c),
+        (jnp.int32(0), init, init, jnp.float32(1.0)))
+    codes_out[:] = codes
+
+    if uses_hessian:
+      hessian = (0.99 * h_out[:]
+                 + (jnp.sum(codes * codes, axis=0, keepdims=True)
+                    * inv_b) / 100.0)
+      h_out[:] = hessian
+      scale = jnp.transpose(hessian) + lowest_code_val  # (sl_pad, 1)
+
+    def update_body(carry):
+      j, d = carry
+      resid = rreduce(tdot_(codes, d)) - images   # replicated
+      grad = _tdot(codes, resid) * inv_b          # (sl_pad, n_pad) LOCAL
+      if uses_hessian:
+        grad = grad / scale
+      d = d - upd_step * grad
+      if renormalize:
+        norms = jnp.sqrt(jnp.sum(d * d, axis=1, keepdims=True))
+        d = d / jnp.maximum(norms, 1e-30)
+      return j + 1, d
+
+    _, d_new = jax.lax.while_loop(
+        lambda c: c[0] < upd_num_iters, update_body,
+        (jnp.int32(0), d_shard))
+    d_out[:] = d_new
+
+  return kernel
+
+
+def fused_code_sharded_train_segment_pallas(
+    dict_shard, hessian_shard, eigvec, batches, sparsity_weight,
+    inf_num_iters, upd_stepsize, *, axis_name, axis_size,
+    variant="fista", update_alg="sc_cheap_quadratic_descent",
+    upd_num_iters=1, nonneg=False, hard=False, renormalize=True,
+    power_iters=12, lowest_code_val=0.001, interpret=False,
+    mxu="highest"):
+  """Run `batches.shape[0]` code-sharded train steps in ONE kernel
+  launch per chip.  Call inside a shard_map over ``axis_name`` (the
+  mesh's only non-trivial axis); ``dict_shard`` is this chip's (s_l, n)
+  dictionary-row shard, ``hessian_shard`` its (s_l,) Hessian rows,
+  ``eigvec`` the REPLICATED (n,) eigenvector of the n x n Gram D^T D
+  (seed with lipschitz.top_gram_eigenpair on D^T, or any vector with
+  power_iters=12), ``batches`` the REPLICATED (k, b, n) batches.
+
+  Returns (new_dict_shard, new_hessian_shard, new_eigvec,
+  last_codes_shard (b, s_l)).  Stacking the shards reproduces the
+  unsharded trainer's trajectory up to float reduction order
+  (tests/test_pallas_code_shard_train.py).
+  """
+  k, b, n = batches.shape
+  sl = dict_shard.shape[0]
+  num_devices = int(axis_size)
+  sl_pad = round_up(sl, _LANES)
+  n_pad = round_up(n, _LANES)
+  b_pad = round_up(b, _SUBLANES)
+  uses_hessian = update_alg == "sc_cheap_quadratic_descent"
+  if not code_shard_segment_supported(b, sl, n, num_devices):
+    raise ValueError("shapes exceed the code-sharded segment kernel's "
+                     "VMEM budget")
+
+  d_in = jnp.pad(jnp.asarray(dict_shard, jnp.float32),
+                 ((0, sl_pad - sl), (0, n_pad - n)))
+  h_in = jnp.pad(jnp.asarray(hessian_shard, jnp.float32).reshape(1, sl),
+                 ((0, 0), (0, sl_pad - sl)))
+  v_in = jnp.pad(jnp.asarray(eigvec, jnp.float32).reshape(1, n),
+                 ((0, 0), (0, n_pad - n)))
+  x_in = jnp.pad(jnp.asarray(batches, jnp.float32),
+                 ((0, 0), (0, b_pad - b), (0, n_pad - n)))
+
+  scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
+                       jnp.asarray(upd_stepsize, jnp.float32),
+                       jnp.float32(1.0 / b)])
+  niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
+
+  kernel = _make_cs_kernel(
+      variant, bool(nonneg), bool(hard), uses_hessian, bool(renormalize),
+      int(upd_num_iters), int(power_iters), float(lowest_code_val),
+      axis_name, num_devices, mxu=str(mxu))
+  const = lambda i, *_: (0, 0)
+  cost = pl.CostEstimate(
+      flops=2 * k * (40 * b_pad * sl_pad * n_pad),
+      bytes_accessed=4 * k * (b_pad * n_pad + b_pad * sl_pad),
+      transcendentals=0)
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=(k,),
+      in_specs=[
+          pl.BlockSpec((sl_pad, n_pad), const),
+          pl.BlockSpec((1, sl_pad), const),
+          pl.BlockSpec((1, n_pad), const),
+          pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((sl_pad, n_pad), const),
+          pl.BlockSpec((1, sl_pad), const),
+          pl.BlockSpec((1, n_pad), const),
+          pl.BlockSpec((b_pad, sl_pad), const),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((2, num_devices, b_pad, n_pad), jnp.float32),
+          pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
+          pltpu.SemaphoreType.DMA((2, num_devices)),
+          pltpu.VMEM((2, num_devices, _SUBLANES, n_pad), jnp.float32),
+          pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
+          pltpu.SemaphoreType.DMA((2, num_devices)),
+          pltpu.SMEM((1,), jnp.int32),
+      ])
+  d_new, h_new, v_new, codes = pl.pallas_call(
+      kernel, grid_spec=grid_spec,
+      out_shape=[
+          jax.ShapeDtypeStruct((sl_pad, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, sl_pad), jnp.float32),
+          jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+          jax.ShapeDtypeStruct((b_pad, sl_pad), jnp.float32),
+      ],
+      interpret=pltpu.InterpretParams() if interpret else False,
+      cost_estimate=cost,
+      compiler_params=None if interpret else pltpu.CompilerParams(
+          vmem_limit_bytes=_CS_VMEM_LIMIT_BYTES),
+  )(niter, scalars, d_in, h_in, v_in, x_in)
+  return (d_new[:sl, :n], h_new[0, :sl], v_new[0, :n], codes[:b, :sl])

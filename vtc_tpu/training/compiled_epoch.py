@@ -221,6 +221,41 @@ def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
   return jax.jit(sharded)
 
 
+def _code_shard_segment_runner(mesh, axis_size, variant, update_alg,
+                               upd_niters, nonneg, hard, renormalize,
+                               mxu="highest"):
+  """Tensor-parallel segment for beyond-VMEM dictionaries: dictionary
+  ROWS sharded over the mesh's 'code' axis, each chip runs its whole
+  segment as ONE Pallas kernel in residual form (never building the
+  s x s Gram), and the per-iteration partial-reconstruction psum rides
+  in-kernel remote DMAs (ops/pallas_code_shard_train).  Batches stay
+  replicated; the dictionary update is fully local per row shard.  The
+  eigvec carry is the n x n Gram's (dim n -- requires s > n, gated by
+  the caller)."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.pallas_code_shard_train import (
+      fused_code_sharded_train_segment_pallas)
+
+  def run(d_shard, h_shard, eigvec, batches, sw, n_it, upd_step):
+    d_shard, h_shard, eigvec, _ = (
+        fused_code_sharded_train_segment_pallas(
+            d_shard, h_shard, eigvec, batches, sw, n_it, upd_step,
+            axis_name="code", axis_size=axis_size, variant=variant,
+            update_alg=update_alg, upd_num_iters=upd_niters,
+            nonneg=nonneg, hard=hard, renormalize=renormalize,
+            power_iters=2,
+            interpret=jax.default_backend() != "tpu", mxu=mxu))
+    return d_shard, h_shard, eigvec
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(P("code", None), P("code"), rep, rep, rep, rep, rep),
+      out_specs=(P("code", None), P("code"), rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def _dp_segment_runner(local_step, mesh, conv_mode):
   """Multi-chip segment: lax.scan of the psum-reduced DP local step
   INSIDE one shard_map -- each device owns its batch shard for the
@@ -374,6 +409,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
   dp_mesh = None
   dp_fused = False
   dp_rdma = False
+  code_sharded = False
   resolved_formulation = all_params.get(
       "fc_formulation",
       "pallas" if jax.default_backend() == "tpu" else "gram")
@@ -385,6 +421,35 @@ def train_dictionary_scanned(training_batches, validation_batches,
     dp_size = 1
     for a in dp_axes(dp_mesh):
       dp_size *= dp_mesh.shape[a]
+    # code-axis sharding (TP, SURVEY §2.2): with a 'code' axis > 1 and
+    # trivial data axes, dictionary ROWS shard across chips and each
+    # chip runs whole segments in residual form (the s x s Gram is
+    # never built, so beyond-VMEM dictionaries stay on a fused path);
+    # the per-iteration partial-reconstruction psum rides in-kernel
+    # remote DMAs (ops/pallas_code_shard_train)
+    cs_size = dict(dp_mesh.shape).get("code", 1)
+    cs_others_ok = all(v == 1 for a, v in dp_mesh.shape.items()
+                       if a != "code")
+    s_total = init_dictionary.shape[0]
+    n_input = training_batches.shape[-1]
+    if (mode == "fully-connected" and group_assignments is None
+        and cs_size > 1 and cs_others_ok
+        and lipschitz_method == "power_warm"
+        and inference_alg in ("ista", "fista")
+        and update_alg in ("sc_steepest_descent",
+                           "sc_cheap_quadratic_descent")
+        and resolved_formulation == "pallas"
+        # the warm eigvec carry is the n x n Gram's (dim n)
+        and s_total % cs_size == 0 and s_total > n_input
+        # interpret mode needs a spare host device thread (see
+        # ops/pallas_dp_train)
+        and (jax.default_backend() == "tpu"
+             or cs_size < len(jax.devices()))):
+      from vtc_tpu.ops.pallas_code_shard_train import (
+          code_shard_segment_supported)
+      code_sharded = code_shard_segment_supported(
+          training_batches.shape[1], s_total // cs_size, n_input,
+          cs_size)
     # fused-DP composition: each shard runs the whole-solve Pallas
     # kernel, psums gram-form stats once per step, and updates
     # replicated -- keeping warm Lipschitz tracking across the mesh
@@ -392,7 +457,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
     from vtc_tpu.ops.pallas_train_step import fused_solve_stats_supported
     global_b = training_batches.shape[1]
     dp_fused_common = (
-        lipschitz_method == "power_warm"
+        not code_sharded
+        and lipschitz_method == "power_warm"
         and group_assignments is None
         and inference_alg in ("ista", "fista")
         and update_alg in ("sc_steepest_descent",
@@ -450,7 +516,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
       dp_fused = fused_group_solve_stats_supported(
           global_b // dp_size, init_dictionary.shape[0],
           training_batches.shape[-1], group_assignments)
-    if not dp_fused and lipschitz_method == "power_warm":
+    if (not dp_fused and not code_sharded
+        and lipschitz_method == "power_warm"):
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
 
@@ -710,7 +777,15 @@ def train_dictionary_scanned(training_batches, validation_batches,
       key = (id(raw_step), upd_niters, chunk)
       if key not in runners:
         if dp_mesh is not None:
-          if dp_rdma:
+          if code_sharded:
+            runners[key] = _code_shard_segment_runner(
+                dp_mesh, cs_size, inference_alg, update_alg, upd_niters,
+                bool(all_params.get("nonnegative_only", False)),
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                mxu=str(all_params.get("train_precision", "highest")))
+            dp_fused_now = False
+          elif dp_rdma:
             from vtc_tpu.parallel.mesh import dp_axes
             runners[key] = _dp_rdma_segment_runner(
                 dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
@@ -776,7 +851,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   upd_num_iters=upd_niters, **common)
             runners[key] = _dp_fused_segment_runner(
                 local, dp_mesh, mode == "convolutional")
-          elif not dp_rdma:
+          elif not (dp_rdma or code_sharded):
             runners[key] = _dp_segment_runner(
                 make_dp_local(upd_niters), dp_mesh,
                 mode == "convolutional")
