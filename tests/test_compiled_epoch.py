@@ -35,6 +35,72 @@ def test_scanned_matches_perbatch_trainer(rng, tmp_path):
   np.testing.assert_allclose(fast, ref, atol=2e-5)
 
 
+def test_scanned_early_stopping_matches_perbatch_trainer(rng):
+  """all_params['early_stopping_epsilon'] (reference solver rule,
+  fc/ista_fista.py:135-144) on the scanned trainer must reproduce the
+  flexible per-batch trainer's trajectory with the same epsilon -- and
+  differ from the run without it (the stop genuinely fires at these
+  iteration counts)."""
+  basis = rng.randn(8, 32)
+  w = rng.randn(5 * 16, 8) * 2.0
+  data = (w @ basis + 0.2 * rng.randn(80, 32)).astype(
+      np.float32).reshape(5, 16, 32)
+  d0 = rng.randn(48, 32).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 2,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 60}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.1, "num_iters": 1}},
+      "fc_formulation": "gram",
+      "lipschitz_method": "eigvalsh",
+      # 0.1 fires within 60 iterations on this problem (smaller eps
+      # never triggers and the runs are bit-identical to eps=None)
+      "early_stopping_epsilon": 0.1,
+  }
+  ref = np.asarray(sc.train_dictionary(data, data[:1], d0, params))
+  fast = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0, params))
+  np.testing.assert_allclose(fast, ref, atol=2e-5)
+  no_eps = np.asarray(compiled_epoch.train_dictionary_scanned(
+      data, data[:1], d0,
+      {k: v for k, v in params.items()
+       if k != "early_stopping_epsilon"}))
+  assert np.abs(no_eps - ref).max() > 1e-5
+
+
+def test_early_stopping_rejects_data_parallel(rng):
+  """The stop test is a batch-GLOBAL mean; composing it with DP would
+  change which codes are returned, so both trainers refuse."""
+  import pytest
+
+  from vtc_tpu import parallel
+
+  data = rng.randn(4, 16, 24).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 1,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 10}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.1, "num_iters": 1}},
+      "early_stopping_epsilon": 1e-4,
+      "data_parallel": parallel.make_mesh(data=8),
+  }
+  with pytest.raises(AssertionError, match="batch-GLOBAL"):
+    compiled_epoch.train_dictionary_scanned(data, data[:1], d0, params)
+  with pytest.raises(AssertionError, match="batch-GLOBAL"):
+    sc.train_dictionary(data, data[:1], d0, params)
+
+
 def test_hbm_streaming_matches_resident(rng):
   """all_params['hbm_chunk_steps'] with a host numpy dataset must give
   the IDENTICAL trajectory to the device-resident path -- including
@@ -61,6 +127,48 @@ def test_hbm_streaming_matches_resident(rng):
   streamed = np.asarray(compiled_epoch.train_dictionary_scanned(
       data.copy(), data[:1], d0, dict(params, hbm_chunk_steps=3)))
   np.testing.assert_allclose(streamed, resident, atol=1e-6)
+
+
+def test_hbm_streaming_prefetches_one_chunk_ahead(rng, monkeypatch):
+  """The streaming loop must issue every continuation chunk's
+  host->device transfer DURING the previous chunk's compute window
+  (the one-ahead prefetch slot), never stage it synchronously: each
+  in-segment chunk is a prefetch 'hit' preceded by its own 'prefetch'
+  event.  (Timing evidence that the overlap pays on the real device
+  lives in BENCH_NOTES -- this pins the mechanism.)"""
+  data = (0.3 * rng.randn(7, 16, 24)).astype(np.float32)
+  d0 = rng.randn(24, 24).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 1,
+      "code_inference_algorithm": "fista",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 8},
+          4: {"sparsity_weight": 0.04, "num_iters": 10}},
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "fc_formulation": "gram",
+      "shuffle_each_epoch": False,
+      "hbm_chunk_steps": 3,
+  }
+  trace = []
+  monkeypatch.setattr(compiled_epoch, "stream_trace", trace)
+  compiled_epoch.train_dictionary_scanned(data, data[:1], d0, params)
+  stages = [(ev, pos) for ev, pos in trace if ev in ("hit", "miss")]
+  assert len(stages) >= 4  # two segments, each multi-chunk
+  # segment-opening chunks stage synchronously (nothing to overlap
+  # with); EVERY continuation chunk must come from the prefetch slot
+  seg_starts = {0, 4}  # schedule change at iteration 4 splits segments
+  for ev, pos in stages:
+    assert ev == ("miss" if pos in seg_starts else "hit"), (ev, pos)
+  prefetch_pos = [pos for ev, pos in trace if ev == "prefetch"]
+  hit_pos = [pos for ev, pos in stages if ev == "hit"]
+  assert sorted(prefetch_pos) == sorted(hit_pos)
+  # and the prefetch event precedes its hit in program order
+  for pos in hit_pos:
+    assert trace.index(("prefetch", pos)) < trace.index(("hit", pos))
 
 
 def test_hbm_streaming_composes_with_data_parallel(rng):

@@ -153,9 +153,12 @@ def test_conv_encode_precision_tiers(rng):
 @pytest.mark.quick
 def test_conv_default_formulation_geometry_routing(rng, monkeypatch):
   """formulation=None routes conv to 'gram' when the direct kernel
-  cannot take the geometry (kernel % stride != 0), even on TPU."""
+  cannot take the geometry (here s > 512 blows the MXU-sized weight
+  gate; kernel % stride != 0 is now HANDLED by zero extension and no
+  longer falls back), even on TPU."""
   import jax
   from vtc_tpu import encode as encode_mod
+  from vtc_tpu.ops import pallas_conv_direct
 
   monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
   seen = {}
@@ -169,9 +172,10 @@ def test_conv_default_formulation_geometry_routing(rng, monkeypatch):
   monkeypatch.setattr(encode_mod, "_chunk_encoder", spy)
   imgs = np.zeros((4, 1, 13, 13), np.float32)
   imgs[:, :, 2:-2, 2:-2] = rng.randn(4, 1, 9, 9)
-  d = rng.randn(6, 1, 4, 4).astype(np.float32)
+  d = rng.randn(520, 1, 4, 4).astype(np.float32)
   d /= np.sqrt((d ** 2).sum(axis=(1, 2, 3), keepdims=True))
-  # stride 3 does not divide the 4x4 kernel: no direct-kernel geometry
+  assert not pallas_conv_direct.supported(
+      (4, 1, 13, 13), (520, 1, 4, 4), (3, 3))
   encode_mod.encode_dataset(imgs, d, 0.02, 3, mode="convolutional",
                             batch_size=4, kernel_stride=(3, 3),
                             padding=((2, 2), (2, 2)))

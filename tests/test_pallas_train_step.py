@@ -281,6 +281,74 @@ def test_tile_picker_low_waste():
   assert _pick_batch_tile(65536, 1024, 1024) is None
 
 
+def test_fused_segment_early_stop_matches_composed_path(rng):
+  """In-kernel early stopping (the whole-segment kernel's per-step
+  lax.while_loop) must reproduce the XLA while_loop stop rule
+  (ops/solver.py:96-98, reference fc/ista_fista.py:135-144): same trip
+  counts per step, hence same codes / dictionary / Hessian -- and the
+  stop must genuinely fire (the run differs from the eps=None one)."""
+  eps = 5e-3
+  s, n, k, b = 24, 16, 3, 10
+  basis = rng.randn(8, n)
+  wts = rng.randn(k * b, 8) * 2.0
+  batches = (wts @ basis + 0.2 * rng.randn(k * b, n)).astype(
+      np.float32).reshape(k, b, n)
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  v = rng.randn(min(s, n)).astype(np.float32)
+
+  raw = sc.build_raw_step_fn(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      fc_formulation="gram", compute_stepsize_in_step=False,
+      early_stopping_epsilon=eps)
+  dj, hj, vj = jnp.asarray(d), jnp.asarray(h), jnp.asarray(v)
+  codes = None
+  for batch in batches:
+    eigval, vj = lip.power_iterate(dj, vj, num_iters=2)
+    dj, hj, codes = raw(dj, hj, jnp.asarray(batch), jnp.float32(0.05),
+                        jnp.int32(60), jnp.float32(0.01), 1,
+                        1.0 / eigval)
+  want = (np.asarray(dj), np.asarray(hj), np.asarray(vj),
+          np.asarray(codes))
+  assert np.isfinite(want[3]).all()
+
+  got = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 60, 0.01, power_iters=2, interpret=True,
+      early_stopping_epsilon=eps)
+  # fista + cheap-quad over a 3-step trajectory amplifies ~1e-7
+  # per-iteration rounding through shrinkage-boundary flips (same chaos
+  # bounds as test_fused_segment_matches_composed_path); a TRIP-COUNT
+  # mismatch in the stop rule would blow far past these
+  tols = {"dict": 2e-5, "hessian": 1e-3, "eigvec": 2e-5, "codes": 5e-3}
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=tols[name],
+                               err_msg=name)
+  # the stop fired: the fixed-60-iteration run lands elsewhere
+  full = fused_train_segment_pallas(
+      d, h, v, batches, 0.05, 60, 0.01, power_iters=2, interpret=True)
+  assert np.abs(np.asarray(full[3]) - want[3]).max() > 1e-5
+
+
+def test_fused_segment_early_stop_gate():
+  """Early stopping needs the whole batch in ONE VMEM tile (the stop
+  test is a batch-global mean; sequential grid tiles cannot share it
+  per-iteration) -- the support gate must reflect that."""
+  assert fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=250, code_size=256, input_size=256,
+      early_stopping_epsilon=1e-4)
+  # this batch is supported batch-TILED without eps, but not with it
+  assert fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=8192, code_size=512, input_size=512)
+  assert not fused_segment_supported(
+      "fully-connected", "fista", "sc_cheap_quadratic_descent",
+      batch_size=8192, code_size=512, input_size=512,
+      early_stopping_epsilon=1e-4)
+
+
 def test_fused_segment_bf16_training_mode(rng):
   """The opt-in bf16 training-speed tier (mxu='bf16') is NOT parity
   grade, but the training trajectory must stay healthy: finite,

@@ -145,8 +145,9 @@ def encode_dataset(data, dictionary, sparsity_weight, num_iters, *,
                    else "gram")
     if (formulation == "pallas" and mode == "convolutional"
         and kernel_stride is not None):
-      # geometry-aware conv default: the fused direct kernel needs
-      # kernel % stride == 0; otherwise 'pallas' would route to the
+      # geometry-aware conv default: outside the direct kernel's gate
+      # (pallas_conv_direct.supported -- stride-exact padded dims,
+      # MXU-sized per-part weights) 'pallas' would route to the
       # gram-form conv kernel, which measures SLOWER than the XLA
       # gram path at reference-like geometry (BENCH_NOTES UPDATE 4).
       # Explicitly passing formulation='pallas' keeps the old routing.

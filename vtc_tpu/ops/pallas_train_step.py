@@ -250,8 +250,12 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
                             group_assignments=None, nonneg=False,
                             hard_threshold=False, batch_size=None,
                             code_size=None, input_size=None,
-                            upd_num_iters=1):
-  """True when `fused_train_segment_pallas` covers this configuration."""
+                            upd_num_iters=1,
+                            early_stopping_epsilon=None):
+  """True when `fused_train_segment_pallas` covers this configuration.
+  In-kernel early stopping (``early_stopping_epsilon``) additionally
+  needs the whole batch in ONE VMEM tile (the stop test is a
+  batch-global mean; independent tiles cannot share it)."""
   del nonneg, hard_threshold  # both supported
   if mode != "fully-connected" or group_assignments is not None:
     return False
@@ -263,12 +267,17 @@ def fused_segment_supported(mode, inference_alg, update_alg, *,
   if None in (batch_size, code_size, input_size):
     return True  # shape-independent eligibility
   del upd_num_iters  # gram-form accumulation supports any count
-  return _pick_batch_tile(batch_size, code_size, input_size) is not None
+  tile = _pick_batch_tile(batch_size, code_size, input_size)
+  if tile is None:
+    return False
+  if early_stopping_epsilon is not None:
+    return tile >= round_up(batch_size, _SUBLANES)
+  return True
 
 
 def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                  upd_num_iters, power_iters, use_n_gram,
-                 lowest_code_val, mxu="highest"):
+                 lowest_code_val, mxu="highest", early_eps=None):
   use_fista = variant == "fista"
   # training-speed tiers (see _make_iter_dot): ONLY the FISTA iteration
   # matmuls (+ corr, in the 'bf16' tier) drop precision.  The Gram
@@ -351,8 +360,33 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
         return codes + beta * (codes - old), codes, t_next
       return codes, codes, t_k
 
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule (fc/ista_fista.py:135-144, same in-kernel
+      # while_loop as ops/pallas_fista): mean |codes - old_codes| / eta
+      # < eps after the first iteration, over the REAL element count
+      # (padded rows/cols hold exact zeros every iteration).  Exact
+      # because this kernel is single-tile (the batch-global mean needs
+      # the whole batch in VMEM; fused_segment_supported gates).
+      inv_count = scalars_ref[3]
+
+      def stop_cond(carry):
+        k, _, _, _, _, stop = carry
+        return jnp.logical_and(k < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        k, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = fista_body(None, (z, old, t_k))
+        avg_delta = (jnp.sum(jnp.abs(codes - old)) * inv_count) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, k > 0)
+        return k + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     codes_out[:] = codes
 
     if uses_hessian:
@@ -1213,7 +1247,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
     static_argnames=("variant", "update_alg", "upd_num_iters", "nonneg",
                      "hard", "renormalize", "power_iters",
                      "lowest_code_val", "interpret", "batch_tile",
-                     "mxu"))
+                     "mxu", "early_stopping_epsilon"))
 def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                sparsity_weight, inf_num_iters,
                                upd_stepsize, *, variant="fista",
@@ -1221,7 +1255,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                upd_num_iters=1, nonneg=False, hard=False,
                                renormalize=True, power_iters=12,
                                lowest_code_val=0.001, interpret=False,
-                               batch_tile=None, mxu="highest"):
+                               batch_tile=None, mxu="highest",
+                               early_stopping_epsilon=None):
   """Run `batches.shape[0]` fused train steps in one kernel launch.
 
   ``mxu`` is the OPT-IN training-speed tier for the FISTA iteration
@@ -1278,7 +1313,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
 
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
-                       jnp.float32(1.0 / b)])
+                       jnp.float32(1.0 / b),
+                       jnp.float32(1.0 / (b * s))])  # early-stop mean
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   out_shape = [
@@ -1294,6 +1330,10 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
       bytes_accessed=4 * k * (b_pad * n_pad + b_pad * s_pad),
       transcendentals=0)
 
+  if early_stopping_epsilon is not None:
+    assert not multi_tile, (
+        "in-kernel early stopping needs the whole batch in one tile "
+        "(caller must check fused_segment_supported)")
   if multi_tile:
     num_tiles = b_pad // tile
     kernel = _make_tiled_kernel(
@@ -1327,7 +1367,10 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
                           renormalize, int(upd_num_iters),
                           int(power_iters), use_n_gram,
                           float(lowest_code_val),
-                          mxu=str(mxu))
+                          mxu=str(mxu),
+                          early_eps=(
+                              None if early_stopping_epsilon is None
+                              else float(early_stopping_epsilon)))
     const = lambda i, *_: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -13,8 +13,14 @@ iteration they are scheduled for.
 
 Requirements vs the flexible trainer: datasets must be stacked arrays
 (k, b, n) / (k, b, c, h, w) (use data.jax_pipeline.DevicePatchPipeline.
-sample_epoch or np.reshape), and early stopping inside inference is
-unavailable (data-dependent trip counts would serialize the scan).
+sample_epoch or np.reshape).  Early-stopped inference
+(all_params['early_stopping_epsilon'], reference solver rule
+fc/ista_fista.py:135-144) is supported on the single-chip paths: the fc
+whole-segment Pallas kernel runs the stop test IN-KERNEL (lax.while_loop
+per step, batch-global mean over the VMEM-resident batch), and every
+other config scans the exact XLA while_loop step.  It is NOT composable
+with data_parallel (the stop test is batch-GLOBAL; a shard-local test
+would change the codes).
 
 Segment execution picks the fastest eligible backend automatically:
 
@@ -36,6 +42,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from vtc_tpu.training import sparse_coding as sc
+
+# Debug hook for the HBM-streaming path: when a test sets this to a
+# list, the trainer appends ("prefetch", pos) when it issues the
+# one-ahead chunk transfer and ("hit"|"miss", pos) when a chunk is
+# staged -- a "hit" means the buffer came from the prefetch slot
+# (transfer issued during the PREVIOUS chunk's compute window), a
+# "miss" means a synchronous stage.  Timing evidence that the overlap
+# pays on the real device is in BENCH_NOTES (streaming A/B).
+stream_trace = None
 
 
 @jax.jit
@@ -84,7 +99,7 @@ def _segment_runner(raw_step, upd_num_iters, warm_power, lip_matrix_fn):
 
 
 def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
-                          renormalize, mxu="highest"):
+                          renormalize, mxu="highest", early_eps=None):
   """Whole segment as ONE Pallas kernel launch (ops/pallas_train_step):
   dictionary/Hessian/eigenvector ride VMEM across all steps, batches
   stream HBM->VMEM with double buffering.  Same float32 semantics as
@@ -102,7 +117,8 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         variant=variant, update_alg=update_alg,
         upd_num_iters=upd_niters, nonneg=nonneg, hard=hard,
-        renormalize=renormalize, power_iters=2, mxu=mxu)
+        renormalize=renormalize, power_iters=2, mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return dictionary, hessian, eigvec
 
   return run
@@ -291,8 +307,8 @@ def _dp_segment_runner(local_step, mesh, conv_mode):
 def train_dictionary_scanned(training_batches, validation_batches,
                              init_dictionary, all_params):
   """Train with compiled multi-batch segments.  Same ``all_params``
-  schema as sparse_coding.train_dictionary (minus early stopping);
-  returns the final dictionary.
+  schema as sparse_coding.train_dictionary (early stopping included --
+  see the module docstring); returns the final dictionary.
 
   training_batches: (k, b, n) or (k, b, c, h, w) array; each epoch runs
   over axis 0.  With all_params['shuffle_each_epoch']=True (default
@@ -406,6 +422,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
   # jax.sharding.Mesh; segments scan the psum-reduced DP step inside
   # one shard_map (stepsize then comes from the in-step cold solve)
   data_parallel = all_params.get("data_parallel", False)
+  early_eps = all_params.get("early_stopping_epsilon")
+  if early_eps is not None:
+    early_eps = float(early_eps)
+    assert not data_parallel, (
+        "early_stopping_epsilon is a batch-GLOBAL stop test (reference "
+        "fc/ista_fista.py:135-144); a shard-local test under "
+        "data_parallel would return different codes.  Drop one of the "
+        "two options.")
   dp_mesh = None
   dp_fused = False
   dp_rdma = False
@@ -534,6 +558,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
       if all_params.get("conv_formulation", "auto") not in ("auto",
                                                             "pallas"):
         return False
+      if early_eps is not None:
+        # the conv whole-segment kernel has no in-kernel stop test;
+        # the XLA scan of the per-step fused solve (which does, via
+        # pallas_conv_direct / the while_loop path) handles it exactly
+        return False
       from vtc_tpu.ops.pallas_conv_train import (
           fused_conv_segment_supported)
       return fused_conv_segment_supported(
@@ -545,6 +574,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
             and mode == "fully-connected"):
       return False
     if group_assignments is not None:
+      if early_eps is not None:
+        return False  # same: the scanned XLA group step stops exactly
       return fused_group_segment_supported(
           inference_alg, update_alg, group_assignments,
           alignment_penalty=float(
@@ -560,7 +591,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
         batch_size=training_batches.shape[1],
         code_size=dictionary.shape[0],
         input_size=training_batches.shape[-1],
-        upd_num_iters=upd_niters_)
+        upd_num_iters=upd_niters_,
+        early_stopping_epsilon=early_eps)
 
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
@@ -599,7 +631,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
         fc_formulation=resolved_formulation,
         conv_formulation=all_params.get("conv_formulation", "auto"),
         lipschitz_method=("power" if warm_power else lipschitz_method),
-        compute_stepsize_in_step=not warm_power)
+        compute_stepsize_in_step=not warm_power,
+        early_stopping_epsilon=early_eps)
 
   def lip_matrix(d):
     """The matrix whose Gram sets the stepsize (mode-dependent)."""
@@ -728,6 +761,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
     if stream_steps is None:
       return training_batches[pos_:pos_ + chunk_]
     buf = prefetched.pop((pos_, chunk_), None)
+    if stream_trace is not None:
+      stream_trace.append(("hit" if buf is not None else "miss", pos_))
     if buf is None:
       buf = _put(training_batches[pos_:pos_ + chunk_])
     return buf
@@ -880,7 +915,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
-                mxu=str(all_params.get("train_precision", "highest")))
+                mxu=str(all_params.get("train_precision", "highest")),
+                early_eps=early_eps)
         else:
           runners[key] = _segment_runner(raw_step, upd_niters,
                                          warm_power, lip_matrix)
@@ -897,6 +933,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
         # host->device transfer now so it overlaps the compute
         nxt = min((hi - pos) if use_fused
                   else 1 << ((hi - pos).bit_length() - 1), stream_steps)
+        if stream_trace is not None:
+          stream_trace.append(("prefetch", pos))
         prefetched[(pos, nxt)] = _put(training_batches[pos:pos + nxt])
     if segment_ran_cold_dp and warm_power:
       # the cold runner trained the dictionary without refreshing the

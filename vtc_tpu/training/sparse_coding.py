@@ -31,6 +31,14 @@ TPU-native architecture (differs from the reference's per-op Python loop):
           utils.checkpoint.resume_training_state -- seeds the Hessian
           EMA and the absolute iteration counter for exact continuation
           of an interrupted run (num_epochs counts ADDITIONAL epochs)
+      'early_stopping_epsilon': optional float -- the reference solver's
+          early-stop rule (fc/ista_fista.py:135-144: stop when the mean
+          absolute code delta / stepsize drops below epsilon) applied to
+          every inference solve the trainer issues.  Runs IN-KERNEL on
+          the fused Pallas paths when the batch fits one VMEM tile, and
+          as the exact XLA while_loop otherwise.  Not composable with
+          'data_parallel' (the stop test is a batch-GLOBAL mean; a
+          shard-local test would change which codes are returned).
 """
 import time
 from pathlib import Path
@@ -118,7 +126,8 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
                       fc_formulation="gram", conv_formulation="auto",
                       lipschitz_method="eigvalsh",
                       compute_stepsize_in_step=True,
-                      lowest_code_val=0.001):
+                      lowest_code_val=0.001,
+                      early_stopping_epsilon=None):
   """Build the raw (unjitted) fused step for a static algorithm config.
 
   Signature of the returned python callable:
@@ -135,6 +144,13 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
   'gram' (force the XLA path).  Used directly by jit (build_train_step),
   by sharded pjit variants (vtc_tpu.parallel), and inside lax.scan epoch
   programs (vtc_tpu.training.compiled_epoch / bench.py).
+
+  ``early_stopping_epsilon``: optional static float -- the reference
+  solver stop rule (fc/ista_fista.py:135-144) applied to the inference
+  solve.  Pallas formulations run it in-kernel when the batch fits one
+  VMEM tile (ops.pallas_fista.early_stop_tile_fits /
+  pallas_conv_direct.early_stop_supported) and otherwise fall back to
+  the exact XLA while_loop path.
   """
   is_subspace_inf = inference_alg.startswith("subspace")
   variant = inference_alg[9:] if is_subspace_inf else inference_alg
@@ -165,22 +181,30 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
         return subspace_ista_fista._solve(
             batch, grouped_dict, gather_inds, valid_mask,
             sparsity_weight, num_iters, stepsize, init, variant, False,
-            None,
+            early_stopping_epsilon,
             "gram" if fc_formulation == "pallas" else fc_formulation,
             dictionary.shape[0], True)
       if compute_stepsize_in_step:
         stepsize = lipschitz_ops.fista_stepsize(
             dictionary, lipschitz_method)
       if fc_formulation == "pallas":
-        from vtc_tpu.ops.pallas_fista import fista_solve_pallas
-        return fista_solve_pallas(
-            batch, dictionary, sparsity_weight, num_iters, stepsize,
-            variant=variant, nonneg=nonneg, hard=hard_threshold,
-            interpret=jax.default_backend() != "tpu")
+        from vtc_tpu.ops.pallas_fista import (early_stop_tile_fits,
+                                              fista_solve_pallas)
+        if (early_stopping_epsilon is None
+            or early_stop_tile_fits(batch.shape[0],
+                                    dictionary.shape[0])):
+          return fista_solve_pallas(
+              batch, dictionary, sparsity_weight, num_iters, stepsize,
+              variant=variant, nonneg=nonneg, hard=hard_threshold,
+              early_stopping_epsilon=early_stopping_epsilon,
+              interpret=jax.default_backend() != "tpu")
+        # batch too large for the in-kernel batch-global stop test:
+        # the XLA while_loop path below handles it exactly
       init = jnp.zeros((batch.shape[0], dictionary.shape[0]), batch.dtype)
       return fc_ista_fista._solve(
           batch, dictionary, sparsity_weight, num_iters, stepsize, init,
-          variant, nonneg, hard_threshold, None, fc_formulation)
+          variant, nonneg, hard_threshold, early_stopping_epsilon,
+          "gram" if fc_formulation == "pallas" else fc_formulation)
     # convolutional
     if compute_stepsize_in_step:
       stepsize = lipschitz_ops.fista_stepsize(
@@ -195,11 +219,15 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
       if pallas_conv_direct.supported(
           batch.shape, dictionary.shape, tuple(kernel_stride)) and (
               conv_formulation == "pallas"
-              or jax.default_backend() == "tpu"):
+              or jax.default_backend() == "tpu") and (
+              early_stopping_epsilon is None
+              or pallas_conv_direct.early_stop_supported(
+                  batch.shape, dictionary.shape, tuple(kernel_stride))):
         return pallas_conv_direct.conv_direct_solve_pallas(
             batch, dictionary, sparsity_weight, num_iters, stepsize,
             kernel_stride=tuple(kernel_stride), padding=pad_static,
             variant=variant, nonneg=nonneg, hard=hard_threshold,
+            early_stopping_epsilon=early_stopping_epsilon,
             interpret=jax.default_backend() != "tpu")
     sh, sw = conv_ista_fista.code_spatial_dims(
         batch.shape, dictionary.shape, kernel_stride)
@@ -208,8 +236,8 @@ def build_raw_step_fn(mode, inference_alg, update_alg, *, nonneg=False,
     mask = conv_shapes.create_mask(batch.shape, padding, batch.dtype)
     return conv_ista_fista._solve(
         batch, dictionary, mask, sparsity_weight, num_iters, stepsize,
-        init, tuple(kernel_stride), variant, nonneg, hard_threshold, None,
-        formulation="gram", padding=pad_static)
+        init, tuple(kernel_stride), variant, nonneg, hard_threshold,
+        early_stopping_epsilon, formulation="gram", padding=pad_static)
 
   def update(dictionary, hessian, batch, codes, upd_stepsize,
              upd_num_iters):
@@ -440,6 +468,14 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
   stepsize_interval = int(all_params.get("stepsize_update_interval", 1))
   in_step_stepsize = stepsize_interval <= 1
   data_parallel = all_params.get("data_parallel", False)
+  early_eps = all_params.get("early_stopping_epsilon")
+  if early_eps is not None:
+    early_eps = float(early_eps)
+    assert not data_parallel, (
+        "early_stopping_epsilon is a batch-GLOBAL stop test (reference "
+        "fc/ista_fista.py:135-144); a shard-local test under "
+        "data_parallel would return different codes.  Drop one of the "
+        "two options.")
   profile_dir = all_params.get("profile_dir")
   profile_start = int(all_params.get("profile_start_iteration", 5))
   profile_steps = int(all_params.get("profile_num_steps", 5))
@@ -485,7 +521,8 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
           fc_formulation=fc_formulation,
           conv_formulation=all_params.get("conv_formulation", "auto"),
           lipschitz_method=lipschitz_method,
-          compute_stepsize_in_step=in_step_stepsize)
+          compute_stepsize_in_step=in_step_stepsize,
+          early_stopping_epsilon=early_eps)
 
   step_fn = make_step()
 
@@ -496,17 +533,20 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
         return subspace_ista_fista.run(
             batch, dictionary, group_assignments, sw, n_it,
             variant=inference_alg[9:],
+            early_stopping_epsilon=early_eps,
             formulation=("gram" if fc_formulation == "pallas"
                          else fc_formulation),
             lipschitz_method=lipschitz_method)
       return fc_ista_fista.run(
           batch, dictionary, sw, n_it, variant=inference_alg,
           nonnegative_only=nonneg, hard_threshold=hard_threshold,
+          early_stopping_epsilon=early_eps,
           formulation=fc_formulation, lipschitz_method=lipschitz_method)
     return conv_ista_fista.run(
         batch, dictionary, kernel_stride, padding, sw, n_it,
         variant=inference_alg, nonnegative_only=nonneg,
-        hard_threshold=hard_threshold, lipschitz_method=lipschitz_method)
+        hard_threshold=hard_threshold, early_stopping_epsilon=early_eps,
+        lipschitz_method=lipschitz_method)
 
   dictionary = init_dictionary
   hessian = jnp.zeros(dictionary.shape[0], jnp.float32)
