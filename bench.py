@@ -113,23 +113,44 @@ def subspace_step_flops(b, s=S, n=N, num_groups=64, max_gs=4,
           + upd_iters * 4 * b * s * n)
 
 
-def conv_step_flops(b, iters=FISTA_ITERS, s=64, code_h=33, code_w=33,
-                    kernel_px=256, offsets=9, upd_iters=1):
-  """Matmul FLOPs of one conv train step: per-iteration channel-mix
-  interior (dense (s,s) mix over `offsets` spatial taps), the one-time
-  analysis b-term, and the update's correlations.  Border corrections
-  and the small per-step gram build are excluded (lower-bound
-  accounting).  The direct/block formulation actually used on TPU
-  (ops/pallas_conv_direct.py) performs ~the same count — its
-  deep-contraction matmuls cover R*cpx = offsets-equivalent work over
-  the slightly larger spare-padded canvas — so this model serves both
-  formulations."""
-  hw = code_h * code_w
-  interior = 2 * b * hw * s * s * offsets      # channel-mix per iteration
-  bterm = 2 * b * hw * s * kernel_px           # analysis A(mask * X)
-  update = interior + bterm                    # autocorrs + image corr
-  del upd_iters  # recombination per extra iteration is negligible
-  return iters * interior + bterm + update
+def conv_flop_geometry(kdim=16, s=64, img=256, stride=8, c=1):
+  """(geo, b_pad_fn) for the bench conv config, replicating
+  measure_conv's stride-exact padding."""
+  from vtc_tpu.ops import conv_shapes
+  from vtc_tpu.ops.pallas_conv_direct import _geometry
+  lead, trail = conv_shapes.get_padding_amt(img, kdim, stride)
+  trail += (-(img + lead + trail - kdim)) % stride
+  hw = img + lead + trail
+  geo = _geometry((1, c, hw, hw), (s, c, kdim, kdim), (stride, stride))
+  return geo
+
+
+def conv_step_flops(b, iters=FISTA_ITERS, kdim=16, s=64, img=256,
+                    stride=8, upd_iters=1):
+  """EXECUTED matmul FLOPs of one conv train step on the fused
+  direct/block kernel (ops/pallas_conv_train) -- derived from the
+  kernel's actual per-geometry block-matmul dims, not an algorithmic
+  model.  Per FISTA iteration the tile solver runs TWO deep-contraction
+  matmuls, synthesis (cpx, R*s)x(R*s, tl) and analysis
+  (s, R*cpx)x(R*cpx, tl), each 2*R*s*cpx*tl FLOPs, summed over batch
+  tiles (sum tl = b_pad * ells, the spare-padded canvas the MXU really
+  sweeps).  One-time per step: the corr b-term (analysis shape, half an
+  iteration), the dall build (R per-part (cpx,s)^T x (cpx,R*cpx)
+  placements), the (s, R*cpx) Gram, and per update iteration one
+  synthesis + one correlation (= one iteration-equivalent).  The
+  previous channel-mix model counted s^2-proportional work the block
+  kernel does not execute, which inflated %-roofline quadratically in
+  s (129.5% at s=128, BENCH_NOTES UPDATE 33)."""
+  from vtc_tpu.ops.pallas_conv_train import _pick_tile
+  geo = conv_flop_geometry(kdim=kdim, s=s, img=img, stride=stride)
+  tile, num_tiles = _pick_tile(b, geo)
+  b_pad = tile * num_tiles
+  lanes = b_pad * geo["ells"]
+  per_iter = 4 * geo["r"] * geo["s"] * geo["cpx"] * lanes
+  corr = per_iter // 2                          # analysis b-term, once
+  dall = 2 * geo["r"] ** 2 * geo["s"] * geo["cpx"] ** 2
+  gram = 2 * geo["s"] ** 2 * geo["r"] * geo["cpx"]
+  return (iters + upd_iters) * per_iter + corr + dall + gram
 
 
 def ica_step_flops(b, n=N, refine_iters=3, upd_iters=1):
@@ -543,10 +564,10 @@ def main():
         "images_per_sec": round(ips_nm, 1),
         "images_per_sec_gram_fallback": round(ips_nm_gram, 1),
         "speedup_vs_gram": round(ips_nm / ips_nm_gram, 2),
-        # the zero-extended 12x12@8 kernel computes the SAME matmul
-        # shapes as 16x16@8 (khp=16, R=4, 33x33 codes), so the
-        # reference-geometry FLOP model measures its MXU utilization
-        **roofline_fields(conv_step_flops(40), ips_nm / 40)}
+        # executed-work accounting: the zero-extended 12x12@8 kernel
+        # runs the same block-matmul shapes as 16x16@8 (khp=16, R=4),
+        # which conv_step_flops derives from the geometry itself
+        **roofline_fields(conv_step_flops(40, kdim=12), ips_nm / 40)}
     # full-occupancy geometry (s=128 >= one MXU tile; BENCH_NOTES
     # UPDATE 17 predicted full occupancy here -- measured evidence)
     ips_s128 = measure_conv(40, 25, log=log, s=128, tag="-s128")

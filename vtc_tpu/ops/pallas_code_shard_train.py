@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_collective import slot_allreduce
+from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
+                                           slot_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import _dot, _dot_t, _tdot
@@ -221,7 +222,11 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
     def update_body(carry):
       j, d = carry
-      resid = rreduce(tdot_(codes, d)) - images   # replicated
+      # HIGHEST even in the opt-in tiers: the update residual is a
+      # cancellation-prone small difference feeding the dictionary
+      # gradient (same policy as the gram-form kernels' C/B stats,
+      # see ops/pallas_train_step._make_tiled_kernel)
+      resid = rreduce(_dot(codes, d)) - images    # replicated
       grad = _tdot(codes, resid) * inv_b          # (sl_pad, n_pad) LOCAL
       if uses_hessian:
         grad = grad / scale
@@ -308,15 +313,10 @@ def fused_code_sharded_train_segment_pallas(
           pl.BlockSpec((1, n_pad), const),
           pl.BlockSpec((b_pad, sl_pad), const),
       ],
-      scratch_shapes=[
-          pltpu.VMEM((2, num_devices, b_pad, n_pad), jnp.float32),
-          pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
-          pltpu.SemaphoreType.DMA((2, num_devices)),
-          pltpu.VMEM((2, num_devices, _SUBLANES, n_pad), jnp.float32),
-          pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
-          pltpu.SemaphoreType.DMA((2, num_devices)),
-          pltpu.SMEM((1,), jnp.int32),
-      ])
+      scratch_shapes=(comm_scratch_shapes(num_devices, (b_pad, n_pad))
+                      + comm_scratch_shapes(num_devices,
+                                            (_SUBLANES, n_pad))
+                      + [pltpu.SMEM((1,), jnp.int32)]))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel, grid_spec=grid_spec,
       out_shape=[

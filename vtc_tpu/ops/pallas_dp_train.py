@@ -55,6 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
+                                           slot_exchange)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_VMEM_BUDGET_BYTES, _dot,
@@ -176,7 +178,6 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     stat = jnp.sum(codes * codes, axis=0, keepdims=True)
 
     if num_devices > 1:
-      from vtc_tpu.ops.pallas_collective import slot_exchange
       phase = jax.lax.rem(step, 2)
       my_idx = jax.lax.axis_index(axis_name)
       # stage my packed slot region-wise, all-to-all it, then sum the
@@ -290,11 +291,7 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=[
-          pltpu.VMEM((2, num_devices, rows, cols), jnp.float32),
-          pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
-          pltpu.SemaphoreType.DMA((2, num_devices)),
-      ])
+      scratch_shapes=comm_scratch_shapes(num_devices, (rows, cols)))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel, grid_spec=grid_spec,
       out_shape=[
