@@ -39,12 +39,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
+                                           slot_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _tdot, _dot_b,
                                            _split_hi_lo, _split3)
 
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# the DP segment variant carries 2 x P x (n, n) comm slots on top of
+# the fixed state; same raised-limit convention as ops/pallas_dp_train
+_DP_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+_DP_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _make_ns_dot(mxu):
@@ -89,10 +95,21 @@ def fused_ica_segment_supported(n, batch_size):
   return vmem <= _VMEM_BUDGET_BYTES
 
 
-def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None):
+def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None,
+                     axis_name=None, num_devices=1):
+  """Whole-segment ICA kernel.  With ``num_devices > 1`` the signature
+  gains (comm, send_sem, recv_sem) scratch and the per-step natural-
+  gradient statistic is all-reduced IN-KERNEL over ICI with the
+  deterministic slot all-reduce (ops/pallas_collective) before the
+  replicated update -- the DP semantics of training/ica
+  ._segment_runner_dp (psum of per-shard codes^T sign(codes) /
+  global_b) with the per-step launch + epilogue overhead removed.  The
+  Newton-Schulz refresh depends only on the replicated dictionary, so
+  every chip computes the identical inverse and guard residual."""
   ns_dot = _make_ns_dot(mxu)
 
-  def kernel(scalars_ref, d_ref, xi_ref, x_ref, d_out, xi_out, res_out):
+  def kernel(scalars_ref, d_ref, xi_ref, x_ref, d_out, xi_out, res_out,
+             *comm_refs):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -141,8 +158,16 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None):
     codes = ns_dot(x_ref[0], xi)
     # natural-gradient statistic + update stay HIGHEST in every tier
     # (same policy as the sparse-coding kernels / _TIERS)
-    stat = _tdot(codes, jnp.sign(codes)) * inv_b
-    m = stat - eye
+    stat = _tdot(codes, jnp.sign(codes))
+    if num_devices > 1:
+      # fixed-order slot sum -> bitwise-identical global stat on every
+      # chip, so the replicated dictionary never drifts across the mesh
+      comm, send_sem, recv_sem = comm_refs
+      stat = slot_allreduce(
+          comm, send_sem, recv_sem, stat, phase=jax.lax.rem(step, 2),
+          my_idx=jax.lax.axis_index(axis_name),
+          num_devices=num_devices)
+    m = stat * inv_b - eye
 
     def upd_body(_, dd):
       return dd + stepsize * _dot(m, dd)
@@ -297,6 +322,88 @@ def fused_ica_train_segment_pallas(dictionary, inverse_estimate,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
+  )(scalars, jnp.asarray(dictionary, jnp.float32),
+    jnp.asarray(inverse_estimate, jnp.float32), x_in)
+  d_fin, xi_fin, res = out
+  return d_fin, xi_fin, res[0, 0]
+
+
+def fused_ica_dp_segment_supported(n, batch_shard_size, num_devices):
+  """True when the whole-segment DP ICA kernel covers this per-shard
+  geometry: the single-chip state must fit plus the 2 x P x (n, n)
+  double-buffered comm slots."""
+  if not fused_ica_segment_supported(n, batch_shard_size):
+    return False
+  b_pad = round_up(batch_shard_size, _SUBLANES)
+  vmem = (7 * n * n + 2 * b_pad * n
+          + 2 * int(num_devices) * n * n) * 4
+  return vmem <= _DP_VMEM_BUDGET_BYTES
+
+
+def fused_ica_dp_train_segment_pallas(dictionary, inverse_estimate,
+                                      batches, stepsize, *, axis_name,
+                                      axis_size, refine_iters=5,
+                                      upd_num_iters=1, mxu="highest",
+                                      boost_tol=None, interpret=False):
+  """Run a whole DATA-PARALLEL ICA training segment as ONE kernel
+  launch per chip: Newton-Schulz refresh + codes of the LOCAL batch
+  shard + the per-step natural-gradient statistic all-reduced IN-KERNEL
+  over ICI (deterministic slot sum -> bitwise-identical replicated
+  state on every chip), then the replicated ascent update.  Call
+  inside a shard_map whose ``axis_name`` is the mesh's only non-trivial
+  axis; ``batches`` is this chip's (k, b_shard, n) shard.  Semantics ==
+  lax.scan of [ica_solve_stats_pallas -> stat psum -> replicated
+  update] (training/ica._segment_runner_dp fused=True) with the
+  per-step launch + epilogue overhead removed; reference update
+  semantics dict_update_rules/fully_connected/ica_natural_gradient
+  .py:6-35 on the GLOBAL batch-mean statistic.
+
+  Returns (final_dictionary, final_inverse, max_residual) with the
+  same caller-side divergence-guard contract as
+  `fused_ica_train_segment_pallas`.
+  """
+  k, b, n = batches.shape
+  num_devices = int(axis_size)
+  assert dictionary.shape == (n, n) and inverse_estimate.shape == (n, n)
+  assert n % _LANES == 0, n
+  if not fused_ica_dp_segment_supported(n, b, num_devices):
+    raise ValueError("shapes exceed the DP ICA segment kernel's VMEM "
+                     "budget; use the per-step fused-DP path")
+  b_pad = round_up(b, _SUBLANES)
+  x_in = jnp.pad(jnp.asarray(batches, jnp.float32),
+                 ((0, 0), (0, b_pad - b), (0, 0)))
+  scalars = jnp.stack([jnp.asarray(stepsize, jnp.float32),
+                       jnp.float32(1.0 / (b * num_devices))])
+
+  kernel = _make_ica_kernel(int(refine_iters), int(upd_num_iters),
+                            str(mxu), boost_tol, axis_name=axis_name,
+                            num_devices=num_devices)
+  const = lambda *_: (0, 0)
+  out = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=1,
+          grid=(k,),
+          in_specs=[
+              pl.BlockSpec((n, n), const),
+              pl.BlockSpec((n, n), const),
+              pl.BlockSpec((1, b_pad, n), lambda i, *_: (i, 0, 0)),
+          ],
+          out_specs=[
+              pl.BlockSpec((n, n), const),
+              pl.BlockSpec((n, n), const),
+              pl.BlockSpec((1, 1), const),
+          ],
+          scratch_shapes=(comm_scratch_shapes(num_devices, (n, n))
+                          if num_devices > 1 else [])),
+      out_shape=[
+          jax.ShapeDtypeStruct((n, n), jnp.float32),
+          jax.ShapeDtypeStruct((n, n), jnp.float32),
+          jax.ShapeDtypeStruct((1, 1), jnp.float32),
+      ],
+      interpret=pltpu.InterpretParams() if interpret else False,
+      compiler_params=None if interpret else pltpu.CompilerParams(
+          vmem_limit_bytes=_DP_VMEM_LIMIT_BYTES),
   )(scalars, jnp.asarray(dictionary, jnp.float32),
     jnp.asarray(inverse_estimate, jnp.float32), x_in)
   d_fin, xi_fin, res = out

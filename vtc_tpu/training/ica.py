@@ -215,6 +215,38 @@ def _fused_segment_runner(upd_num_iters, refine_iters=3, mxu="highest",
   return run
 
 
+def _rdma_segment_runner_dp(upd_num_iters, mesh, axis_name, axis_size,
+                            refine_iters=3, mxu="highest",
+                            interpret=False):
+  """Multi-chip ICA segment as ONE whole-segment Pallas kernel PER
+  CHIP: the per-step natural-gradient-statistic all-reduce rides
+  in-kernel remote DMAs (ops/pallas_ica_train
+  .fused_ica_dp_train_segment_pallas), removing the per-step launch +
+  epilogue overhead of the fused=True per-step path -- the ICA
+  analogue of compiled_epoch._dp_rdma_segment_runner.  Returns
+  (dict, dinv, max_residual) with the same lazy divergence-guard
+  contract as the single-chip fused runner."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.pallas_ica_train import (
+      fused_ica_dp_train_segment_pallas)
+
+  boost_tol = _TIERS[mxu][2]
+
+  def run(dictionary, dinv, batches, stepsize):
+    return fused_ica_dp_train_segment_pallas(
+        dictionary, dinv, batches, stepsize, axis_name=axis_name,
+        axis_size=axis_size, refine_iters=refine_iters,
+        upd_num_iters=upd_num_iters, mxu=mxu, boost_tol=boost_tol,
+        interpret=interpret)
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh, in_specs=(rep, rep, P(None, axis_name, None), rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def _segment_runner_dp(upd_num_iters, mesh, warm_inverse,
                        refine_iters=3, mxu="highest", fused=False,
                        interpret=False):
@@ -439,6 +471,30 @@ def train_dictionary_scanned(training_batches, init_dictionary,
   use_fused = fused_on and not data_parallel
   use_fused_dp = fused_on and bool(data_parallel)
   fused_interpret = jax.default_backend() != "tpu"
+  # whole-segment DP kernel (in-kernel RDMA stat all-reduce): needs the
+  # sharded data axis to be the mesh's ONLY non-trivial axis (logical
+  # RDMA device ids == the axis index), comm slots within the VMEM
+  # budget, and -- off-TPU -- a spare host device thread for the
+  # interpreter (see ops/pallas_dp_train)
+  use_rdma_dp = False
+  rdma_axis = None
+  rdma_size = 1
+  if use_fused_dp:
+    from vtc_tpu.ops.pallas_ica_train import fused_ica_dp_segment_supported
+    from vtc_tpu.parallel.mesh import dp_axes
+    axes = dp_axes(dp_mesh)
+    nontrivial = [a for a in dp_mesh.axis_names if dp_mesh.shape[a] > 1]
+    if (len(axes) >= 1 and "dcn" not in dp_mesh.axis_names
+        and (nontrivial == [axes[0]] or not nontrivial)):
+      rdma_axis = axes[0]
+      rdma_size = dp_mesh.shape[rdma_axis]
+      global_b = training_batches.shape[1]
+      use_rdma_dp = (
+          global_b % rdma_size == 0
+          and fused_ica_dp_segment_supported(
+              dictionary.shape[0], global_b // rdma_size, rdma_size)
+          and (jax.default_backend() == "tpu"
+               or rdma_size < len(jax.devices())))
   pending = []  # optimistic fused chunks awaiting their guard check
 
   def _drain_guard():
@@ -494,7 +550,11 @@ def train_dictionary_scanned(training_batches, init_dictionary,
       chunk = 1 << ((hi - pos).bit_length() - 1)
       key = (upd_niters, chunk)
       if key not in runners:
-        if dp_mesh is not None:
+        if dp_mesh is not None and use_rdma_dp:
+          runners[key] = _rdma_segment_runner_dp(
+              upd_niters, dp_mesh, rdma_axis, rdma_size,
+              refine_iters=refine, mxu=mxu, interpret=fused_interpret)
+        elif dp_mesh is not None:
           runners[key] = _segment_runner_dp(
               upd_niters, dp_mesh, warm_inverse, refine_iters=refine,
               mxu=mxu, fused=use_fused_dp, interpret=fused_interpret)
