@@ -36,11 +36,11 @@ def code_spatial_dims(padded_shape, kernel_shape, kernel_stride):
     jax.jit,
     static_argnames=("kernel_stride", "variant", "nonnegative_only",
                      "hard_threshold", "early_stopping_epsilon",
-                     "formulation", "padding"))
+                     "formulation", "padding", "psum_axes"))
 def _solve(images_padded, dictionary, mask, sparsity_weight, num_iters,
            stepsize, initial_codes, kernel_stride, variant,
            nonnegative_only, hard_threshold, early_stopping_epsilon,
-           formulation="direct", padding=None):
+           formulation="direct", padding=None, psum_axes=None):
   # NOTE: 'direct' default on purpose -- 'gram' requires the STATIC
   # padding dims that produced ``mask`` (run() and the trainers pass
   # them); a gram build with padding=None against a bordered mask would
@@ -72,7 +72,8 @@ def _solve(images_padded, dictionary, mask, sparsity_weight, num_iters,
   with matmul_precision():
     return proximal_gradient_loop(
         grad_fn, prox_fn, initial_codes, stepsize, num_iters,
-        variant=variant, early_stopping_epsilon=early_stopping_epsilon)
+        variant=variant, early_stopping_epsilon=early_stopping_epsilon,
+        psum_axes=psum_axes)
 
 
 def run(images_padded, dictionary, kernel_stride, padding_dims,

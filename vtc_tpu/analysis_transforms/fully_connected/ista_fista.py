@@ -35,10 +35,10 @@ from vtc_tpu.ops.solver import proximal_gradient_loop
     jax.jit,
     static_argnames=(
         "variant", "nonnegative_only", "hard_threshold",
-        "early_stopping_epsilon", "formulation"))
+        "early_stopping_epsilon", "formulation", "psum_axes"))
 def _solve(images, dictionary, sparsity_weight, num_iters, stepsize,
            initial_codes, variant, nonnegative_only, hard_threshold,
-           early_stopping_epsilon, formulation):
+           early_stopping_epsilon, formulation, psum_axes=None):
   threshold_fn = thresholds.select(nonnegative_only, hard_threshold)
 
   with matmul_precision():
@@ -70,7 +70,7 @@ def _solve(images, dictionary, sparsity_weight, num_iters, stepsize,
     return proximal_gradient_loop(
         grad_fn, prox_fn, initial_codes, stepsize, num_iters,
         variant=variant, early_stopping_epsilon=early_stopping_epsilon,
-        prestep_fn=prestep_fn)
+        prestep_fn=prestep_fn, psum_axes=psum_axes)
 
 
 def run(images, dictionary, sparsity_weight, num_iters, variant="fista",

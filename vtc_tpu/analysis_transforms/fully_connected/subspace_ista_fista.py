@@ -81,11 +81,12 @@ def unpack_codes_summed(grouped_codes, gather_inds, valid_mask, code_size):
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "hard_threshold", "early_stopping_epsilon",
-                     "formulation", "code_size", "ret_summed"))
+                     "formulation", "code_size", "ret_summed",
+                     "psum_axes"))
 def _solve(images, grouped_dictionary, gather_inds, valid_mask,
            sparsity_weight, num_iters, stepsize, init_grouped, variant,
            hard_threshold, early_stopping_epsilon, formulation, code_size,
-           ret_summed):
+           ret_summed, psum_axes=None):
   b = images.shape[0]
   g, m = gather_inds.shape
 
@@ -120,7 +121,7 @@ def _solve(images, grouped_dictionary, gather_inds, valid_mask,
     grouped_codes = proximal_gradient_loop(
         grad_fn, prox_fn, init_grouped, stepsize, num_iters,
         variant=variant, early_stopping_epsilon=early_stopping_epsilon,
-        prestep_fn=prestep_fn)
+        prestep_fn=prestep_fn, psum_axes=psum_axes)
   if ret_summed:
     return unpack_codes_summed(grouped_codes, gather_inds, valid_mask,
                                code_size)

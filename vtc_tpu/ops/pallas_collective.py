@@ -29,10 +29,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def slot_exchange(comm, send_sem, recv_sem, *, phase, my_idx,
-                  num_devices):
+                  num_devices, device_for=None):
   """All-to-all the staged comm[phase, my_idx] slot; BLOCKS until all
   P-1 incoming slots have landed.  The caller must have written its
-  payload into comm[phase, my_idx] first."""
+  payload into comm[phase, my_idx] first.
+
+  ``device_for``: optional map from slot position (0..P-1 along the
+  reduced axis) to the peer's LOGICAL device id.  The default identity
+  map is the 1D case (the reduced axis is the mesh's only non-trivial
+  axis); on a multi-axis mesh pass the row-major linearization of the
+  full mesh coordinate with only the reduced axis varying (e.g.
+  ``lambda c: data_idx * code_size + c`` for a code-axis reduce on a
+  (data, code) mesh) -- the slot index stays the position WITHIN the
+  axis, so the comm scratch needs only axis_size slots."""
+  if device_for is None:
+    device_for = lambda pos: pos
   copies = []
   for off in range(1, num_devices):
     peer = jax.lax.rem(my_idx + off, num_devices)
@@ -41,7 +52,7 @@ def slot_exchange(comm, send_sem, recv_sem, *, phase, my_idx,
         dst_ref=comm.at[phase, my_idx],
         send_sem=send_sem.at[phase, off - 1],
         recv_sem=recv_sem.at[phase, my_idx],
-        device_id=peer,
+        device_id=device_for(peer),
         device_id_type=pltpu.DeviceIdType.LOGICAL,
     )
     rdma.start()
@@ -55,21 +66,23 @@ def slot_exchange(comm, send_sem, recv_sem, *, phase, my_idx,
         dst_ref=comm.at[phase, src],
         send_sem=send_sem.at[phase, off - 1],
         recv_sem=recv_sem.at[phase, src],
-        device_id=my_idx,
+        device_id=device_for(my_idx),
         device_id_type=pltpu.DeviceIdType.LOGICAL,
     ).wait_recv()
 
 
 def slot_allreduce(comm, send_sem, recv_sem, payload, *, phase, my_idx,
-                   num_devices):
+                   num_devices, device_for=None):
   """Deterministic all-reduce of ``payload`` (one full comm slot):
   stage, exchange, fixed-order slot sum.  Returns the global sum --
-  bitwise identical on every chip.  num_devices == 1 short-circuits."""
+  bitwise identical on every chip.  num_devices == 1 short-circuits.
+  ``device_for`` as in slot_exchange (sub-axis reduces on multi-axis
+  meshes)."""
   if num_devices == 1:
     return payload
   comm[phase, my_idx] = payload
   slot_exchange(comm, send_sem, recv_sem, phase=phase, my_idx=my_idx,
-                num_devices=num_devices)
+                num_devices=num_devices, device_for=device_for)
   total = comm[phase, 0]
   for slot in range(1, num_devices):
     total = total + comm[phase, slot]

@@ -49,6 +49,7 @@ def proximal_gradient_loop(
     variant: str = "fista",
     early_stopping_epsilon: Optional[float] = None,
     prestep_fn: Optional[Callable] = None,
+    psum_axes=None,
 ) -> jnp.ndarray:
   """Run the ISTA/FISTA loop; returns the final codes.
 
@@ -70,6 +71,14 @@ def proximal_gradient_loop(
       gram path's ``z @ (I - eta G) + eta c``), which removes two
       full-width elementwise passes per iteration; the early-stop delta
       semantics are unchanged.
+    psum_axes: optional mesh axis name(s).  When set (static decision,
+      caller must be inside a shard_map over those axes with EQUAL
+      shard sizes), the early-stop test uses the batch-GLOBAL mean
+      |delta| -- ``lax.pmean`` of the shard-local mean, one scalar
+      all-reduce per iteration -- so data-parallel solves stop at
+      exactly the reference's batch-global criterion
+      (fc/ista_fista.py:135-144) and every shard exits the loop at the
+      same iteration (the predicate value is identical across shards).
   """
   if variant not in ("ista", "fista"):
     raise ValueError("variant must be 'ista' or 'fista'")
@@ -94,7 +103,10 @@ def proximal_gradient_loop(
       t_next = state.t_k
       z = codes
     if use_eps:
-      avg_delta = jnp.mean(jnp.abs(delta)) / stepsize
+      avg_delta = jnp.mean(jnp.abs(delta))
+      if psum_axes is not None:
+        avg_delta = jax.lax.pmean(avg_delta, psum_axes)
+      avg_delta = avg_delta / stepsize
       stop = jnp.logical_and(avg_delta < early_stopping_epsilon, state.k > 0)
     else:
       stop = state.stop

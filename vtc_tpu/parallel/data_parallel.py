@@ -85,7 +85,8 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
                         group_assignments=None, alignment_penalty=0.0,
                         renormalize=True, fc_formulation="gram",
                         lipschitz_method="eigvalsh", upd_num_iters=1,
-                        lowest_code_val=0.001, axis_names=("data",)):
+                        lowest_code_val=0.001, axis_names=("data",),
+                        early_stopping_epsilon=None):
   """The per-device body of the data-parallel fused step.
 
   Must execute inside a shard_map over a 'data' mesh axis of size
@@ -96,6 +97,13 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
 
   Signature: local_step(dictionary, hessian, batch_shard, sw,
   inf_num_iters, upd_stepsize) -> (new_dictionary, new_hessian, codes).
+
+  ``early_stopping_epsilon``: the reference's batch-GLOBAL stop test
+  (fc/ista_fista.py:135-144) under data parallelism -- the solver's
+  while predicate pmean's the shard-local mean |delta| over
+  ``axis_names`` (one scalar all-reduce per iteration), so all shards
+  stop at the same iteration and the codes equal the single-device
+  solve on the concatenated global batch.
   """
   is_subspace_inf = inference_alg.startswith("subspace")
   is_subspace_upd = update_alg.startswith("subspace")
@@ -103,6 +111,10 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
   uses_hessian = update_alg in ("sc_cheap_quadratic_descent",
                                 "subspace_sc_cheap_quadratic_descent")
   data_size = int(data_axis_size)
+  stop_axes = (tuple(axis_names)
+               if early_stopping_epsilon is not None else None)
+  early_eps = (None if early_stopping_epsilon is None
+               else float(early_stopping_epsilon))
 
   if group_assignments is not None:
     code_size_hint = max(max(g) for g in group_assignments) + 1
@@ -119,14 +131,15 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
                          batch_shard.dtype)
         return subspace_ista_fista._solve(
             batch_shard, grouped, gather_inds, valid_mask, sw, n_it,
-            stepsize, init, variant, False, None, fc_formulation,
-            dictionary.shape[0], True)
+            stepsize, init, variant, False, early_eps, fc_formulation,
+            dictionary.shape[0], True, psum_axes=stop_axes)
       stepsize = lipschitz_ops.fista_stepsize(dictionary, lipschitz_method)
       init = jnp.zeros((batch_shard.shape[0], dictionary.shape[0]),
                        batch_shard.dtype)
       return fc_ista_fista._solve(
           batch_shard, dictionary, sw, n_it, stepsize, init, variant,
-          nonneg, hard_threshold, None, fc_formulation)
+          nonneg, hard_threshold, early_eps, fc_formulation,
+          psum_axes=stop_axes)
     flat = dictionary.reshape(dictionary.shape[0], -1)
     stepsize = lipschitz_ops.fista_stepsize(flat, lipschitz_method)
     sh_, sw_ = conv_ista_fista.code_spatial_dims(
@@ -140,8 +153,9 @@ def build_dp_local_step(data_axis_size, mode, inference_alg, update_alg,
                   tuple(tuple(int(x) for x in p) for p in padding))
     return conv_ista_fista._solve(
         batch_shard, dictionary, mask, sw, n_it, stepsize, init,
-        tuple(kernel_stride), variant, nonneg, hard_threshold, None,
-        formulation="gram", padding=pad_static)
+        tuple(kernel_stride), variant, nonneg, hard_threshold,
+        early_eps, formulation="gram", padding=pad_static,
+        psum_axes=stop_axes)
 
   def local_step(dictionary, hessian, batch_shard, sw, n_it, upd_step):
     with matmul_precision():

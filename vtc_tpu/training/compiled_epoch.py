@@ -15,12 +15,15 @@ Requirements vs the flexible trainer: datasets must be stacked arrays
 (k, b, n) / (k, b, c, h, w) (use data.jax_pipeline.DevicePatchPipeline.
 sample_epoch or np.reshape).  Early-stopped inference
 (all_params['early_stopping_epsilon'], reference solver rule
-fc/ista_fista.py:135-144) is supported on the single-chip paths: the fc
-whole-segment Pallas kernel runs the stop test IN-KERNEL (lax.while_loop
-per step, batch-global mean over the VMEM-resident batch), and every
-other config scans the exact XLA while_loop step.  It is NOT composable
-with data_parallel (the stop test is batch-GLOBAL; a shard-local test
-would change the codes).
+fc/ista_fista.py:135-144) is supported everywhere: the fc whole-segment
+Pallas kernel runs the stop test IN-KERNEL (lax.while_loop per step,
+batch-global mean over the VMEM-resident batch); every other
+single-chip config scans the exact XLA while_loop step; and under
+data_parallel the DP scan step keeps the reference's batch-GLOBAL
+criterion with one scalar pmean of the shard-local mean |delta| per
+iteration inside the while predicate (build_dp_local_step) -- all
+shards stop at the same iteration, codes == the single-device solve on
+the concatenated batch.
 
 Segment execution picks the fastest eligible backend automatically:
 
@@ -237,6 +240,72 @@ def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
   return jax.jit(sharded)
 
 
+def _dp_rdma_conv_segment_runner(mesh, axis_name, axis_size, variant,
+                                 update_alg, upd_niters, nonneg, hard,
+                                 renormalize, kernel_stride, padding,
+                                 mxu="highest"):
+  """Convolutional counterpart of _dp_rdma_segment_runner: each chip
+  runs its ENTIRE segment as one stride-block-space Pallas kernel with
+  the per-step update-stats all-reduce riding in-kernel remote DMAs
+  (ops/pallas_conv_dp_train)."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.pallas_conv_dp_train import (
+      fused_conv_dp_train_segment_pallas)
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    d, h, v, _ = fused_conv_dp_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        kernel_stride=kernel_stride, padding=padding,
+        axis_name=axis_name, axis_size=axis_size, variant=variant,
+        update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
+        hard=hard, renormalize=renormalize, power_iters=2,
+        interpret=jax.default_backend() != "tpu", mxu=mxu)
+    return d, h, v
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(rep, rep, rep,
+                P(None, axis_name, None, None, None), rep, rep, rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
+def _dp_rdma_group_segment_runner(mesh, axis_name, axis_size, variant,
+                                  update_alg, upd_niters, hard,
+                                  renormalize, group_assignments,
+                                  alignment_penalty=0.0,
+                                  mxu="highest"):
+  """Subspace (group-sparse) counterpart of _dp_rdma_segment_runner:
+  each chip runs its ENTIRE segment as one Pallas kernel with the
+  per-step gram-form stats all-reduce riding in-kernel remote DMAs
+  (ops/pallas_group_dp_train).  The grouped-Gram warm eigenvector
+  rides replicated; the anti-alignment regularizer runs in-kernel on
+  the replicated dictionary."""
+  from jax.sharding import PartitionSpec as P
+
+  from vtc_tpu.ops.pallas_group_dp_train import (
+      fused_group_dp_train_segment_pallas)
+
+  def run(dictionary, hessian, eigvec, batches, sw, n_it, upd_step):
+    d, h, v, _ = fused_group_dp_train_segment_pallas(
+        dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
+        group_assignments=group_assignments, axis_name=axis_name,
+        axis_size=axis_size, variant=variant, update_alg=update_alg,
+        upd_num_iters=upd_niters, hard=hard, renormalize=renormalize,
+        power_iters=2, alignment_penalty=alignment_penalty,
+        interpret=jax.default_backend() != "tpu", mxu=mxu)
+    return d, h, v
+
+  rep = P()
+  sharded = jax.shard_map(
+      run, mesh=mesh,
+      in_specs=(rep, rep, rep, P(None, axis_name, None), rep, rep, rep),
+      out_specs=(rep, rep, rep), check_vma=False)
+  return jax.jit(sharded)
+
+
 def _code_shard_segment_runner(mesh, axis_size, variant, update_alg,
                                upd_niters, nonneg, hard, renormalize,
                                mxu="highest"):
@@ -425,14 +494,11 @@ def train_dictionary_scanned(training_batches, validation_batches,
   early_eps = all_params.get("early_stopping_epsilon")
   if early_eps is not None:
     early_eps = float(early_eps)
-    assert not data_parallel, (
-        "early_stopping_epsilon is a batch-GLOBAL stop test (reference "
-        "fc/ista_fista.py:135-144); a shard-local test under "
-        "data_parallel would return different codes.  Drop one of the "
-        "two options.")
   dp_mesh = None
   dp_fused = False
   dp_rdma = False
+  dp_rdma_group = False
+  dp_rdma_conv = False
   code_sharded = False
   resolved_formulation = all_params.get(
       "fc_formulation",
@@ -456,7 +522,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
                        if a != "code")
     s_total = init_dictionary.shape[0]
     n_input = training_batches.shape[-1]
+    # early stopping under DP runs the exact XLA while_loop DP step
+    # with the batch-GLOBAL stop test (one pmean per iteration inside
+    # the predicate -- build_dp_local_step); the fused whole-segment
+    # kernels have no cross-chip stop test, so they are skipped
     if (mode == "fully-connected" and group_assignments is None
+        and early_eps is None
         and cs_size > 1 and cs_others_ok
         and lipschitz_method == "power_warm"
         and inference_alg in ("ista", "fista")
@@ -482,6 +553,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
     global_b = training_batches.shape[1]
     dp_fused_common = (
         not code_sharded
+        and early_eps is None
         and lipschitz_method == "power_warm"
         and group_assignments is None
         and inference_alg in ("ista", "fista")
@@ -524,10 +596,29 @@ def train_dictionary_scanned(training_batches, validation_batches,
               (global_b // dp_size,) + training_batches.shape[2:],
               init_dictionary.shape, kernel_stride, inference_alg,
               update_alg))
+      # whole-segment conv DP kernel (in-kernel RDMA stats all-reduce):
+      # upd_num_iters-independent gates here; the per-segment
+      # upd_niters geometry check happens at runner creation (falls
+      # back to the per-step fused-DP path when it fails)
+      if dp_fused:
+        from vtc_tpu.ops.pallas_conv_dp_train import (
+            fused_conv_dp_segment_supported)
+        others = [a for a in dp_mesh.axis_names if a != "data"]
+        dp_rdma_conv = (
+            "dcn" not in dp_mesh.axis_names
+            and all(dp_mesh.shape[a] == 1 for a in others)
+            and (jax.default_backend() == "tpu"
+                 or dp_size < len(jax.devices()))
+            and fused_conv_dp_segment_supported(
+                (global_b // dp_size,) + training_batches.shape[2:],
+                init_dictionary.shape, kernel_stride, inference_alg,
+                update_alg, dp_size, upd_num_iters=1,
+                padding=padding))
     # subspace fused-DP: per-shard group solve+stats kernel + one psum
     # (parallel.build_dp_group_fused_local_step)
     if (not dp_fused
         and mode == "fully-connected" and group_assignments is not None
+        and early_eps is None
         and lipschitz_method == "power_warm"
         and inference_alg in ("subspace_ista", "subspace_fista")
         and update_alg in ("subspace_sc_steepest_descent",
@@ -540,6 +631,26 @@ def train_dictionary_scanned(training_batches, validation_batches,
       dp_fused = fused_group_solve_stats_supported(
           global_b // dp_size, init_dictionary.shape[0],
           training_batches.shape[-1], group_assignments)
+      # whole-segment group-DP kernel (in-kernel RDMA stats
+      # all-reduce): same axis/interpret gates as the fc dp_rdma path
+      if dp_fused:
+        from vtc_tpu.ops.pallas_group_dp_train import (
+            fused_group_dp_segment_supported)
+        others = [a for a in dp_mesh.axis_names if a != "data"]
+        penalty = float(all_params.get("subspace_alignment_penalty",
+                                       0.0))
+        dp_rdma_group = (
+            "dcn" not in dp_mesh.axis_names
+            and all(dp_mesh.shape[a] == 1 for a in others)
+            and (penalty == 0.0
+                 or bool(all_params.get("renormalize_dictionary",
+                                        True)))
+            and (jax.default_backend() == "tpu"
+                 or dp_size < len(jax.devices()))
+            and fused_group_dp_segment_supported(
+                global_b // dp_size, init_dictionary.shape[0],
+                training_batches.shape[-1], group_assignments,
+                dp_size))
     if (not dp_fused and not code_sharded
         and lipschitz_method == "power_warm"):
       lipschitz_method = "power"
@@ -594,6 +705,18 @@ def train_dictionary_scanned(training_batches, validation_batches,
         upd_num_iters=upd_niters_,
         early_stopping_epsilon=early_eps)
 
+  def _conv_rdma_ok(upd_niters_):
+    """Per-segment geometry check for the whole-segment conv DP kernel
+    (multi-iteration updates need the gram-form stats; a failing
+    combination falls back to the per-step fused-DP path)."""
+    from vtc_tpu.ops.pallas_conv_dp_train import (
+        fused_conv_dp_segment_supported)
+    return fused_conv_dp_segment_supported(
+        (training_batches.shape[1] // dp_size,)
+        + training_batches.shape[2:], dictionary.shape, kernel_stride,
+        inference_alg, update_alg, dp_size, upd_num_iters=upd_niters_,
+        padding=padding)
+
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
     from vtc_tpu.parallel.mesh import dp_axes
@@ -611,6 +734,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
             all_params.get("subspace_alignment_penalty", 0.0)),
         renormalize=bool(all_params.get("renormalize_dictionary", True)),
         fc_formulation=all_params.get("fc_formulation", "gram"),
+        early_stopping_epsilon=early_eps,
         # this runner computes the stepsize in-step (no warm carry):
         # a dp_fused session falling back here (conv upd_num_iters > 1
         # segments) downgrades warm tracking to plain power iteration
@@ -830,6 +954,29 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("renormalize_dictionary", True)),
                 mxu=str(all_params.get("train_precision", "highest")))
             dp_fused_now = False
+          elif dp_rdma_group:
+            from vtc_tpu.parallel.mesh import dp_axes
+            runners[key] = _dp_rdma_group_segment_runner(
+                dp_mesh, dp_axes(dp_mesh)[0], dp_size,
+                inference_alg[9:], update_alg, upd_niters,
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                group_assignments,
+                alignment_penalty=float(
+                    all_params.get("subspace_alignment_penalty", 0.0)),
+                mxu=str(all_params.get("train_precision", "highest")))
+            dp_fused_now = False
+          elif dp_rdma_conv and _conv_rdma_ok(upd_niters):
+            from vtc_tpu.parallel.mesh import dp_axes
+            runners[key] = _dp_rdma_conv_segment_runner(
+                dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
+                update_alg, upd_niters,
+                bool(all_params.get("nonnegative_only", False)),
+                bool(all_params.get("hard_threshold", False)),
+                bool(all_params.get("renormalize_dictionary", True)),
+                kernel_stride, padding,
+                mxu=str(all_params.get("train_precision", "highest")))
+            dp_fused_now = False
           elif dp_fused and mode == "convolutional" and upd_niters > 1:
             # multi-iteration conv DP updates psum gram-form stats:
             # needs a block-factorizable mask
@@ -886,7 +1033,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   upd_num_iters=upd_niters, **common)
             runners[key] = _dp_fused_segment_runner(
                 local, dp_mesh, mode == "convolutional")
-          elif not (dp_rdma or code_sharded):
+          elif not (dp_rdma or dp_rdma_group or code_sharded):
             runners[key] = _dp_segment_runner(
                 make_dp_local(upd_niters), dp_mesh,
                 mode == "convolutional")

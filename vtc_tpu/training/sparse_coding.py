@@ -471,11 +471,6 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
   early_eps = all_params.get("early_stopping_epsilon")
   if early_eps is not None:
     early_eps = float(early_eps)
-    assert not data_parallel, (
-        "early_stopping_epsilon is a batch-GLOBAL stop test (reference "
-        "fc/ista_fista.py:135-144); a shard-local test under "
-        "data_parallel would return different codes.  Drop one of the "
-        "two options.")
   profile_dir = all_params.get("profile_dir")
   profile_start = int(all_params.get("profile_start_iteration", 5))
   profile_steps = int(all_params.get("profile_num_steps", 5))
@@ -507,7 +502,8 @@ def train_dictionary(training_image_dataset, validation_image_dataset,
               group_assignments=group_assignments,
               alignment_penalty=alignment_penalty,
               renormalize=renormalize, fc_formulation=fc_formulation,
-              lipschitz_method=lipschitz_method, upd_num_iters=n_upd)
+              lipschitz_method=lipschitz_method, upd_num_iters=n_upd,
+              early_stopping_epsilon=early_eps)
         return _dp_cache[n_upd](dictionary, hessian, batch, sw, n_it,
                                 upd_stp)
       return step
