@@ -1,0 +1,77 @@
+"""The whole-segment RDMA kernels' comm scratch grows LINEARLY in the
+axis size (2 phase-buffers x P slots -- BENCH_NOTES UPDATE 34): the
+VMEM gate must trip at large P / large payloads and the trainer must
+then route to the per-step fused-DP path (one XLA psum per step) with
+identical semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtc_tpu.ops.pallas_code_shard_train import code_shard_segment_supported
+from vtc_tpu.ops.pallas_dp_train import fused_dp_segment_supported
+from vtc_tpu.ops.pallas_group_dp_train import fused_group_dp_segment_supported
+
+
+def test_dp_rdma_vmem_gate_linear_in_p():
+  b, s, n = 32, 512, 256
+  # fits at small P ...
+  assert fused_dp_segment_supported(b, s, n, 2)
+  assert fused_dp_segment_supported(b, s, n, 4)
+  # ... and the linear comm-slot growth trips the gate as P rises
+  # (2 phases x P slots x (s+8)(s+n) f32 ~= 3.2 MB per device here)
+  assert not fused_dp_segment_supported(b, s, n, 8)
+  assert not fused_dp_segment_supported(b, s, n, 64)
+  # larger payloads trip at smaller P
+  assert not fused_dp_segment_supported(b, 1024, n, 4)
+
+
+def test_group_dp_rdma_vmem_gate_linear_in_p():
+  groups = tuple(tuple(range(i, i + 4)) for i in range(0, 256, 4))
+  assert fused_group_dp_segment_supported(32, 256, 64, groups, 4)
+  assert not fused_group_dp_segment_supported(32, 256, 64, groups, 256)
+
+
+def test_code_shard_vmem_gate_linear_in_axes():
+  # recon slots grow in the code-axis size, grad slots in the data-axis
+  # size
+  assert code_shard_segment_supported(64, 512, 256, 4)
+  assert not code_shard_segment_supported(2048, 512, 256, 64)
+  assert code_shard_segment_supported(64, 1024, 256, 4, 2)
+  assert not code_shard_segment_supported(64, 4096, 1024, 4, 8)
+
+
+def test_oversized_rdma_routes_to_per_step_psum(rng):
+  """A config whose comm slots exceed the RDMA budget at the mesh's P
+  must still train -- on the per-step fused-DP path (kernel solve +
+  one XLA psum per step) -- and match the single-device trainer."""
+  from vtc_tpu import parallel
+  from vtc_tpu.ops.pallas_train_step import fused_solve_stats_supported
+  from vtc_tpu.training import compiled_epoch
+
+  k, b, s, n, p = 2, 16, 768, 256, 4
+  # the routing premise: per-shard solve fits, RDMA comm does not
+  assert fused_solve_stats_supported(b // p, s, n)
+  assert not fused_dp_segment_supported(b // p, s, n, p)
+
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 1,
+      "code_inference_algorithm": "fista",
+      "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 4}},
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.05, "num_iters": 1}},
+      "fc_formulation": "pallas",
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, data_parallel=parallel.make_mesh(data=p))))
+  np.testing.assert_allclose(dp, single, atol=5e-5)

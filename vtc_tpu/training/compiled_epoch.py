@@ -306,37 +306,69 @@ def _dp_rdma_group_segment_runner(mesh, axis_name, axis_size, variant,
   return jax.jit(sharded)
 
 
-def _code_shard_segment_runner(mesh, axis_size, variant, update_alg,
-                               upd_niters, nonneg, hard, renormalize,
-                               mxu="highest"):
+def _code_shard_segment_runner(mesh, cs_size, data_size, variant,
+                               update_alg, upd_niters, nonneg, hard,
+                               renormalize, group_arrays=None,
+                               alignment_penalty=0.0, mxu="highest"):
   """Tensor-parallel segment for beyond-VMEM dictionaries: dictionary
   ROWS sharded over the mesh's 'code' axis, each chip runs its whole
   segment as ONE Pallas kernel in residual form (never building the
   s x s Gram), and the per-iteration partial-reconstruction psum rides
-  in-kernel remote DMAs (ops/pallas_code_shard_train).  Batches stay
-  replicated; the dictionary update is fully local per row shard.  The
-  eigvec carry is the n x n Gram's (dim n -- requires s > n, gated by
-  the caller)."""
+  in-kernel remote DMAs (ops/pallas_code_shard_train).  Batches shard
+  over the 'data' axis (replicated when it is trivial); with a
+  nontrivial data axis the per-step update gradient + Hessian stat
+  all-reduce over it in-kernel too (TP x DP on one fused path).  The
+  dictionary update is otherwise fully local per row shard.  The eigvec
+  carry is the n x n Gram's (dim n -- requires s > n, gated by the
+  caller).  ``group_arrays`` (from code_shard_group_arrays) selects the
+  group-sparse variant: per-shard membership/co-membership blocks are
+  indexed by the chip's code-axis position inside the shard_map."""
   from jax.sharding import PartitionSpec as P
 
   from vtc_tpu.ops.pallas_code_shard_train import (
       fused_code_sharded_train_segment_pallas)
 
+  # row-major logical-device strides of the mesh axes (the in-kernel
+  # collectives address peers as base + pos * stride)
+  strides = {}
+  acc = 1
+  for a in reversed(list(mesh.axis_names)):
+    strides[a] = acc
+    acc *= mesh.shape[a]
+  expand_all = comem_all = None
+  if group_arrays is not None:
+    expand_all = jnp.asarray(group_arrays[0])
+    if alignment_penalty != 0.0:
+      comem_all = jnp.asarray(group_arrays[1])
+
   def run(d_shard, h_shard, eigvec, batches, sw, n_it, upd_step):
+    kw = {}
+    if expand_all is not None:
+      idx = jax.lax.axis_index("code")
+      kw["expand_local"] = jax.lax.dynamic_index_in_dim(
+          expand_all, idx, keepdims=False)
+      if comem_all is not None:
+        kw["comem_local"] = jax.lax.dynamic_index_in_dim(
+            comem_all, idx, keepdims=False)
+      kw["alignment_penalty"] = alignment_penalty
     d_shard, h_shard, eigvec, _ = (
         fused_code_sharded_train_segment_pallas(
             d_shard, h_shard, eigvec, batches, sw, n_it, upd_step,
-            axis_name="code", axis_size=axis_size, variant=variant,
+            axis_name="code", axis_size=cs_size,
+            data_axis_name="data" if data_size > 1 else None,
+            data_axis_size=data_size, code_stride=strides["code"],
+            data_stride=strides.get("data", 0), variant=variant,
             update_alg=update_alg, upd_num_iters=upd_niters,
             nonneg=nonneg, hard=hard, renormalize=renormalize,
             power_iters=2,
-            interpret=jax.default_backend() != "tpu", mxu=mxu))
+            interpret=jax.default_backend() != "tpu", mxu=mxu, **kw))
     return d_shard, h_shard, eigvec
 
   rep = P()
   sharded = jax.shard_map(
       run, mesh=mesh,
-      in_specs=(P("code", None), P("code"), rep, rep, rep, rep, rep),
+      in_specs=(P("code", None), P("code"), rep,
+                P(None, "data", None), rep, rep, rep),
       out_specs=(P("code", None), P("code"), rep), check_vma=False)
   return jax.jit(sharded)
 
@@ -511,40 +543,70 @@ def train_dictionary_scanned(training_batches, validation_batches,
     dp_size = 1
     for a in dp_axes(dp_mesh):
       dp_size *= dp_mesh.shape[a]
-    # code-axis sharding (TP, SURVEY §2.2): with a 'code' axis > 1 and
-    # trivial data axes, dictionary ROWS shard across chips and each
-    # chip runs whole segments in residual form (the s x s Gram is
-    # never built, so beyond-VMEM dictionaries stay on a fused path);
-    # the per-iteration partial-reconstruction psum rides in-kernel
-    # remote DMAs (ops/pallas_code_shard_train)
+    # code-axis sharding (TP, SURVEY §2.2): with a 'code' axis > 1,
+    # dictionary ROWS shard across chips and each chip runs whole
+    # segments in residual form (the s x s Gram is never built, so
+    # beyond-VMEM dictionaries stay on a fused path); the per-iteration
+    # partial-reconstruction psum rides in-kernel remote DMAs
+    # (ops/pallas_code_shard_train).  A nontrivial 'data' axis composes
+    # TP x DP on the same kernel: batches shard over it and the
+    # per-step update gradient + Hessian stat all-reduce over it
+    # in-kernel.  The group-sparse family rides the same kernel when
+    # the groups form a shard-aligned disjoint partition
+    # (code_shard_group_arrays).
     cs_size = dict(dp_mesh.shape).get("code", 1)
-    cs_others_ok = all(v == 1 for a, v in dp_mesh.shape.items()
-                       if a != "code")
+    cs_data_size = dict(dp_mesh.shape).get("data", 1)
     s_total = init_dictionary.shape[0]
     n_input = training_batches.shape[-1]
+    cs_group_arrays = None
+    cs_penalty = float(all_params.get("subspace_alignment_penalty",
+                                      0.0))
     # early stopping under DP runs the exact XLA while_loop DP step
     # with the batch-GLOBAL stop test (one pmean per iteration inside
     # the predicate -- build_dp_local_step); the fused whole-segment
     # kernels have no cross-chip stop test, so they are skipped
-    if (mode == "fully-connected" and group_assignments is None
+    cs_common = (
+        mode == "fully-connected"
         and early_eps is None
-        and cs_size > 1 and cs_others_ok
+        and cs_size > 1
+        and "dcn" not in dp_mesh.axis_names
+        and "data" in dp_mesh.axis_names
         and lipschitz_method == "power_warm"
-        and inference_alg in ("ista", "fista")
-        and update_alg in ("sc_steepest_descent",
-                           "sc_cheap_quadratic_descent")
         and resolved_formulation == "pallas"
         # the warm eigvec carry is the n x n Gram's (dim n)
         and s_total % cs_size == 0 and s_total > n_input
+        and training_batches.shape[1] % cs_data_size == 0
         # interpret mode needs a spare host device thread (see
         # ops/pallas_dp_train)
         and (jax.default_backend() == "tpu"
-             or cs_size < len(jax.devices()))):
+             or cs_size * cs_data_size < len(jax.devices())))
+    if (cs_common and group_assignments is None
+        and inference_alg in ("ista", "fista")
+        and update_alg in ("sc_steepest_descent",
+                           "sc_cheap_quadratic_descent")):
       from vtc_tpu.ops.pallas_code_shard_train import (
           code_shard_segment_supported)
       code_sharded = code_shard_segment_supported(
-          training_batches.shape[1], s_total // cs_size, n_input,
-          cs_size)
+          training_batches.shape[1] // cs_data_size,
+          s_total // cs_size, n_input, cs_size, cs_data_size)
+    elif (cs_common and group_assignments is not None
+          and inference_alg in ("subspace_ista", "subspace_fista")
+          and update_alg in ("subspace_sc_steepest_descent",
+                             "subspace_sc_cheap_quadratic_descent")
+          and not all_params.get("nonnegative_only", False)
+          and (cs_penalty == 0.0
+               or bool(all_params.get("renormalize_dictionary",
+                                      True)))):
+      from vtc_tpu.ops.pallas_code_shard_train import (
+          code_shard_group_arrays, code_shard_segment_supported)
+      cs_group_arrays = code_shard_group_arrays(
+          group_assignments, s_total, cs_size)
+      if cs_group_arrays is not None:
+        code_sharded = code_shard_segment_supported(
+            training_batches.shape[1] // cs_data_size,
+            s_total // cs_size, n_input, cs_size, cs_data_size,
+            local_group_max=cs_group_arrays[0].shape[2],
+            use_reg=cs_penalty != 0.0)
     # fused-DP composition: each shard runs the whole-solve Pallas
     # kernel, psums gram-form stats once per step, and updates
     # replicated -- keeping warm Lipschitz tracking across the mesh
@@ -938,10 +1000,14 @@ def train_dictionary_scanned(training_batches, validation_batches,
         if dp_mesh is not None:
           if code_sharded:
             runners[key] = _code_shard_segment_runner(
-                dp_mesh, cs_size, inference_alg, update_alg, upd_niters,
+                dp_mesh, cs_size, cs_data_size,
+                (inference_alg[9:] if group_assignments is not None
+                 else inference_alg), update_alg, upd_niters,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
+                group_arrays=cs_group_arrays,
+                alignment_penalty=cs_penalty,
                 mxu=str(all_params.get("train_precision", "highest")))
             dp_fused_now = False
           elif dp_rdma:
