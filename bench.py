@@ -191,6 +191,16 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
     fused = _fused_segment_runner(
         1, mxu=mxu, interpret=jax.default_backend() != "tpu")
     runner = lambda dd, xx, bb, ss: fused(dd, xx, bb, ss)[:2]
+  elif formulation == "dp_rdma":
+    # whole-segment ICA DP kernel on a 1-device mesh: the per-chip
+    # rate multi-chip DP keeps (in-kernel RDMA stat all-reduce; at
+    # axis size 1 the exchange short-circuits, BENCH_NOTES UPDATE 34)
+    from vtc_tpu.parallel import make_mesh
+    from vtc_tpu.training.ica import _rdma_segment_runner_dp
+    rdma = _rdma_segment_runner_dp(
+        1, make_mesh(data=1), "data", 1, mxu=mxu,
+        interpret=jax.default_backend() != "tpu")
+    runner = lambda dd, xx, bb, ss: rdma(dd, xx, bb, ss)[:2]
   else:
     runner = _segment_runner_tracked(1, mxu=mxu)
   step = jnp.float32(0.001)
@@ -209,6 +219,104 @@ def measure_ica(batch_size, scan_steps, timed_calls=3,
   pps = scan_steps * batch_size * timed_calls / dt
   log(f"ica b={batch_size}: {pps:,.0f} patches/s")
   return pps
+
+
+def measure_streaming_ab(log=lambda *a: None, steps=600, b=250,
+                         chunk=100):
+  """Streaming-overlap A/B with TIMING (BENCH_NOTES UPDATE 36; run via
+  `python bench.py --streaming-ab`): for a transfer-bound regime
+  (FISTA-25) and a compute-bound regime (FISTA at high iters), measure
+    resident  -- epoch with the dataset device-resident (pure compute)
+    transfer  -- pure host->HBM device_put of the same chunks (no
+                 compute), synced at the end
+    streamed  -- the trainer's hbm_chunk_steps path (host numpy input,
+                 one-chunk-ahead async double buffering)
+  Overlap holds when streamed ~= max(resident, transfer) rather than
+  their sum.  Each trainer config runs once for compile warmup and is
+  timed on later calls (best of 2)."""
+  import jax
+  import jax.numpy as jnp
+
+  from vtc_tpu.training import compiled_epoch
+
+  rng = np.random.RandomState(0)
+  d0 = rng.randn(S, N).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  data = rng.randn(steps, b, N).astype(np.float32)
+  bytes_total = data.nbytes
+
+  def params(iters, streaming):
+    p = {
+        "mode": "fully-connected", "num_epochs": 1,
+        "code_inference_algorithm": "fista",
+        "inference_param_schedule": {
+            0: {"sparsity_weight": 0.008, "num_iters": iters}},
+        "dictionary_update_algorithm": "sc_cheap_quadratic_descent",
+        "dict_update_param_schedule": {
+            0: {"stepsize": 0.1, "num_iters": 1}},
+        "fc_formulation": "pallas",
+    }
+    if streaming:
+      p["hbm_chunk_steps"] = chunk
+    return p
+
+  def timed_train(arr, p, calls=2):
+    best = None
+    compiled_epoch.train_dictionary_scanned(  # compile warmup
+        arr, arr[:1], d0, dict(p))
+    for _ in range(calls):
+      t0 = time.time()
+      out = compiled_epoch.train_dictionary_scanned(
+          arr, arr[:1], d0, dict(p))
+      float(jnp.sum(out))
+      best = min(best or 1e9, time.time() - t0)
+    return best
+
+  # pure transfer: device_put the same chunk sequence, sync at the end
+  # (matches the streamer's async overlap opportunity)
+  def timed_transfer(calls=3):
+    best = None
+    for _ in range(calls):
+      t0 = time.time()
+      bufs = [jax.device_put(data[pos:pos + chunk])
+              for pos in range(0, steps, chunk)]
+      for bu in bufs:
+        float(jnp.sum(bu[-1, -1]))
+      best = min(best or 1e9, time.time() - t0)
+    return best
+
+  t_x = timed_transfer()
+  bw = bytes_total / t_x / 1e6
+  log(f"transfer: {t_x:.3f}s ({bw:,.0f} MB/s for "
+      f"{bytes_total / 1e6:,.0f} MB)")
+  dev_data = jax.device_put(data)
+  rows = {}
+  t_res400 = None
+  # third regime: FISTA depth scaled so resident compute ~= 2x the
+  # measured transfer (this runtime's tunnel moves ~25-40 MB/s, ~300x
+  # slower than real PCIe, so a COMPUTE-bound regime needs the
+  # compute-per-byte scaled up to match; num_iters is a runtime scalar
+  # -- no recompile)
+  for tag, iters in (("transfer_bound_fista25", FISTA_ITERS),
+                     ("transfer_bound_fista400", 400),
+                     ("compute_bound_adaptive", None)):
+    if iters is None:
+      iters = max(400, int(400 * 2.0 * t_x / max(t_res400, 1e-3)))
+      tag = f"compute_bound_fista{iters}"
+    t_res = timed_train(dev_data, params(iters, False))
+    if iters == 400:
+      t_res400 = t_res
+    t_str = timed_train(data, params(iters, True))
+    t_max = max(t_res, t_x)
+    t_sum = t_res + t_x
+    log(f"{tag}: resident {t_res:.3f}s  transfer {t_x:.3f}s  "
+        f"streamed {t_str:.3f}s  (max {t_max:.3f}s, sum {t_sum:.3f}s)")
+    rows[tag] = {
+        "resident_s": round(t_res, 3), "transfer_s": round(t_x, 3),
+        "streamed_s": round(t_str, 3),
+        "streamed_over_max": round(t_str / t_max, 3),
+        "streamed_over_sum": round(t_str / t_sum, 3)}
+  return rows
 
 
 def build_epoch_fn(raw_step):
@@ -331,9 +439,14 @@ def measure(batch_size, scan_steps, timed_calls=3, log=lambda *a: None,
 
 
 def measure_subspace(batch_size, scan_steps, timed_calls=2,
-                     log=lambda *a: None, mxu="highest"):
+                     log=lambda *a: None, mxu="highest",
+                     formulation="fused"):
   """Subspace (group-sparse) fused train segment at the flagship config
-  (64 groups of 4, FISTA-25, cheap-quad update)."""
+  (64 groups of 4, FISTA-25, cheap-quad update).  formulation:
+  'fused' (single-chip whole-segment kernel) or 'dp_rdma' (the
+  whole-segment group DP kernel on a 1-device mesh -- the per-chip
+  rate multi-chip DP keeps; at axis size 1 the in-kernel stats
+  exchange short-circuits, see BENCH_NOTES UPDATE 34)."""
   import jax
   import jax.numpy as jnp
 
@@ -355,13 +468,27 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
   data = jnp.asarray(
       rng.randn(scan_steps, batch_size, N).astype(np.float32))
 
-  def run_once(state):
-    dd, hh, vv = state if state is not None else (d, h, v)
-    out = fused_group_train_segment_pallas(
-        dd, hh, vv, data, jnp.float32(0.008), jnp.int32(FISTA_ITERS),
-        jnp.float32(0.05), group_assignments=groups, power_iters=2,
+  if formulation == "dp_rdma":
+    from vtc_tpu.parallel import make_mesh
+    from vtc_tpu.training.compiled_epoch import (
+        _dp_rdma_group_segment_runner)
+    runner = _dp_rdma_group_segment_runner(
+        make_mesh(data=1), "data", 1, "fista",
+        "subspace_sc_cheap_quadratic_descent", 1, False, True, groups,
         mxu=mxu)
-    return out[:3]
+
+    def run_once(state):
+      dd, hh, vv = state if state is not None else (d, h, v)
+      return runner(dd, hh, vv, data, jnp.float32(0.008),
+                    jnp.int32(FISTA_ITERS), jnp.float32(0.05))
+  else:
+    def run_once(state):
+      dd, hh, vv = state if state is not None else (d, h, v)
+      out = fused_group_train_segment_pallas(
+          dd, hh, vv, data, jnp.float32(0.008), jnp.int32(FISTA_ITERS),
+          jnp.float32(0.05), group_assignments=groups, power_iters=2,
+          mxu=mxu)
+      return out[:3]
 
   t0 = time.time()
   st = run_once(None)
@@ -375,14 +502,17 @@ def measure_subspace(batch_size, scan_steps, timed_calls=2,
 
 
 def measure_bigdict(scan_steps, timed_calls=2, log=lambda *a: None,
-                    s=2048, b=128, formulation="residual"):
+                    s=2048, b=128, formulation="residual",
+                    grouped=False):
   """Beyond-VMEM dictionary: s=2048 @ n=256 -- the (s, s) Gram alone
   is 16 MB, so ops/pallas_train_step's gram-form kernel rejects the
   shape and round-2 fell back to the XLA scan.  The code-sharded
   segment kernel's RESIDUAL form (ops/pallas_code_shard_train, axis
   size 1 here) never builds that Gram, keeping huge dictionaries on a
   fused path.  formulation='xla' times the scan fallback for the A/B
-  row."""
+  row.  grouped=True runs the group-sparse variant (s/4 groups of 4,
+  subspace FISTA + subspace cheap-quad update) on the same geometry --
+  the heavily-overcomplete grouped case SURVEY §2.2 motivates."""
   import jax
   import jax.numpy as jnp
 
@@ -398,25 +528,47 @@ def measure_bigdict(scan_steps, timed_calls=2, log=lambda *a: None,
       batch_size=b, code_size=s, input_size=N), (
       "config must exceed the gram-form kernel's VMEM budget")
 
+  groups = ([list(range(i, i + 4)) for i in range(0, s, 4)]
+            if grouped else None)
   rng = np.random.RandomState(0)
   d0 = rng.randn(s, N).astype(np.float32)
   d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
   d = jnp.asarray(d0)
   h = jnp.zeros(s, jnp.float32)
-  _, v = lip.top_gram_eigenpair(d)  # n-dim (s > n)
+  _, v = lip.top_gram_eigenpair(d)  # n-dim (s > n; == grouped-Gram's
+  #                                    eigvec for a disjoint partition)
   data = jnp.asarray(
       rng.randn(scan_steps, b, N).astype(np.float32))
   args = (jnp.float32(0.008), jnp.int32(FISTA_ITERS), jnp.float32(0.1))
 
-  if formulation == "residual":
+  if formulation == "residual" and grouped:
+    from vtc_tpu.ops.pallas_code_shard_train import (
+        code_shard_group_arrays)
     runner = _code_shard_segment_runner(
-        make_mesh(data=1, code=1), 1, "fista",
+        make_mesh(data=1, code=1), 1, 1, "fista",
+        "subspace_sc_cheap_quadratic_descent", 1, False, False, True,
+        group_arrays=code_shard_group_arrays(groups, s, 1))
+  elif formulation == "residual":
+    runner = _code_shard_segment_runner(
+        make_mesh(data=1, code=1), 1, 1, "fista",
         "sc_cheap_quadratic_descent", 1, False, False, True)
   else:
     raw = build_raw_step_fn(
-        "fully-connected", "fista", "sc_cheap_quadratic_descent",
+        "fully-connected",
+        "subspace_fista" if grouped else "fista",
+        ("subspace_sc_cheap_quadratic_descent" if grouped
+         else "sc_cheap_quadratic_descent"),
+        group_assignments=groups,
         fc_formulation="gram", compute_stepsize_in_step=False)
-    runner = _segment_runner(raw, 1, True, lambda dd: dd)
+    if grouped:
+      from vtc_tpu.analysis_transforms.fully_connected import (
+          subspace_ista_fista)
+      gi, vm = subspace_ista_fista.pack_group_indices(groups, s)
+      lipm = lambda dd: subspace_ista_fista.build_grouped_dictionary(
+          dd, gi, vm)
+    else:
+      lipm = lambda dd: dd
+    runner = _segment_runner(raw, 1, True, lipm)
 
   t0 = time.time()
   st = runner(d, h, v, data, *args)
@@ -484,6 +636,21 @@ def measure_conv(batch_size, scan_steps, timed_calls=2,
           jnp.float32(0.05), kernel_stride=stride, padding=padding,
           power_iters=2, mxu=mxu)
       return out[:3]
+  elif formulation == "dp_rdma":
+    # whole-segment conv DP kernel on a 1-device mesh: the per-chip
+    # rate multi-chip DP keeps (in-kernel RDMA stats all-reduce; at
+    # axis size 1 the exchange short-circuits, BENCH_NOTES UPDATE 34)
+    from vtc_tpu.parallel import make_mesh
+    from vtc_tpu.training.compiled_epoch import (
+        _dp_rdma_conv_segment_runner)
+    runner = _dp_rdma_conv_segment_runner(
+        make_mesh(data=1), "data", 1, "fista",
+        "sc_cheap_quadratic_descent", 1, False, False, True, stride,
+        padding, mxu=mxu)
+
+    def epoch(dd, hh, vv):
+      return runner(dd, hh, vv, data, jnp.float32(0.05),
+                    jnp.int32(FISTA_ITERS), jnp.float32(0.05))
   else:
     # the XLA fallback: lax.scan of the gram-formulation conv step with
     # warm power tracking (compiled_epoch._segment_runner semantics)
@@ -522,6 +689,11 @@ def main():
 
   def log(*a):
     print(*a, file=sys.stderr)
+
+  if "--streaming-ab" in sys.argv:
+    rows = measure_streaming_ab(log=log)
+    print(json.dumps({"streaming_ab": rows}))
+    return
 
   detail = {}
   if smoke:
@@ -574,7 +746,11 @@ def main():
     detail["conv_s128_batch40"] = {
         "images_per_sec": round(ips_s128, 1),
         **roofline_fields(conv_step_flops(40, s=128), ips_s128 / 40)}
-    pps_ica = measure_ica(250, 1000, log=log)
+    # ICA steps are ~3x shorter than fc steps, so the row needs more
+    # chained work for the same dispatch-overhead amortization as the
+    # other rows (~15 ms/block pollutes a 50 ms block by 30% but a
+    # 260 ms block by 6%; BENCH_NOTES UPDATE 35)
+    pps_ica = measure_ica(250, 2000, timed_calls=8, log=log)
     detail["ica_batch250"] = {
         "patches_per_sec": round(pps_ica, 1),
         **roofline_fields(ica_step_flops(250), pps_ica / 250)}
@@ -588,6 +764,30 @@ def main():
     detail["fc_dp_rdma_batch250"] = {
         "patches_per_sec_per_chip": round(pps_dp, 1),
         "pct_of_single_chip_fused": round(100 * pps_dp / pps_ref, 1)}
+    # the other three families' whole-segment DP kernels, same
+    # per-chip-rate contract (round-4 closes the fc-only gap).  conv
+    # at the reference's own conv batch (5): the conv DP kernel's
+    # gram-form stats + per-shard state admit b_shard <= 5 at this
+    # geometry (larger shards route to the per-step fused-DP path,
+    # tests/test_dp_rdma_gate.py)
+    ips_conv_dp = measure_conv(5, 100, log=log, formulation="dp_rdma",
+                               tag="-dp-rdma")
+    detail["conv_dp_rdma_batch5"] = {
+        "images_per_sec_per_chip": round(ips_conv_dp, 1),
+        "pct_of_single_chip_fused": round(100 * ips_conv_dp / ips_conv5,
+                                          1)}
+    pps_sub_dp = measure_subspace(250, 1000, log=log,
+                                  formulation="dp_rdma")
+    detail["subspace_dp_rdma_batch250"] = {
+        "patches_per_sec_per_chip": round(pps_sub_dp, 1),
+        "pct_of_single_chip_fused": round(100 * pps_sub_dp / pps_sub,
+                                          1)}
+    pps_ica_dp = measure_ica(250, 2000, timed_calls=8, log=log,
+                             formulation="dp_rdma")
+    detail["ica_dp_rdma_batch250"] = {
+        "patches_per_sec_per_chip": round(pps_ica_dp, 1),
+        "pct_of_single_chip_fused": round(100 * pps_ica_dp / pps_ica,
+                                          1)}
     # beyond-VMEM dictionary (s=2048: the s x s Gram breaks the fused
     # kernel's budget): residual-form code-shard kernel vs the XLA
     # scan fallback round 2 used for this shape
@@ -597,6 +797,16 @@ def main():
         "patches_per_sec": round(pps_big_res, 1),
         "patches_per_sec_xla_fallback": round(pps_big_xla, 1),
         "speedup_vs_fallback": round(pps_big_res / pps_big_xla, 2)}
+    # the grouped variant of the same beyond-VMEM geometry (512 groups
+    # of 4): the round-4 group code-shard kernel in its axis_size=1
+    # residual form vs the XLA subspace scan fallback
+    pps_gbig_res = measure_bigdict(200, log=log, grouped=True)
+    pps_gbig_xla = measure_bigdict(50, log=log, formulation="xla",
+                                   grouped=True)
+    detail["group_bigdict_s2048_batch128"] = {
+        "patches_per_sec": round(pps_gbig_res, 1),
+        "patches_per_sec_xla_fallback": round(pps_gbig_xla, 1),
+        "speedup_vs_fallback": round(pps_gbig_res / pps_gbig_xla, 2)}
     detail["fc_batch2048"] = roofline_fields(fc_step_flops(2048),
                                              pps_big / 2048)
     # opt-in bf16 training-speed mode (all_params['train_precision'] =
@@ -624,7 +834,8 @@ def main():
     detail["subspace_batch250_bf16x3_training_mode"] = {
         "patches_per_sec": round(pps_sub_bf16, 1),
         "speedup_vs_f32": round(pps_sub_bf16 / pps_sub, 2)}
-    pps_ica_x3 = measure_ica(250, 1000, log=log, mxu="bf16x3")
+    pps_ica_x3 = measure_ica(250, 2000, timed_calls=8, log=log,
+                             mxu="bf16x3")
     detail["ica_batch250_bf16x3_training_mode"] = {
         "patches_per_sec": round(pps_ica_x3, 1),
         "speedup_vs_f32": round(pps_ica_x3 / pps_ica, 2)}

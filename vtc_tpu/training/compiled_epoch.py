@@ -943,6 +943,23 @@ def train_dictionary_scanned(training_batches, validation_batches,
     return (jax.device_put(x) if stream_sharding is None
             else jax.device_put(x, stream_sharding))
 
+  # prefetch transfers are SUBMITTED from a worker thread:
+  # jax.device_put of a large host chunk blocks the calling thread for
+  # the host-side serialization (measured ~0.4 s per 26 MB on the
+  # tunneled runtime, BENCH_NOTES UPDATE 36), which on the main thread
+  # would serialize the orchestration loop with the transfers and
+  # forfeit the compute/transfer overlap the prefetch exists for.
+  # One worker: chunk i+1's submit may proceed while the main thread
+  # dispatches compute, but transfers stay ordered.
+  stream_pool = None
+  if stream_steps is not None:
+    import concurrent.futures
+    stream_pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="vtc-stream-put")
+
+  def _put_async(x):
+    return stream_pool.submit(_put, x)
+
   def _stage(pos_, chunk_):
     if stream_steps is None:
       return training_batches[pos_:pos_ + chunk_]
@@ -950,8 +967,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
     if stream_trace is not None:
       stream_trace.append(("hit" if buf is not None else "miss", pos_))
     if buf is None:
-      buf = _put(training_batches[pos_:pos_ + chunk_])
-    return buf
+      return _put(training_batches[pos_:pos_ + chunk_])
+    return buf.result()
 
   for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
     handle_events(seg_start)
@@ -1148,13 +1165,16 @@ def train_dictionary_scanned(training_batches, validation_batches,
                   else 1 << ((hi - pos).bit_length() - 1), stream_steps)
         if stream_trace is not None:
           stream_trace.append(("prefetch", pos))
-        prefetched[(pos, nxt)] = _put(training_batches[pos:pos + nxt])
+        prefetched[(pos, nxt)] = _put_async(
+            training_batches[pos:pos + nxt])
     if segment_ran_cold_dp and warm_power:
       # the cold runner trained the dictionary without refreshing the
       # warm eigenvector; force an exact re-seed before the next
       # fused segment (power_iters=2 there assumes an exact seed)
       eigvec = None
   handle_events(total_iters)  # trailing checkpoint/vis events
+  if stream_pool is not None:
+    stream_pool.shutdown(wait=True)
   if tb_writer is not None:
     tb_writer.flush()
   print("scanned training done in {:.2f}s ({} iterations)".format(
