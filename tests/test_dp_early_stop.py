@@ -94,6 +94,130 @@ def test_fc_dp_early_stop_codes_match_global_solve(rng):
   assert float(jnp.max(jnp.abs(codes_single - codes_noeps))) > 1e-7
 
 
+def test_fc_dp_rdma_in_kernel_early_stop_matches_fused(rng):
+  """The whole-segment RDMA DP kernel's IN-KERNEL batch-GLOBAL stop
+  test (one small slot all-reduce of the shard |delta| sums per
+  iteration) == the single-chip fused kernel's in-kernel stop on the
+  concatenated global batch."""
+  import jax
+  from jax.sharding import Mesh, PartitionSpec as P
+
+  from vtc_tpu.ops import lipschitz as lip
+  from vtc_tpu.ops.pallas_dp_train import fused_dp_train_segment_pallas
+  from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
+
+  k, b, s, n, p = 3, 32, 16, 24, 4
+  eps = 3e-2
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  x = rng.randn(k, b, n).astype(np.float32) * 0.5
+  h0 = np.abs(rng.randn(s)).astype(np.float32) * 0.01
+  _, v0 = lip.top_gram_eigenpair(jnp.asarray(d0))
+  mesh = Mesh(np.asarray(jax.devices()[:p]).reshape(p, 1),
+              ("data", "code"))
+
+  def body(d, h, v, xs):
+    return fused_dp_train_segment_pallas(
+        d, h, v, xs, jnp.float32(0.05), jnp.int32(50),
+        jnp.float32(0.005), axis_name="data", axis_size=p,
+        power_iters=2, interpret=True, early_stopping_epsilon=eps)
+
+  rep = P()
+  fn = jax.jit(jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(rep, rep, rep, P(None, "data", None)),
+      out_specs=(rep, rep, rep, P("data", None)), check_vma=False))
+  d_dp, h_dp, v_dp, codes_dp = fn(jnp.asarray(d0), jnp.asarray(h0),
+                                  v0, jnp.asarray(x))
+
+  d_ref, h_ref, _, codes_ref = fused_train_segment_pallas(
+      jnp.asarray(d0), jnp.asarray(h0), v0, jnp.asarray(x),
+      jnp.float32(0.05), jnp.int32(50), jnp.float32(0.005),
+      power_iters=2, interpret=True, early_stopping_epsilon=eps)
+  np.testing.assert_allclose(np.asarray(d_dp), np.asarray(d_ref),
+                             rtol=3e-5, atol=3e-5)
+  np.testing.assert_allclose(np.asarray(h_dp), np.asarray(h_ref),
+                             rtol=3e-5, atol=3e-6)
+  np.testing.assert_allclose(np.asarray(codes_dp),
+                             np.asarray(codes_ref), rtol=3e-4,
+                             atol=3e-5)
+  # non-vacuous: differs from the no-eps run of the same kernel
+  d_full, _, _, _ = fused_train_segment_pallas(
+      jnp.asarray(d0), jnp.asarray(h0), v0, jnp.asarray(x),
+      jnp.float32(0.05), jnp.int32(50), jnp.float32(0.005),
+      power_iters=2, interpret=True)
+  assert np.max(np.abs(np.asarray(d_ref) - np.asarray(d_full))) > 1e-7
+
+
+def test_trainer_selects_rdma_kernel_for_dp_early_stop(rng, monkeypatch):
+  """train_dictionary_scanned with fc pallas + DP + eps auto-selects
+  the RDMA whole-segment runner (not the XLA fallback) and matches the
+  single-device trainer."""
+  calls = []
+  orig = compiled_epoch._dp_rdma_segment_runner
+
+  def spy(*a, **kw):
+    calls.append(kw.get("early_eps"))
+    return orig(*a, **kw)
+
+  monkeypatch.setattr(compiled_epoch, "_dp_rdma_segment_runner", spy)
+
+  k, b, s, n = 3, 32, 16, 24
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  params = _params({"early_stopping_epsilon": 3e-2,
+                    "fc_formulation": "pallas"})
+  params.pop("lipschitz_method")  # default power_warm
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, data_parallel=parallel.make_mesh(data=4))))
+  assert calls and calls[0] == pytest.approx(3e-2), (
+      "the DP run must take the RDMA runner with the stop epsilon")
+  np.testing.assert_allclose(dp, single, atol=5e-5)
+
+
+def test_trainer_selects_group_rdma_for_dp_early_stop(rng, monkeypatch):
+  """Subspace + DP + eps auto-selects the group RDMA segment kernel
+  (in-kernel batch-GLOBAL stop) and matches the single-device trainer
+  (which runs the exact XLA group solve)."""
+  calls = []
+  orig = compiled_epoch._dp_rdma_group_segment_runner
+
+  def spy(*a, **kw):
+    calls.append(kw.get("early_eps"))
+    return orig(*a, **kw)
+
+  monkeypatch.setattr(compiled_epoch, "_dp_rdma_group_segment_runner",
+                      spy)
+
+  k, b, s, n = 3, 32, 16, 24
+  groups = [[i, i + 1] for i in range(0, s, 2)]
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  params = _params({
+      "early_stopping_epsilon": 3e-2,
+      "fc_formulation": "pallas",
+      "code_inference_algorithm": "subspace_fista",
+      "dictionary_update_algorithm":
+          "subspace_sc_cheap_quadratic_descent",
+      "group_assignments": groups,
+      "subspace_alignment_penalty": 0.1,
+  })
+  params.pop("lipschitz_method")  # default power_warm
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  dp = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, data_parallel=parallel.make_mesh(data=4))))
+  assert calls and calls[0] == pytest.approx(3e-2), (
+      "the DP run must take the group RDMA runner with the stop eps")
+  np.testing.assert_allclose(dp, single, atol=5e-5)
+
+
 def test_subspace_and_conv_dp_early_stop(rng):
   """The batch-global DP stop test reaches the subspace and conv DP
   solvers too."""

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
-                                           slot_exchange)
+                                           slot_allreduce, slot_exchange)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_VMEM_BUDGET_BYTES, _dot,
@@ -106,13 +106,16 @@ def fused_dp_segment_supported(batch_shard_size, code_size, input_size,
 def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                     upd_num_iters, power_iters, use_n_gram,
                     lowest_code_val, axis_name, num_devices, s_pad,
-                    n_pad, mxu="highest"):
+                    n_pad, mxu="highest", early_eps=None):
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
-             d_out, h_out, v_out, codes_out, comm, send_sem, recv_sem):
+             d_out, h_out, v_out, codes_out, comm, send_sem, recv_sem,
+             *stop_refs):
+    if early_eps is not None:
+      scomm, ssend, srecv, sphase = stop_refs
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -120,6 +123,8 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       d_out[:] = d_ref[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
+      if early_eps is not None:
+        sphase[0] = 0
 
     num_iters = niter_ref[0]
     sw = scalars_ref[0]
@@ -167,8 +172,50 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
         return codes + beta * (codes - old), codes, t_next
       return codes, codes, t_k
 
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule (fc/ista_fista.py:135-144), batch-GLOBAL
+      # under DP: the per-iteration shard-local sum |codes - old| is
+      # all-reduced over the mesh (fixed-order slot sum in its own
+      # small (8, 128) comm family), so every chip evaluates the
+      # identical global mean and takes the identical trip count --
+      # the DP analogue of the single-tile gate on the single-chip
+      # kernel's in-kernel stop test (pallas_train_step._make_kernel).
+      # The exchange phase is a running SMEM counter (dynamic trip
+      # counts, same argument as ops/pallas_code_shard_train).
+      inv_gcount = scalars_ref[3]
+
+      def stop_reduce(local):
+        if num_devices == 1:
+          return local
+        payload = jnp.pad(local.reshape(1, 1),
+                          ((0, _SUBLANES - 1), (0, _LANES - 1)))
+        phase = jax.lax.rem(sphase[0], 2)
+        sphase[0] = sphase[0] + 1
+        total = slot_allreduce(
+            scomm, ssend, srecv, payload, phase=phase,
+            my_idx=jax.lax.axis_index(axis_name),
+            num_devices=num_devices)
+        return total[0, 0]
+
+      def stop_cond(carry):
+        j, _, _, _, _, stop = carry
+        return jnp.logical_and(j < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        j, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = fista_body(None, (z, old, t_k))
+        total = stop_reduce(jnp.sum(jnp.abs(codes - old)))
+        avg_delta = (total * inv_gcount) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, j > 0)
+        return j + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     codes_out[:] = codes
 
     # local gram-form stats (HIGHEST in every tier: they feed the
@@ -223,7 +270,8 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
                                   upd_num_iters=1, nonneg=False,
                                   hard=False, renormalize=True,
                                   power_iters=12, lowest_code_val=0.001,
-                                  interpret=False, mxu="highest"):
+                                  interpret=False, mxu="highest",
+                                  early_stopping_epsilon=None):
   """Run `batches.shape[0]` DP train steps in ONE kernel launch per
   chip.  Call inside a shard_map over ``axis_name`` (the only
   non-trivial mesh axis); ``batches`` is this chip's (k, b_shard, n)
@@ -260,14 +308,19 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
 
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
-                       jnp.float32(1.0 / (b * num_devices))])
+                       jnp.float32(1.0 / (b * num_devices)),
+                       # global REAL element count for the stop test
+                       # (padded entries are exact zeros each iter)
+                       jnp.float32(1.0 / (b * num_devices * s))])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   kernel = _make_dp_kernel(
       variant, bool(nonneg), bool(hard), uses_hessian, bool(renormalize),
       int(upd_num_iters), int(power_iters), use_n_gram,
       float(lowest_code_val), axis_name, num_devices, s_pad, n_pad,
-      mxu=str(mxu))
+      mxu=str(mxu),
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)))
   rows, cols = _pack_dims(s_pad, n_pad)
   const = lambda i, *_: (0, 0)
   cost = pl.CostEstimate(
@@ -291,7 +344,12 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=comm_scratch_shapes(num_devices, (rows, cols)))
+      scratch_shapes=(comm_scratch_shapes(num_devices, (rows, cols))
+                      + (comm_scratch_shapes(num_devices,
+                                             (_SUBLANES, _LANES))
+                         + [pltpu.SMEM((1,), jnp.int32)]
+                         if early_stopping_epsilon is not None
+                         else [])))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel, grid_spec=grid_spec,
       out_shape=[

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
-                                           slot_exchange)
+                                           slot_allreduce, slot_exchange)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _dot_b, _dot_t,
@@ -89,16 +89,21 @@ def fused_group_dp_segment_supported(batch_shard_size, code_size,
 def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
                           upd_num_iters, power_iters, use_n_gram,
                           lowest_code_val, use_reg, axis_name,
-                          num_devices, s_pad, n_pad, mxu="highest"):
+                          num_devices, s_pad, n_pad, mxu="highest",
+                          early_eps=None):
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
   prox_dot, prox_dot_t = _make_prox_dots(mxu)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
+  has_stop_comm = early_eps is not None and num_devices > 1
 
   def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
               expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
               codes_out, *comm_refs):
+    if has_stop_comm:
+      scomm, ssend, srecv, sphase = comm_refs[-4:]
+      comm_refs = comm_refs[:-4]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -106,6 +111,8 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
       d_out[:] = d_ref[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
+      if has_stop_comm:
+        sphase[0] = 0
 
     num_iters = niter_ref[0]
     sw = scalars_ref[0]
@@ -157,8 +164,47 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
         return codes + beta * (codes - old), codes, t_next
       return codes, codes, t_k
 
-    _, grouped_codes, _ = jax.lax.fori_loop(
-        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, grouped_codes, _ = jax.lax.fori_loop(
+          0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule on the GROUPED tensor, batch-GLOBAL under
+      # DP (same in-kernel construction as ops/pallas_dp_train: the
+      # shard |delta| sums all-reduce in a small (8, 128) comm family
+      # with a running SMEM phase, so every chip takes the identical
+      # trip count); mean over the REAL global b * G * M count
+      # (padded slots are exact zeros every iteration)
+      inv_gcount = scalars_ref[4]
+
+      def stop_reduce(local):
+        if num_devices == 1:
+          return local
+        payload = jnp.pad(local.reshape(1, 1),
+                          ((0, _SUBLANES - 1), (0, _LANES - 1)))
+        phase = jax.lax.rem(sphase[0], 2)
+        sphase[0] = sphase[0] + 1
+        total = slot_allreduce(
+            scomm, ssend, srecv, payload, phase=phase,
+            my_idx=jax.lax.axis_index(axis_name),
+            num_devices=num_devices)
+        return total[0, 0]
+
+      def stop_cond(carry):
+        j, _, _, _, _, stop = carry
+        return jnp.logical_and(j < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        j, z, old, _, t_k, _ = carry
+        z_next, codes, t_next = fista_body(None, (z, old, t_k))
+        total = stop_reduce(jnp.sum(jnp.abs(codes - old)))
+        avg_delta = (total * inv_gcount) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, j > 0)
+        return j + 1, z_next, codes, codes, t_next, stop
+
+      _, _, _, grouped_codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
     codes_out[:] = codes
 
@@ -231,7 +277,8 @@ def fused_group_dp_train_segment_pallas(
     axis_size, variant="fista",
     update_alg="subspace_sc_cheap_quadratic_descent", upd_num_iters=1,
     hard=False, renormalize=True, power_iters=12, lowest_code_val=0.001,
-    alignment_penalty=0.0, interpret=False, mxu="highest"):
+    alignment_penalty=0.0, interpret=False, mxu="highest",
+    early_stopping_epsilon=None):
   """Run `batches.shape[0]` DP subspace train steps in ONE kernel
   launch per chip.  Call inside a shard_map over ``axis_name`` (the
   mesh's only non-trivial axis); ``batches`` is this chip's
@@ -287,7 +334,10 @@ def fused_group_dp_train_segment_pallas(
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
                        jnp.float32(1.0 / (b * num_devices)),
-                       jnp.float32(alignment_penalty)])
+                       jnp.asarray(alignment_penalty, jnp.float32),
+                       # global REAL grouped element count for the
+                       # early-stop mean (b_global * G * M)
+                       jnp.float32(1.0 / (b * num_devices * gm))])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   if use_reg:
@@ -304,7 +354,9 @@ def fused_group_dp_train_segment_pallas(
       variant, bool(hard), uses_hessian, bool(renormalize),
       int(upd_num_iters), int(power_iters), use_n_gram,
       float(lowest_code_val), use_reg, axis_name, num_devices, s_pad,
-      n_pad, mxu=str(mxu))
+      n_pad, mxu=str(mxu),
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)))
   rows, cols = _pack_dims(s_pad, n_pad)
   const = lambda i, *_: (0, 0)
   cost = pl.CostEstimate(
@@ -332,8 +384,13 @@ def fused_group_dp_train_segment_pallas(
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=(comm_scratch_shapes(num_devices, (rows, cols))
-                      if num_devices > 1 else []))
+      scratch_shapes=((comm_scratch_shapes(num_devices, (rows, cols))
+                       if num_devices > 1 else [])
+                      + (comm_scratch_shapes(num_devices,
+                                             (_SUBLANES, _LANES))
+                         + [pltpu.SMEM((1,), jnp.int32)]
+                         if (early_stopping_epsilon is not None
+                             and num_devices > 1) else [])))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel, grid_spec=grid_spec,
       out_shape=[

@@ -208,7 +208,7 @@ def _dp_fused_segment_runner(local_step, mesh, conv_mode=False):
 
 def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
                             update_alg, upd_niters, nonneg, hard,
-                            renormalize, mxu="highest"):
+                            renormalize, mxu="highest", early_eps=None):
   """Multi-chip segment as ONE whole-segment Pallas kernel PER CHIP:
   the per-step cross-chip reduction of the gram-form update stats runs
   IN-KERNEL over ICI (async remote DMAs, fixed-order slot sum -- see
@@ -229,7 +229,8 @@ def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
         axis_name=axis_name, axis_size=axis_size, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
         hard=hard, renormalize=renormalize, power_iters=2,
-        interpret=jax.default_backend() != "tpu", mxu=mxu)
+        interpret=jax.default_backend() != "tpu", mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return d, h, v
 
   rep = P()
@@ -276,7 +277,7 @@ def _dp_rdma_group_segment_runner(mesh, axis_name, axis_size, variant,
                                   update_alg, upd_niters, hard,
                                   renormalize, group_assignments,
                                   alignment_penalty=0.0,
-                                  mxu="highest"):
+                                  mxu="highest", early_eps=None):
   """Subspace (group-sparse) counterpart of _dp_rdma_segment_runner:
   each chip runs its ENTIRE segment as one Pallas kernel with the
   per-step gram-form stats all-reduce riding in-kernel remote DMAs
@@ -295,7 +296,8 @@ def _dp_rdma_group_segment_runner(mesh, axis_name, axis_size, variant,
         axis_size=axis_size, variant=variant, update_alg=update_alg,
         upd_num_iters=upd_niters, hard=hard, renormalize=renormalize,
         power_iters=2, alignment_penalty=alignment_penalty,
-        interpret=jax.default_backend() != "tpu", mxu=mxu)
+        interpret=jax.default_backend() != "tpu", mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return d, h, v
 
   rep = P()
@@ -561,10 +563,12 @@ def train_dictionary_scanned(training_batches, validation_batches,
     cs_group_arrays = None
     cs_penalty = float(all_params.get("subspace_alignment_penalty",
                                       0.0))
-    # early stopping under DP runs the exact XLA while_loop DP step
-    # with the batch-GLOBAL stop test (one pmean per iteration inside
-    # the predicate -- build_dp_local_step); the fused whole-segment
-    # kernels have no cross-chip stop test, so they are skipped
+    # early stopping under DP: eligible fc configs run the whole-
+    # segment RDMA kernel's IN-KERNEL batch-GLOBAL stop test (see the
+    # dp_rdma gate below); everything else runs the exact XLA
+    # while_loop DP step (one pmean per iteration inside the
+    # predicate -- build_dp_local_step).  The code-shard and per-step
+    # fused kernels have no cross-chip stop test, so they are skipped
     cs_common = (
         mode == "fully-connected"
         and early_eps is None
@@ -647,6 +651,29 @@ def train_dictionary_scanned(training_batches, validation_batches,
             and fused_dp_segment_supported(
                 global_b // dp_size, init_dictionary.shape[0],
                 training_batches.shape[-1], dp_size))
+      # early stopping under DP, fused: the fc whole-segment RDMA
+      # kernel carries the batch-GLOBAL stop test in-kernel (one small
+      # slot all-reduce of the shard |delta| sums per iteration --
+      # every chip takes the identical trip count); ineligible configs
+      # keep the exact XLA while_loop DP step (one pmean per iteration
+      # in the predicate, build_dp_local_step)
+      elif (early_eps is not None and not code_sharded
+            and lipschitz_method == "power_warm"
+            and inference_alg in ("ista", "fista")
+            and update_alg in ("sc_steepest_descent",
+                               "sc_cheap_quadratic_descent")
+            and resolved_formulation == "pallas"
+            and global_b % dp_size == 0):
+        from vtc_tpu.ops.pallas_dp_train import fused_dp_segment_supported
+        others = [a for a in dp_mesh.axis_names if a != "data"]
+        dp_rdma = (
+            "dcn" not in dp_mesh.axis_names
+            and all(dp_mesh.shape[a] == 1 for a in others)
+            and (jax.default_backend() == "tpu"
+                 or dp_size < len(jax.devices()))
+            and fused_dp_segment_supported(
+                global_b // dp_size, init_dictionary.shape[0],
+                training_batches.shape[-1], dp_size))
     else:
       from vtc_tpu.ops.pallas_conv_train import (
           conv_solve_stats_supported)
@@ -713,8 +740,34 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 global_b // dp_size, init_dictionary.shape[0],
                 training_batches.shape[-1], group_assignments,
                 dp_size))
-    if (not dp_fused and not code_sharded
-        and lipschitz_method == "power_warm"):
+    # early stopping under DP for the group family: the group RDMA
+    # segment kernel carries the batch-GLOBAL stop test in-kernel
+    # (same construction as the fc dp_rdma gate above)
+    elif (mode == "fully-connected" and group_assignments is not None
+          and early_eps is not None and not code_sharded
+          and lipschitz_method == "power_warm"
+          and inference_alg in ("subspace_ista", "subspace_fista")
+          and update_alg in ("subspace_sc_steepest_descent",
+                             "subspace_sc_cheap_quadratic_descent")
+          and not all_params.get("nonnegative_only", False)
+          and resolved_formulation == "pallas"
+          and global_b % dp_size == 0):
+      from vtc_tpu.ops.pallas_group_dp_train import (
+          fused_group_dp_segment_supported)
+      others = [a for a in dp_mesh.axis_names if a != "data"]
+      penalty = float(all_params.get("subspace_alignment_penalty", 0.0))
+      dp_rdma_group = (
+          "dcn" not in dp_mesh.axis_names
+          and all(dp_mesh.shape[a] == 1 for a in others)
+          and (penalty == 0.0
+               or bool(all_params.get("renormalize_dictionary", True)))
+          and (jax.default_backend() == "tpu"
+               or dp_size < len(jax.devices()))
+          and fused_group_dp_segment_supported(
+              global_b // dp_size, init_dictionary.shape[0],
+              training_batches.shape[-1], group_assignments, dp_size))
+    if (not dp_fused and not dp_rdma and not dp_rdma_group
+        and not code_sharded and lipschitz_method == "power_warm"):
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
 
@@ -1035,7 +1088,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("nonnegative_only", False)),
                 bool(all_params.get("hard_threshold", False)),
                 bool(all_params.get("renormalize_dictionary", True)),
-                mxu=str(all_params.get("train_precision", "highest")))
+                mxu=str(all_params.get("train_precision", "highest")),
+                early_eps=early_eps)
             dp_fused_now = False
           elif dp_rdma_group:
             from vtc_tpu.parallel.mesh import dp_axes
@@ -1047,7 +1101,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 group_assignments,
                 alignment_penalty=float(
                     all_params.get("subspace_alignment_penalty", 0.0)),
-                mxu=str(all_params.get("train_precision", "highest")))
+                mxu=str(all_params.get("train_precision", "highest")),
+                early_eps=early_eps)
             dp_fused_now = False
           elif dp_rdma_conv and _conv_rdma_ok(upd_niters):
             from vtc_tpu.parallel.mesh import dp_axes
