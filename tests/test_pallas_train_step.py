@@ -163,13 +163,15 @@ def test_fused_segment_batch_tiled_multi_update_iters(rng):
 
 def _reference_group_segment(d0, h0, v0, batches, groups, sw, n_it,
                              upd_step, upd_niters, variant, update_alg,
-                             power_iters=2, alignment_penalty=0.0):
+                             power_iters=2, alignment_penalty=0.0,
+                             early_stopping_epsilon=None):
   from vtc_tpu.analysis_transforms.fully_connected import (
       subspace_ista_fista)
   raw = sc.build_raw_step_fn(
       "fully-connected", "subspace_" + variant, update_alg,
       group_assignments=groups, alignment_penalty=alignment_penalty,
-      fc_formulation="gram", compute_stepsize_in_step=False)
+      fc_formulation="gram", compute_stepsize_in_step=False,
+      early_stopping_epsilon=early_stopping_epsilon)
   gi, vm = subspace_ista_fista.pack_group_indices(groups, d0.shape[0])
   d, h, v = jnp.asarray(d0), jnp.asarray(h0), jnp.asarray(v0)
   codes = None
@@ -211,6 +213,52 @@ def test_fused_group_segment_matches_composed_path(rng, update_alg):
   for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
                                     "codes"]):
     np.testing.assert_allclose(np.asarray(g), w, atol=3e-5, err_msg=name)
+
+
+def test_fused_group_segment_in_kernel_early_stop(rng):
+  """The group segment kernel's in-kernel early stop (grouped-tensor
+  batch-global mean) == the composed XLA path with the same epsilon,
+  and is non-vacuous."""
+  from vtc_tpu.ops.pallas_train_step import (
+      fused_group_train_segment_pallas)
+
+  from vtc_tpu.analysis_transforms.fully_connected import (
+      subspace_ista_fista)
+
+  s, n, b, k = 14, 16, 10, 3
+  eps = 3e-2
+  groups = [[0, 1, 2, 3], [4, 5], [6, 7, 8], [9, 10, 11, 12], [13, 0]]
+  d = rng.randn(s, n).astype(np.float32)
+  d /= np.linalg.norm(d, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  h = np.abs(rng.rand(s)).astype(np.float32) * 0.01
+  # exact eigenpair seed: a random power-2 seed underestimates the
+  # Lipschitz constant, and 40 FISTA iterations of a slightly-too-long
+  # step diverge (the trainer always seeds exactly; see seed_eigvec)
+  gi, vm = subspace_ista_fista.pack_group_indices(groups, s)
+  grouped0 = subspace_ista_fista.build_grouped_dictionary(
+      jnp.asarray(d), gi, vm)
+  _, v = lip.top_gram_eigenpair(grouped0)
+  v = np.asarray(v)
+
+  want = _reference_group_segment(
+      d, h, v, batches, groups, 0.05, 40, 0.005, 1, "fista",
+      "subspace_sc_cheap_quadratic_descent",
+      early_stopping_epsilon=eps)
+  got = fused_group_train_segment_pallas(
+      d, h, v, batches, 0.05, 40, 0.005, group_assignments=groups,
+      update_alg="subspace_sc_cheap_quadratic_descent", power_iters=2,
+      interpret=True, early_stopping_epsilon=eps)
+  for w, g, name in zip(want, got, ["dict", "hessian", "eigvec",
+                                    "codes"]):
+    np.testing.assert_allclose(np.asarray(g), w, atol=3e-5,
+                               err_msg=name)
+  # non-vacuous: differs from the full-40-iteration run
+  full = fused_group_train_segment_pallas(
+      d, h, v, batches, 0.05, 40, 0.005, group_assignments=groups,
+      update_alg="subspace_sc_cheap_quadratic_descent", power_iters=2,
+      interpret=True)
+  assert np.abs(np.asarray(got[0]) - np.asarray(full[0])).max() > 1e-7
 
 
 @pytest.mark.parametrize("update_alg", [

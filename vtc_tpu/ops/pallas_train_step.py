@@ -415,7 +415,8 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
 def _make_group_kernel(variant, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
-                       lowest_code_val, use_reg=False, mxu="highest"):
+                       lowest_code_val, use_reg=False, mxu="highest",
+                       early_eps=None):
   """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
   design as _make_kernel; the group structure enters as two static 0/1
   matrices so every ragged operation is an MXU matmul:
@@ -514,8 +515,32 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
         return codes + beta * (codes - old), codes, t_next
       return codes, codes, t_k
 
-    _, grouped_codes, _ = jax.lax.fori_loop(
-        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, grouped_codes, _ = jax.lax.fori_loop(
+          0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule on the GROUPED tensor (same count
+      # semantics as ops/pallas_group_fista: mean over the real
+      # b * G * M entries -- padded slots are exact zeros every
+      # iteration).  Single-tile by construction: this segment kernel
+      # holds the whole batch in VMEM.
+      inv_gcount = scalars_ref[4]
+
+      def stop_cond(carry):
+        j, _, _, _, _, stop = carry
+        return jnp.logical_and(j < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        j, z, old, _, t_k, _ = carry
+        z_next, codes_, t_next = fista_body(None, (z, old, t_k))
+        avg_delta = (jnp.sum(jnp.abs(codes_ - old)) * inv_gcount) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, j > 0)
+        return j + 1, z_next, codes_, codes_, t_next, stop
+
+      _, _, _, grouped_codes, _, _ = jax.lax.while_loop(
+          stop_cond, stop_body,
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
     codes_out[:] = codes
 
@@ -1137,7 +1162,8 @@ def fused_group_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("group_assignments", "variant", "update_alg",
                      "upd_num_iters", "hard", "renormalize",
                      "power_iters", "lowest_code_val",
-                     "alignment_penalty", "interpret", "mxu"))
+                     "alignment_penalty", "interpret", "mxu",
+                     "early_stopping_epsilon"))
 def _fused_group_impl(dictionary, hessian, eigvec,
                       batches, sparsity_weight,
                       inf_num_iters, upd_stepsize, *,
@@ -1148,7 +1174,8 @@ def _fused_group_impl(dictionary, hessian, eigvec,
                       upd_num_iters=1, hard=False,
                       renormalize=True, power_iters=12,
                       lowest_code_val=0.001, alignment_penalty=0.0,
-                      interpret=False, mxu="highest"):
+                      interpret=False, mxu="highest",
+                      early_stopping_epsilon=None):
   use_reg = float(alignment_penalty) != 0.0
   if use_reg:
     assert renormalize, (
@@ -1188,7 +1215,9 @@ def _fused_group_impl(dictionary, hessian, eigvec,
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
                        jnp.float32(1.0 / b),
-                       jnp.float32(alignment_penalty)])
+                       jnp.float32(alignment_penalty),
+                       # grouped element count for the early-stop mean
+                       jnp.float32(1.0 / (b * gm))])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   if use_reg:
@@ -1205,7 +1234,10 @@ def _fused_group_impl(dictionary, hessian, eigvec,
   kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
                               int(upd_num_iters), int(power_iters),
                               use_n_gram, float(lowest_code_val),
-                              use_reg=use_reg, mxu=str(mxu))
+                              use_reg=use_reg, mxu=str(mxu),
+                              early_eps=(
+                                  None if early_stopping_epsilon is None
+                                  else float(early_stopping_epsilon)))
   const = lambda i, *_: (0, 0)
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel,

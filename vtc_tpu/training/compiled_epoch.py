@@ -151,10 +151,11 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
 
 def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
                                 renormalize, group_assignments,
-                                alignment_penalty=0.0, mxu="highest"):
+                                alignment_penalty=0.0, mxu="highest",
+                                early_eps=None):
   """Subspace counterpart of _fused_segment_runner (the anti-alignment
-  regularizer runs in-kernel too; see
-  ops/pallas_train_step.fused_group_train_segment_pallas)."""
+  regularizer and the in-kernel early-stop while_loop run in-kernel
+  too; see ops/pallas_train_step.fused_group_train_segment_pallas)."""
   from vtc_tpu.ops.pallas_train_step import (
       fused_group_train_segment_pallas)
 
@@ -164,7 +165,8 @@ def _fused_group_segment_runner(variant, update_alg, upd_niters, hard,
         group_assignments=group_assignments, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, hard=hard,
         renormalize=renormalize, power_iters=2,
-        alignment_penalty=float(alignment_penalty), mxu=mxu)
+        alignment_penalty=float(alignment_penalty), mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return dictionary, hessian, eigvec
 
   return run
@@ -800,8 +802,9 @@ def train_dictionary_scanned(training_batches, validation_batches,
             and mode == "fully-connected"):
       return False
     if group_assignments is not None:
-      if early_eps is not None:
-        return False  # same: the scanned XLA group step stops exactly
+      # in-kernel early stopping rides the same segment kernel (the
+      # grouped-tensor batch-global stop test; single-tile by
+      # construction -- the group kernel holds the whole batch in VMEM)
       return fused_group_segment_supported(
           inference_alg, update_alg, group_assignments,
           alignment_penalty=float(
@@ -1193,7 +1196,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 group_assignments,
                 alignment_penalty=float(
                     all_params.get("subspace_alignment_penalty", 0.0)),
-                mxu=str(all_params.get("train_precision", "highest")))
+                mxu=str(all_params.get("train_precision", "highest")),
+                early_eps=early_eps)
           else:
             runners[key] = _fused_segment_runner(
                 inference_alg, update_alg, upd_niters,
