@@ -238,3 +238,76 @@ def test_scanned_trainer_fc_data_code_auto_select(rng):
       batches, batches[:1], d0.copy(),
       dict(params, data_parallel=parallel.make_mesh(data=2, code=2))))
   np.testing.assert_allclose(cs, single, atol=3e-5)
+
+
+def test_code_shard_in_kernel_early_stop_matches_fused(rng):
+  """The code-shard kernel's in-kernel stop test (shard |delta| sums
+  all-reduced over the code axis) == the single-chip fused kernel's
+  in-kernel stop on the unsharded dictionary."""
+  from vtc_tpu.ops.pallas_train_step import fused_train_segment_pallas
+
+  k, b, s, n, cp = 3, 16, 256, 64, 2
+  eps = 3e-2
+  d0, h0, v0, x = _problem(rng, k, b, s, n)
+  sw, n_it, upd = jnp.float32(0.05), jnp.int32(40), jnp.float32(0.005)
+
+  d_cs, h_cs, _, codes_cs = _run_cs(
+      1, cp, d0, h0, v0, x, sw, n_it, upd, variant="fista",
+      update_alg="sc_cheap_quadratic_descent", upd_num_iters=1,
+      early_stopping_epsilon=float(eps))
+  d_ref, h_ref, _, codes_ref = fused_train_segment_pallas(
+      d0, h0, v0, x, sw, n_it, upd,
+      update_alg="sc_cheap_quadratic_descent", upd_num_iters=1,
+      power_iters=2, interpret=True, early_stopping_epsilon=float(eps))
+  np.testing.assert_allclose(np.asarray(d_cs), np.asarray(d_ref),
+                             rtol=3e-5, atol=3e-5)
+  np.testing.assert_allclose(np.asarray(h_cs), np.asarray(h_ref),
+                             rtol=3e-5, atol=3e-6)
+  np.testing.assert_allclose(np.asarray(codes_cs),
+                             np.asarray(codes_ref), rtol=3e-4,
+                             atol=3e-5)
+  # non-vacuous
+  d_full, _, _, _ = fused_train_segment_pallas(
+      d0, h0, v0, x, sw, n_it, upd,
+      update_alg="sc_cheap_quadratic_descent", upd_num_iters=1,
+      power_iters=2, interpret=True)
+  assert np.abs(np.asarray(d_ref) - np.asarray(d_full)).max() > 1e-7
+
+
+def test_scanned_trainer_group_code_shard_early_stop(rng):
+  """Grouped TP x DP code-shard with early_stopping_epsilon == the
+  single-device trainer (exact XLA group stop) on the same batches."""
+  from vtc_tpu import parallel
+  from vtc_tpu.training import compiled_epoch
+
+  k, b, s, n = 2, 8, 512, 64
+  groups = _contiguous_groups(s, 4)
+  d0 = rng.randn(s, n).astype(np.float32)
+  d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+  batches = rng.randn(k, b, n).astype(np.float32) * 0.5
+  params = {
+      "mode": "fully-connected",
+      "num_epochs": 1,
+      "code_inference_algorithm": "subspace_fista",
+      "dictionary_update_algorithm":
+          "subspace_sc_cheap_quadratic_descent",
+      "group_assignments": groups,
+      "inference_param_schedule": {
+          0: {"sparsity_weight": 0.05, "num_iters": 40}},
+      "dict_update_param_schedule": {
+          0: {"stepsize": 0.005, "num_iters": 1}},
+      "fc_formulation": "pallas",
+      "early_stopping_epsilon": 3e-2,
+  }
+  single = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), dict(params)))
+  cs = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(),
+      dict(params, data_parallel=parallel.make_mesh(data=2, code=2))))
+  np.testing.assert_allclose(cs, single, atol=5e-5)
+  # non-vacuous: the no-eps run differs
+  p2 = dict(params)
+  p2.pop("early_stopping_epsilon")
+  full = np.asarray(compiled_epoch.train_dictionary_scanned(
+      batches, batches[:1], d0.copy(), p2))
+  assert np.abs(single - full).max() > 1e-7

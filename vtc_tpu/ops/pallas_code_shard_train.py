@@ -206,7 +206,7 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                     upd_num_iters, power_iters, lowest_code_val,
                     code_axis_name, code_size, data_axis_name, data_size,
                     code_stride, data_stride, use_groups, use_reg,
-                    mxu="highest"):
+                    mxu="highest", early_eps=None):
   use_fista = variant == "fista"
   tdot_, tdot_t = _make_tier_dots(mxu)
   if use_groups:
@@ -225,11 +225,18 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     x_ref, d_out, h_out, v_out, codes_out = it[:5]
     scratch = it[5:]
     rcomm, rsend, rrecv, vcomm, vsend, vrecv = scratch[:6]
+    scratch = scratch[6:]
     if has_data:
-      gcomm, gsend, grecv = scratch[6:9]
-      rphase = scratch[9]
-    else:
-      rphase = scratch[6]
+      gcomm, gsend, grecv = scratch[:3]
+      scratch = scratch[3:]
+    if early_eps is not None and code_size > 1:
+      sccomm, scsend, screcv = scratch[:3]
+      scratch = scratch[3:]
+    if early_eps is not None and has_data:
+      sdcomm, sdsend, sdrecv = scratch[:3]
+      scratch = scratch[3:]
+    rphase = scratch[0]
+    sphase = scratch[1] if early_eps is not None else None
 
     step = pl.program_id(0)
     my_code = (jax.lax.axis_index(code_axis_name) if code_size > 1
@@ -247,6 +254,8 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
       rphase[0] = 0
+      if early_eps is not None:
+        sphase[0] = 0
 
     num_iters = niter_ref[0]
     sw = scalars_ref[0]
@@ -333,11 +342,57 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
         return k + 1, codes + beta * (codes - old), codes, t_next
       return k + 1, codes, codes, t_k
 
-    # while_loop (not fori) so the rphase side effects sequence with
-    # the dynamic trip count
-    _, _, codes, _ = jax.lax.while_loop(
-        lambda c: c[0] < num_iters, lambda c: fista_body(c),
-        (jnp.int32(0), init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      # while_loop (not fori) so the rphase side effects sequence with
+      # the dynamic trip count
+      _, _, codes, _ = jax.lax.while_loop(
+          lambda c: c[0] < num_iters, lambda c: fista_body(c),
+          (jnp.int32(0), init, init, jnp.float32(1.0)))
+    else:
+      # reference stop rule, batch-GLOBAL under the full mesh: the
+      # local sum |codes - old| (this chip's row shard x batch shard)
+      # reduces over the CODE axis then the DATA axis in two small
+      # (8, 128) comm families (fixed-order sums -> identical global
+      # mean and trip count on every chip); one persistent SMEM phase
+      # counter advances per iteration
+      inv_gcount = scalars_ref[4]
+
+      def stop_reduce(local):
+        phase = jax.lax.rem(sphase[0], 2)
+        sphase[0] = sphase[0] + 1
+        total = local
+        if code_size > 1:
+          payload = jnp.pad(total.reshape(1, 1),
+                            ((0, _SUBLANES - 1), (0, _LANES - 1)))
+          total = slot_allreduce(
+              sccomm, scsend, screcv, payload, phase=phase,
+              my_idx=my_code, num_devices=code_size,
+              device_for=dev_code)[0, 0]
+        if has_data:
+          payload = jnp.pad(total.reshape(1, 1),
+                            ((0, _SUBLANES - 1), (0, _LANES - 1)))
+          total = slot_allreduce(
+              sdcomm, sdsend, sdrecv, payload, phase=phase,
+              my_idx=my_data, num_devices=data_size,
+              device_for=dev_data)[0, 0]
+        return total
+
+      def stop_cond(carry):
+        j, _, _, _, _, stop = carry
+        return jnp.logical_and(j < num_iters, jnp.logical_not(stop))
+
+      def stop_body(carry):
+        j, z, old, _, t_k, _ = carry
+        j_next, z_next, codes, t_next = fista_body((j, z, old, t_k))
+        total = stop_reduce(jnp.sum(jnp.abs(codes - old)))
+        avg_delta = (total * inv_gcount) / eta
+        stop = jnp.logical_and(avg_delta < early_eps, j > 0)
+        return j_next, z_next, codes, codes, t_next, stop
+
+      _, _, _, codes, _, _ = jax.lax.while_loop(
+          stop_cond, lambda c: stop_body(c),
+          (jnp.int32(0), init, init, init, jnp.float32(1.0),
+           jnp.bool_(False)))
     codes_out[:] = codes
 
     if uses_hessian:
@@ -398,7 +453,7 @@ def fused_code_sharded_train_segment_pallas(
     variant="fista", update_alg="sc_cheap_quadratic_descent",
     upd_num_iters=1, nonneg=False, hard=False, renormalize=True,
     power_iters=12, lowest_code_val=0.001, interpret=False,
-    mxu="highest"):
+    mxu="highest", early_stopping_epsilon=None, stop_count=None):
   """Run `batches.shape[0]` code-sharded train steps in ONE kernel
   launch per chip.  Call inside a shard_map over ``axis_name`` (plus
   optionally ``data_axis_name``); ``dict_shard`` is this chip's (s_l, n)
@@ -462,10 +517,16 @@ def fused_code_sharded_train_segment_pallas(
                             ((0, sl_pad - sl), (0, sl_pad - sl))))
     extra_specs.append(pl.BlockSpec((sl_pad, sl_pad), const))
 
+  # early-stop mean denominator: the REAL global element count
+  # (fc: global_b * s_total; groups: the caller passes the grouped
+  # G * M-based count to match the reference's grouped-tensor mean)
+  stop_elems = (int(stop_count) if stop_count is not None
+                else b * data_size * sl * num_devices)
   scalars = jnp.stack([jnp.asarray(sparsity_weight, jnp.float32),
                        jnp.asarray(upd_stepsize, jnp.float32),
                        jnp.float32(1.0 / (b * data_size)),
-                       jnp.asarray(alignment_penalty, jnp.float32)])
+                       jnp.asarray(alignment_penalty, jnp.float32),
+                       jnp.float32(1.0 / stop_elems)])
   niter = jnp.asarray(inf_num_iters, jnp.int32).reshape(1)
 
   kernel = _make_cs_kernel(
@@ -473,7 +534,9 @@ def fused_code_sharded_train_segment_pallas(
       int(upd_num_iters), int(power_iters), float(lowest_code_val),
       axis_name, num_devices, data_axis_name, data_size,
       int(code_stride), int(data_stride), use_groups, use_reg,
-      mxu=str(mxu))
+      mxu=str(mxu),
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)))
   cost = pl.CostEstimate(
       flops=2 * k * (40 * b_pad * sl_pad * n_pad),
       bytes_accessed=4 * k * (b_pad * n_pad + b_pad * sl_pad),
@@ -482,7 +545,13 @@ def fused_code_sharded_train_segment_pallas(
              + comm_scratch_shapes(num_devices, (_SUBLANES, n_pad)))
   if data_size > 1:
     scratch += comm_scratch_shapes(data_size, (sl_pad, n_pad))
+  if early_stopping_epsilon is not None and num_devices > 1:
+    scratch += comm_scratch_shapes(num_devices, (_SUBLANES, _LANES))
+  if early_stopping_epsilon is not None and data_size > 1:
+    scratch += comm_scratch_shapes(data_size, (_SUBLANES, _LANES))
   scratch += [pltpu.SMEM((1,), jnp.int32)]
+  if early_stopping_epsilon is not None:
+    scratch += [pltpu.SMEM((1,), jnp.int32)]
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=2,
       grid=(k,),

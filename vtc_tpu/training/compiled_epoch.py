@@ -313,7 +313,8 @@ def _dp_rdma_group_segment_runner(mesh, axis_name, axis_size, variant,
 def _code_shard_segment_runner(mesh, cs_size, data_size, variant,
                                update_alg, upd_niters, nonneg, hard,
                                renormalize, group_arrays=None,
-                               alignment_penalty=0.0, mxu="highest"):
+                               alignment_penalty=0.0, mxu="highest",
+                               early_eps=None, stop_count=None):
   """Tensor-parallel segment for beyond-VMEM dictionaries: dictionary
   ROWS sharded over the mesh's 'code' axis, each chip runs its whole
   segment as ONE Pallas kernel in residual form (never building the
@@ -365,7 +366,9 @@ def _code_shard_segment_runner(mesh, cs_size, data_size, variant,
             update_alg=update_alg, upd_num_iters=upd_niters,
             nonneg=nonneg, hard=hard, renormalize=renormalize,
             power_iters=2,
-            interpret=jax.default_backend() != "tpu", mxu=mxu, **kw))
+            interpret=jax.default_backend() != "tpu", mxu=mxu,
+            early_stopping_epsilon=early_eps, stop_count=stop_count,
+            **kw))
     return d_shard, h_shard, eigvec
 
   rep = P()
@@ -565,15 +568,13 @@ def train_dictionary_scanned(training_batches, validation_batches,
     cs_group_arrays = None
     cs_penalty = float(all_params.get("subspace_alignment_penalty",
                                       0.0))
-    # early stopping under DP: eligible fc configs run the whole-
-    # segment RDMA kernel's IN-KERNEL batch-GLOBAL stop test (see the
-    # dp_rdma gate below); everything else runs the exact XLA
-    # while_loop DP step (one pmean per iteration inside the
-    # predicate -- build_dp_local_step).  The code-shard and per-step
-    # fused kernels have no cross-chip stop test, so they are skipped
+    # early stopping under DP: the whole-segment RDMA and code-shard
+    # kernels carry the batch-GLOBAL stop test IN-KERNEL (small slot
+    # all-reduces of the shard |delta| sums per iteration); configs
+    # their gates decline run the exact XLA while_loop DP step (one
+    # pmean per iteration inside the predicate -- build_dp_local_step)
     cs_common = (
         mode == "fully-connected"
-        and early_eps is None
         and cs_size > 1
         and "dcn" not in dp_mesh.axis_names
         and "data" in dp_mesh.axis_names
@@ -1072,6 +1073,13 @@ def train_dictionary_scanned(training_batches, validation_batches,
       if key not in runners:
         if dp_mesh is not None:
           if code_sharded:
+            if group_assignments is not None:
+              gmax = max(len(g) for g in group_assignments)
+              cs_stop_count = (training_batches.shape[1]
+                               * len(group_assignments) * gmax)
+            else:
+              cs_stop_count = (training_batches.shape[1]
+                               * dictionary.shape[0])
             runners[key] = _code_shard_segment_runner(
                 dp_mesh, cs_size, cs_data_size,
                 (inference_alg[9:] if group_assignments is not None
@@ -1081,7 +1089,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 bool(all_params.get("renormalize_dictionary", True)),
                 group_arrays=cs_group_arrays,
                 alignment_penalty=cs_penalty,
-                mxu=str(all_params.get("train_precision", "highest")))
+                mxu=str(all_params.get("train_precision", "highest")),
+                early_eps=early_eps, stop_count=cs_stop_count)
             dp_fused_now = False
           elif dp_rdma:
             from vtc_tpu.parallel.mesh import dp_axes
