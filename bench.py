@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: FISTA sparse-coding dictionary learning throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Stdout contract: a `{"bench_detail": ...}` JSON line with every detail
+row, then a FINAL compact headline JSON line {"metric", "value",
+"unit", "vs_baseline", "detail"} hard-capped at HEADLINE_CAP bytes so
+the driver's bounded tail capture always parses it (BENCH_r04 lost its
+headline to a single oversized line; BENCH_NOTES UPDATE 38).
 
 Workload (BASELINE.json config #3 / the reference's flagship recipe,
 examples/train_sparse_coding.py:20-27,63-68): 16x16 patches (n=256),
@@ -49,6 +53,31 @@ BASELINE_PATCHES_PER_SEC = 30_000.0  # documented estimate, see above
 N = 256          # 16x16 patches
 S = 256          # dictionary atoms
 FISTA_ITERS = 25
+
+# The driver records only the tail of stdout; the final headline line
+# must survive that capture whole.  2,000 bytes observed in rounds 1-4;
+# cap well under it to leave room for a trailing newline + slack.
+HEADLINE_CAP = 1500
+
+# ((detail-row key, leaf key), compact name) -> the per-family headline
+# numbers that ride on the final line.  Everything else stays on the
+# bench_detail line.
+_HEADLINE_FAM_KEYS = (
+    (("subspace_batch250", "patches_per_sec"), "subspace_pps"),
+    (("conv_batch40", "images_per_sec"), "conv_b40_ips"),
+    (("ica_batch250", "patches_per_sec"), "ica_pps"),
+    (("fc_batch250", "pct_f32_roofline"), "fc_pct_roofline"),
+    (("subspace_batch250", "pct_f32_roofline"), "subspace_pct_roofline"),
+    (("conv_batch40", "pct_f32_roofline"), "conv_pct_roofline"),
+    (("ica_batch250", "pct_f32_roofline"), "ica_pct_roofline"),
+    (("fc_dp_rdma_batch250", "pct_of_single_chip_fused"), "fc_dp_pct"),
+    (("conv_dp_rdma_batch5", "pct_of_single_chip_fused"), "conv_dp_pct"),
+    (("subspace_dp_rdma_batch250", "pct_of_single_chip_fused"),
+     "subspace_dp_pct"),
+    (("ica_dp_rdma_batch250", "pct_of_single_chip_fused"), "ica_dp_pct"),
+    (("fc_batch250_bf16_training_mode", "speedup_vs_f32_headline"),
+     "fc_bf16_speedup"),
+)
 
 # bf16 MXU peak TFLOP/s per chip by device kind (public spec sheets);
 # f32-'highest' matmuls are 6 bf16 passes, so the parity-precision
@@ -839,22 +868,56 @@ def main():
     detail["ica_batch250_bf16x3_training_mode"] = {
         "patches_per_sec": round(pps_ica_x3, 1),
         "speedup_vs_f32": round(pps_ica_x3 / pps_ica, 2)}
+    # round 5 completes the bf16 matrix: the subspace bf16 mode exists
+    # since commit 5cdeb63 (2.03x, tracking notes in BENCH_NOTES) and
+    # the ICA bf16 tier is measured safe (UPDATE 24: 4.6e-4 dictionary
+    # deviation over 4000 steps; Newton-Schulz self-corrects and the
+    # guard residual always runs HIGHEST) -- both rows now published
+    # alongside fc/conv so every family reports bf16x3 AND bf16
+    pps_sub_b16 = measure_subspace(250, 1000, log=log, mxu="bf16")
+    detail["subspace_batch250_bf16_training_mode"] = {
+        "patches_per_sec": round(pps_sub_b16, 1),
+        "speedup_vs_f32": round(pps_sub_b16 / pps_sub, 2)}
+    pps_ica_b16 = measure_ica(250, 2000, timed_calls=8, log=log,
+                              mxu="bf16")
+    detail["ica_batch250_bf16_training_mode"] = {
+        "patches_per_sec": round(pps_ica_b16, 1),
+        "speedup_vs_f32": round(pps_ica_b16 / pps_ica, 2)}
 
-  result = {
+  full_detail = {
+      "epoch_1M_patches_batch250_seconds": round(epoch_seconds, 3),
+      "batch2048_patches_per_sec": round(pps_big, 1),
+      "baseline_estimate_patches_per_sec": BASELINE_PATCHES_PER_SEC,
+      "fista_iters": FISTA_ITERS,
+      **detail,
+  }
+  # Output contract (BENCH_NOTES UPDATE 38): the driver captures only the
+  # tail of stdout and parses the LAST line.  Round 4's single giant JSON
+  # line outgrew that capture and lost the headline (BENCH_r04 parsed:
+  # null), so the detail rows now go on their OWN earlier line and the
+  # final line is a compact headline hard-capped at HEADLINE_CAP bytes.
+  print(json.dumps({"bench_detail": full_detail}))
+  fam = {}
+  for src, dst in _HEADLINE_FAM_KEYS:
+    path, leaf = src
+    row = detail.get(path)
+    if isinstance(row, dict) and leaf in row:
+      fam[dst] = row[leaf]
+  headline = {
       "metric": "FISTA-25 dict-learning patches/sec/chip @16x16 "
                 "(batch 250, full train step)",
       "value": round(pps_ref, 1),
       "unit": "patches/sec",
       "vs_baseline": round(pps_ref / BASELINE_PATCHES_PER_SEC, 2),
-      "detail": {
-          "epoch_1M_patches_batch250_seconds": round(epoch_seconds, 3),
-          "batch2048_patches_per_sec": round(pps_big, 1),
-          "baseline_estimate_patches_per_sec": BASELINE_PATCHES_PER_SEC,
-          "fista_iters": FISTA_ITERS,
-          **detail,
-      },
+      "detail": {"epoch_1M_patches_batch250_seconds":
+                 round(epoch_seconds, 3), **fam},
   }
-  print(json.dumps(result))
+  line = json.dumps(headline)
+  if len(line) > HEADLINE_CAP:  # never let the headline outgrow capture
+    headline["detail"] = {}
+    line = json.dumps(headline)
+  assert len(line) <= HEADLINE_CAP, len(line)
+  print(line)
 
 
 if __name__ == "__main__":
