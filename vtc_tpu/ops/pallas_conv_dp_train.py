@@ -45,8 +45,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
+                                           slot_allreduce,
                                            slot_exchange)
-from vtc_tpu.ops.pallas_common import SUBLANES as _SUBLANES, round_up
+from vtc_tpu.ops.pallas_common import (LANES as _LANES,
+                                       SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT,
                                             _block_mask_canvas,
                                             _geometry, _pack_weights,
@@ -80,11 +82,14 @@ def _slot_layout(geo, gram):
 def fused_conv_dp_segment_supported(img_shard_shape, dict_shape,
                                     kernel_stride, inference_alg,
                                     update_alg, num_devices, *,
-                                    upd_num_iters=1, padding=None):
+                                    upd_num_iters=1, padding=None,
+                                    early_stopping_epsilon=None):
   """True when the whole-segment conv-DP kernel covers this PER-SHARD
   geometry: the shard solves as a single batch tile, multi-iteration
   updates have exact gram-form stats, and the comm slots fit next to
-  the solve working set."""
+  the solve working set.  Early stopping adds only the small
+  (8, 128)-slot stop comm family (the shard is one tile by
+  construction, so the batch-global stop test is always exact here)."""
   if not fused_conv_segment_supported(
       img_shard_shape, dict_shape, kernel_stride, inference_alg,
       update_alg, upd_num_iters=upd_num_iters, padding=padding):
@@ -103,6 +108,8 @@ def fused_conv_dp_segment_supported(img_shard_shape, dict_shape,
     return False
   rows, cols, _, _ = _slot_layout(geo, gram)
   comm = 4 * 2 * int(num_devices) * rows * cols
+  if early_stopping_epsilon is not None and int(num_devices) > 1:
+    comm += 4 * 2 * int(num_devices) * _SUBLANES * _LANES
   # the solve working set must still fit with the comm slots resident
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   brows = 6 * s + 3 * cpx + r * max(s, cpx)
@@ -115,18 +122,29 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
                          lowest_code_val, geo, batch_tile, gram_update,
                          has_supp, axis_name, num_devices,
-                         mxu="highest"):
+                         mxu="highest", early_eps=None):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
-                                 mxu=mxu)
+                                 mxu=mxu, early_eps=early_eps)
   rows, cols, off_bx, off_stat = _slot_layout(geo, gram_update)
+  # the local shard is ONE tile by construction (gated), so the
+  # batch-GLOBAL reference stop test is exact with one small
+  # fixed-order slot all-reduce of the shard |delta| sums per
+  # iteration -- every chip takes the identical trip count (the conv
+  # analogue of ops/pallas_dp_train's in-kernel stop).  The comm
+  # family is only allocated when it can be used: at axis size 1 the
+  # reduce short-circuits to the local sum.
+  has_stop_comm = early_eps is not None and num_devices > 1
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref, *rest):
     if has_supp:
       supp_ref, rest = rest[0], rest[1:]
+    if has_stop_comm:
+      scomm, ssend, srecv, sphase = rest[-4:]
+      rest = rest[:-4]
     if num_devices > 1:
       (d_out, h_out, v_out, codes_out, stack,
        comm, send_sem, recv_sem) = rest
@@ -139,6 +157,8 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
       d_out[:] = dstk_ref[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
+      if has_stop_comm:
+        sphase[0] = 0
 
     num_iters = niter_ref[0]
     sw = scalars_ref[0]
@@ -149,11 +169,30 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
     dallv = _build_dall(dstk, p_ref, s, r)
     eta = _power_refresh(dallv, v_out, power_iters)
 
+    if has_stop_comm:
+      # dynamic trip counts: the exchange phase is a running SMEM
+      # counter, not the iteration index (same argument as
+      # ops/pallas_code_shard_train)
+      def stop_reduce(local):
+        payload = jnp.pad(local.reshape(1, 1),
+                          ((0, _SUBLANES - 1), (0, _LANES - 1)))
+        phase = jax.lax.rem(sphase[0], 2)
+        sphase[0] = sphase[0] + 1
+        total = slot_allreduce(
+            scomm, ssend, srecv, payload, phase=phase,
+            my_idx=jax.lax.axis_index(axis_name),
+            num_devices=num_devices)
+        return total[0, 0]
+    else:
+      stop_reduce = None
+
     xcv = xcv_ref[0]
     mblk = mblk_ref[:]
     zmask = zmask_ref[:]
-    codes = solve_tile(dstk, dallv, xcv, mblk, zmask, eta, sw * eta,
-                       num_iters, stack)
+    codes = solve_tile(
+        dstk, dallv, xcv, mblk, zmask, eta, sw * eta, num_iters, stack,
+        inv_count=None if early_eps is None else scalars_ref[3],
+        stop_reduce=stop_reduce)
     codes_out[:] = codes
 
     for i, roll in enumerate(rolls):
@@ -233,7 +272,7 @@ def fused_conv_dp_train_segment_pallas(
     axis_size, variant="fista", update_alg="sc_cheap_quadratic_descent",
     upd_num_iters=1, nonneg=False, hard=False, renormalize=True,
     power_iters=12, lowest_code_val=0.001, interpret=False,
-    mxu="highest"):
+    mxu="highest", early_stopping_epsilon=None):
   """Run `batches.shape[0]` DP conv train steps in ONE kernel launch
   per chip.  Call inside a shard_map over ``axis_name`` (the mesh's
   only non-trivial axis); ``batches`` is this chip's
@@ -263,7 +302,9 @@ def fused_conv_dp_train_segment_pallas(
       hard=bool(hard), renormalize=bool(renormalize),
       power_iters=int(power_iters),
       lowest_code_val=float(lowest_code_val), interpret=bool(interpret),
-      mxu=str(mxu))
+      mxu=str(mxu),
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)))
 
 
 def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
@@ -271,7 +312,7 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
                         kernel_stride, padding, axis_name, axis_size,
                         variant, update_alg, upd_num_iters, nonneg,
                         hard, renormalize, power_iters, lowest_code_val,
-                        interpret, mxu):
+                        interpret, mxu, early_eps=None):
   k, b = batches.shape[0], batches.shape[1]
   img_shape = batches.shape[1:]
   num_devices = int(axis_size)
@@ -280,7 +321,8 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
   gram_update = upd_num_iters > 1
   if not fused_conv_dp_segment_supported(
       img_shape, dictionary.shape, kernel_stride, variant, update_alg,
-      num_devices, upd_num_iters=upd_num_iters, padding=padding):
+      num_devices, upd_num_iters=upd_num_iters, padding=padding,
+      early_stopping_epsilon=early_eps):
     raise ValueError("shapes exceed the conv DP segment kernel's "
                      "budget; use the per-step fused-DP path")
   b_pad = b  # single tile per shard (gated above)
@@ -301,8 +343,13 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
 
   h_in = hessian.reshape(1, s)
   v_in = eigvec.reshape(1, s)
+  # GLOBAL real element count for the early-stop mean (the slot
+  # all-reduce sums shard |delta|s over the mesh)
   scalars = jnp.stack([sparsity_weight, upd_stepsize,
-                       jnp.float32(1.0 / (b * num_devices))])
+                       jnp.float32(1.0 / (b * num_devices)),
+                       jnp.float32(1.0 / (b * num_devices * s
+                                          * geo["code_h"]
+                                          * geo["code_w"]))])
   niter = inf_num_iters.reshape(1)
 
   has_supp = bool(geo["ekh"] or geo["ekw"])
@@ -313,7 +360,8 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
   kernel = _make_conv_dp_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
       power_iters, lowest_code_val, geo, b_pad, gram_update, has_supp,
-      axis_name, num_devices, mxu=mxu)
+      axis_name, num_devices, mxu=mxu, early_eps=early_eps)
+  has_stop_comm = early_eps is not None and num_devices > 1
   rows, cols, _, _ = _slot_layout(geo, gram_update)
   bcast = lambda shape: pl.BlockSpec(shape,
                                      lambda i, *_: (0,) * len(shape))
@@ -342,7 +390,10 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
           ] + (comm_scratch_shapes(num_devices, (rows, cols))
-               if num_devices > 1 else [])),
+               if num_devices > 1 else [])
+            + (comm_scratch_shapes(num_devices, (_SUBLANES, _LANES))
+               + [pltpu.SMEM((1,), jnp.int32)]
+               if has_stop_comm else [])),
       out_shape=[
           jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),
           jax.ShapeDtypeStruct((1, s), jnp.float32),

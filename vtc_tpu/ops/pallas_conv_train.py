@@ -167,13 +167,18 @@ def gram_stats_supported(img_shape, dict_shape, kernel_stride, padding):
 def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
                                  inference_alg, update_alg, *,
                                  group_assignments=None,
-                                 upd_num_iters=1, padding=None):
+                                 upd_num_iters=1, padding=None,
+                                 early_stopping_epsilon=None):
   """True when `fused_conv_train_segment_pallas` covers this config.
 
   ``padding`` (optional) enables the batch-tiled + upd_num_iters > 1
   combination when the mask is stride-block-uniform (the reference
   config's padding is stride-aligned); without it that combination is
-  conservatively rejected."""
+  conservatively rejected.  In-kernel early stopping
+  (``early_stopping_epsilon``) additionally needs the whole batch as
+  ONE tile: the stop test is a batch-global mean that independent
+  tiles cannot share (covers the reference's own conv config, batch 5;
+  cross-tile batches keep the XLA per-step path)."""
   if group_assignments is not None:
     return False
   if inference_alg not in ("ista", "fista"):
@@ -189,6 +194,8 @@ def fused_conv_segment_supported(img_shape, dict_shape, kernel_stride,
     return False  # flat-kernel Gram must be the (s, s) one
   tile, num_tiles = _pick_tile(img_shape[0], geo)
   if tile is None:
+    return False
+  if early_stopping_epsilon is not None and num_tiles != 1:
     return False
   if num_tiles == 1 or int(upd_num_iters) == 1:
     return True
@@ -259,10 +266,24 @@ def _make_deep_dot(mxu):
   return (lambda w: w), _dot
 
 
-def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu="highest"):
+def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu="highest",
+                      early_eps=None):
   """FISTA/ISTA solve of one batch tile on the code canvas (shared by
   the segment kernel and the DP solve+stats kernel).  Returns
-  codes (s, tl); `stack` is the caller's VMEM scratch."""
+  codes (s, tl); `stack` is the caller's VMEM scratch.
+
+  ``early_eps`` switches the fori_loop to the reference stop rule
+  (convolutional/ista_fista.py:156-195 semantics, same rule as
+  ops/pallas_conv_direct): mean |codes - old| / eta < eps after the
+  first iteration, over the REAL element count (padded canvas / batch
+  positions hold exact zeros every iteration, so the canvas |delta|
+  sum IS the real-element sum).  The caller then passes ``inv_count``
+  (1 / real element count) to ``solve``.  Exact only when the tile is
+  the whole (per-chip) batch -- callers gate.  ``solve``'s optional
+  ``stop_reduce`` maps the tile-local |delta| sum to the batch-global
+  one (identity when None; the DP kernel passes an in-kernel slot
+  all-reduce built on ITS refs, so every chip takes the identical trip
+  count)."""
   use_fista = variant == "fista"
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
@@ -271,7 +292,7 @@ def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu="highest"):
   threshold = make_threshold(nonneg, hard)
 
   def solve(dstk, dallv, xcv, mblk, zmask, eta, lam_eta, num_iters,
-            stack):
+            stack, inv_count=None, stop_reduce=None):
     dstk_t = prep_w(dstk)    # tier prep once per step, not per iter
     dallv_t = prep_w(dallv)
     for i, roll in enumerate(rolls):
@@ -295,8 +316,28 @@ def _make_tile_solver(variant, nonneg, hard, geo, tl, mxu="highest"):
       return codes, codes, t_k
 
     init = jnp.zeros((s, tl), jnp.float32)
-    _, codes, _ = jax.lax.fori_loop(
-        0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+    if early_eps is None:
+      _, codes, _ = jax.lax.fori_loop(
+          0, num_iters, fista_body, (init, init, jnp.float32(1.0)))
+      return codes
+
+    def stop_cond(carry):
+      j, _, _, _, _, stop = carry
+      return jnp.logical_and(j < num_iters, jnp.logical_not(stop))
+
+    def stop_body(carry):
+      j, z, old, _, t_k, _ = carry
+      z_next, codes, t_next = fista_body(None, (z, old, t_k))
+      local = jnp.sum(jnp.abs(codes - old))
+      total = local if stop_reduce is None else stop_reduce(local)
+      avg_delta = (total * inv_count) / eta
+      stop = jnp.logical_and(avg_delta < early_eps, j > 0)
+      return j + 1, z_next, codes, codes, t_next, stop
+
+    _, _, _, codes, _, _ = jax.lax.while_loop(
+        stop_cond, stop_body,
+        (jnp.int32(0), init, init, init, jnp.float32(1.0),
+         jnp.bool_(False)))
     return codes
 
   return solve
@@ -333,13 +374,17 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
                          renormalize, upd_num_iters, power_iters,
                          lowest_code_val, geo, batch_tile, num_tiles,
                          gram_update=False, has_supp=False,
-                         mxu="highest"):
+                         mxu="highest", early_eps=None):
   s, cpx, r = geo["s"], geo["cpx"], geo["r"]
   rolls = geo["rolls"]
   tl = batch_tile * geo["ells"]
   multi = num_tiles > 1
+  # the batch-global stop test needs the whole batch in ONE tile
+  # (independent tiles cannot share the mean; cross-tile configs keep
+  # the XLA per-step path -- fused_conv_segment_supported gates)
+  assert early_eps is None or not multi
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
-                                 mxu=mxu)
+                                 mxu=mxu, early_eps=early_eps)
 
   def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
              sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
@@ -389,8 +434,9 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
     xcv = xcv_ref[0]
     mblk = mblk_ref[:]    # pre-tiled (cpx, tl) on the host side
     zmask = zmask_ref[:]  # pre-tiled (1, tl)
-    codes = solve_tile(dstk, dallv, xcv, mblk, zmask, eta, sw * eta,
-                       num_iters, stack)
+    codes = solve_tile(
+        dstk, dallv, xcv, mblk, zmask, eta, sw * eta, num_iters, stack,
+        inv_count=None if early_eps is None else scalars_ref[3])
     codes_out[:] = codes
 
     # D-independent rolled code stack for the update (synthesis layout)
@@ -494,7 +540,8 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
                                     power_iters=12,
                                     lowest_code_val=0.001,
                                     batch_tile=None, interpret=False,
-                                    mxu="highest"):
+                                    mxu="highest",
+                                    early_stopping_epsilon=None):
   """Run `batches.shape[0]` fused conv train steps in one launch.
 
   ``mxu`` is the opt-in training-speed tier for the solver's
@@ -539,7 +586,9 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
       power_iters=int(power_iters),
       lowest_code_val=float(lowest_code_val),
       batch_tile=None if batch_tile is None else int(batch_tile),
-      interpret=bool(interpret), mxu=str(mxu))
+      interpret=bool(interpret), mxu=str(mxu),
+      early_eps=(None if early_stopping_epsilon is None
+                 else float(early_stopping_epsilon)))
 
 
 @functools.partial(
@@ -547,13 +596,13 @@ def fused_conv_train_segment_pallas(dictionary, hessian, eigvec,
     static_argnames=("kernel_stride", "padding", "variant", "update_alg",
                      "upd_num_iters", "nonneg", "hard", "renormalize",
                      "power_iters", "lowest_code_val", "batch_tile",
-                     "interpret", "mxu"))
+                     "interpret", "mxu", "early_eps"))
 def _fused_conv_impl(dictionary, hessian, eigvec, batches,
                      sparsity_weight, inf_num_iters, upd_stepsize, *,
                      kernel_stride, padding, variant, update_alg,
                      upd_num_iters, nonneg, hard, renormalize,
                      power_iters, lowest_code_val, batch_tile,
-                     interpret, mxu="highest"):
+                     interpret, mxu="highest", early_eps=None):
   k, b = batches.shape[0], batches.shape[1]
   img_shape = batches.shape[1:]
   geo = _geometry(img_shape, dictionary.shape, kernel_stride)
@@ -563,6 +612,9 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
   else:
     tile, num_tiles = _pick_tile(b, geo)
   assert tile is not None, "caller must check fused_conv_segment_supported"
+  assert early_eps is None or num_tiles == 1, (
+      "in-kernel early stopping needs the whole batch in one tile "
+      "(caller must check fused_conv_segment_supported)")
   gram_update = (num_tiles > 1 and upd_num_iters > 1)
   assert not gram_update or gram_stats_supported(
       img_shape, dictionary.shape, kernel_stride, padding), (
@@ -586,8 +638,12 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
 
   h_in = hessian.reshape(1, s)
   v_in = eigvec.reshape(1, s)
+  # real element count for the early-stop mean (matches
+  # pallas_conv_direct: padded canvas/batch positions are exact zeros)
   scalars = jnp.stack([sparsity_weight, upd_stepsize,
-                       jnp.float32(1.0 / b)])
+                       jnp.float32(1.0 / b),
+                       jnp.float32(1.0 / (b * s * geo["code_h"]
+                                          * geo["code_w"]))])
   niter = inf_num_iters.reshape(1)
 
   # kernel % stride != 0: the packed dictionary carries zero-extension
@@ -601,7 +657,8 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
   kernel = _make_segment_kernel(
       variant, nonneg, hard, uses_hessian, renormalize, upd_num_iters,
       power_iters, lowest_code_val, geo, tile, num_tiles,
-      gram_update=gram_update, has_supp=has_supp, mxu=mxu)
+      gram_update=gram_update, has_supp=has_supp, mxu=mxu,
+      early_eps=early_eps)
   grid = (k,) if num_tiles == 1 else (k, num_tiles)
   if num_tiles == 1:
     bcast = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0,) * len(

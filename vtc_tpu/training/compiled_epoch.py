@@ -129,12 +129,14 @@ def _fused_segment_runner(variant, update_alg, upd_niters, nonneg, hard,
 
 def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
                                hard, renormalize, kernel_stride,
-                               padding, mxu="highest"):
+                               padding, mxu="highest", early_eps=None):
   """Convolutional counterpart of _fused_segment_runner: the whole
   segment runs as one Pallas kernel in stride-block space
   (ops/pallas_conv_train), with the packed dictionary / Hessian /
   eigenvector VMEM-resident across steps and per-step image-block
-  canvases streamed with double buffering."""
+  canvases streamed with double buffering.  In-kernel early stopping
+  (``early_eps``) needs the whole batch as one tile
+  (fused_conv_segment_supported gates)."""
   from vtc_tpu.ops.pallas_conv_train import (
       fused_conv_train_segment_pallas)
 
@@ -143,7 +145,8 @@ def _fused_conv_segment_runner(variant, update_alg, upd_niters, nonneg,
         dictionary, hessian, eigvec, batches, sw, n_it, upd_step,
         kernel_stride=kernel_stride, padding=padding, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
-        hard=hard, renormalize=renormalize, power_iters=2, mxu=mxu)
+        hard=hard, renormalize=renormalize, power_iters=2, mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return dictionary, hessian, eigvec
 
   return run
@@ -246,11 +249,13 @@ def _dp_rdma_segment_runner(mesh, axis_name, axis_size, variant,
 def _dp_rdma_conv_segment_runner(mesh, axis_name, axis_size, variant,
                                  update_alg, upd_niters, nonneg, hard,
                                  renormalize, kernel_stride, padding,
-                                 mxu="highest"):
+                                 mxu="highest", early_eps=None):
   """Convolutional counterpart of _dp_rdma_segment_runner: each chip
   runs its ENTIRE segment as one stride-block-space Pallas kernel with
   the per-step update-stats all-reduce riding in-kernel remote DMAs
-  (ops/pallas_conv_dp_train)."""
+  (ops/pallas_conv_dp_train).  Early stopping (``early_eps``) runs the
+  batch-GLOBAL reference stop test in-kernel too (one small slot
+  all-reduce of the shard |delta| sums per iteration)."""
   from jax.sharding import PartitionSpec as P
 
   from vtc_tpu.ops.pallas_conv_dp_train import (
@@ -263,7 +268,8 @@ def _dp_rdma_conv_segment_runner(mesh, axis_name, axis_size, variant,
         axis_name=axis_name, axis_size=axis_size, variant=variant,
         update_alg=update_alg, upd_num_iters=upd_niters, nonneg=nonneg,
         hard=hard, renormalize=renormalize, power_iters=2,
-        interpret=jax.default_backend() != "tpu", mxu=mxu)
+        interpret=jax.default_backend() != "tpu", mxu=mxu,
+        early_stopping_epsilon=early_eps)
     return d, h, v
 
   rep = P()
@@ -706,6 +712,32 @@ def train_dictionary_scanned(training_batches, validation_batches,
                 init_dictionary.shape, kernel_stride, inference_alg,
                 update_alg, dp_size, upd_num_iters=1,
                 padding=padding))
+      # early stopping under DP, conv: the local shard is one tile by
+      # construction, so the conv RDMA segment kernel carries the
+      # batch-GLOBAL stop test in-kernel (same construction as the fc
+      # dp_rdma gate above); ineligible configs keep the exact XLA
+      # while_loop DP step (one pmean per iteration in the predicate)
+      elif (early_eps is not None and not code_sharded
+            and lipschitz_method == "power_warm"
+            and inference_alg in ("ista", "fista")
+            and update_alg in ("sc_steepest_descent",
+                               "sc_cheap_quadratic_descent")
+            and all_params.get("conv_formulation", "auto") in ("auto",
+                                                               "pallas")
+            and global_b % dp_size == 0):
+        from vtc_tpu.ops.pallas_conv_dp_train import (
+            fused_conv_dp_segment_supported)
+        others = [a for a in dp_mesh.axis_names if a != "data"]
+        dp_rdma_conv = (
+            "dcn" not in dp_mesh.axis_names
+            and all(dp_mesh.shape[a] == 1 for a in others)
+            and (jax.default_backend() == "tpu"
+                 or dp_size < len(jax.devices()))
+            and fused_conv_dp_segment_supported(
+                (global_b // dp_size,) + training_batches.shape[2:],
+                init_dictionary.shape, kernel_stride, inference_alg,
+                update_alg, dp_size, upd_num_iters=1,
+                padding=padding, early_stopping_epsilon=early_eps))
     # subspace fused-DP: per-shard group solve+stats kernel + one psum
     # (parallel.build_dp_group_fused_local_step)
     if (not dp_fused
@@ -770,7 +802,8 @@ def train_dictionary_scanned(training_batches, validation_batches,
               global_b // dp_size, init_dictionary.shape[0],
               training_batches.shape[-1], group_assignments, dp_size))
     if (not dp_fused and not dp_rdma and not dp_rdma_group
-        and not code_sharded and lipschitz_method == "power_warm"):
+        and not dp_rdma_conv and not code_sharded
+        and lipschitz_method == "power_warm"):
       lipschitz_method = "power"
   warm_power = lipschitz_method == "power_warm"
 
@@ -787,18 +820,19 @@ def train_dictionary_scanned(training_batches, validation_batches,
       if all_params.get("conv_formulation", "auto") not in ("auto",
                                                             "pallas"):
         return False
-      if early_eps is not None:
-        # the conv whole-segment kernel has no in-kernel stop test;
-        # the XLA scan of the per-step fused solve (which does, via
-        # pallas_conv_direct / the while_loop path) handles it exactly
-        return False
+      # in-kernel early stopping rides the same segment kernel when
+      # the whole batch is one tile (the batch-global stop test;
+      # covers the reference's own conv config, batch 5); cross-tile
+      # batches fall back to the XLA per-step path, which carries the
+      # exact while_loop stop (pallas_conv_direct / prox path)
       from vtc_tpu.ops.pallas_conv_train import (
           fused_conv_segment_supported)
       return fused_conv_segment_supported(
           training_batches.shape[1:], dictionary.shape, kernel_stride,
           inference_alg, update_alg,
           group_assignments=group_assignments,
-          upd_num_iters=upd_niters_, padding=padding)
+          upd_num_iters=upd_niters_, padding=padding,
+          early_stopping_epsilon=early_eps)
     if not (resolved_formulation == "pallas"
             and mode == "fully-connected"):
       return False
@@ -834,7 +868,7 @@ def train_dictionary_scanned(training_batches, validation_batches,
         (training_batches.shape[1] // dp_size,)
         + training_batches.shape[2:], dictionary.shape, kernel_stride,
         inference_alg, update_alg, dp_size, upd_num_iters=upd_niters_,
-        padding=padding)
+        padding=padding, early_stopping_epsilon=early_eps)
 
   def make_dp_local(upd_niters_):
     from vtc_tpu import parallel as vtc_parallel
@@ -1027,222 +1061,229 @@ def train_dictionary_scanned(training_batches, validation_batches,
       return _put(training_batches[pos_:pos_ + chunk_])
     return buf.result()
 
-  for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
-    handle_events(seg_start)
-    if shuffle_each_epoch and seg_start % k == 0 and seg_start < (
-        total_iters):
-      shuffle_key, sub = jax.random.split(shuffle_key)
-      if stream_steps is not None:
-        # host-side sample-level permutation (the device shuffle would
-        # require the epoch resident in HBM, defeating the streaming)
-        perm = np.asarray(jax.random.permutation(sub, k * b_per))
-        flat = training_batches.reshape((k * b_per,)
-                                        + training_batches.shape[2:])
-        training_batches = flat[perm].reshape(training_batches.shape)
-        prefetched.clear()
-      else:
-        training_batches = _reshuffle(training_batches, sub)
-    if seg_end == seg_start:
-      continue
-    epoch = seg_start // k
-    lo, hi = seg_start - epoch * k, seg_end - epoch * k
-    assert 0 <= lo < hi <= k, "segments never straddle epochs"
-    previous_dictionary = dictionary
-    # decompose the segment into power-of-two chunks so the number of
-    # DISTINCT compiled scan lengths is O(log k) for the whole run
-    # (arbitrary segment lengths would each compile their own program,
-    # which is expensive on runtimes with slow remote compilation)
-    if eigvec is None:
-      eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
-    use_fused = dp_mesh is None and fused_eligible(upd_niters)
-    segment_ran_cold_dp = False
-    pos = lo
-    while pos < hi:
-      # whole-segment Pallas runners launch the EXACT segment length
-      # (their compiles are seconds, and every launch through this
-      # runtime's relay costs ~0.3 s); the XLA scan runners keep the
-      # power-of-two decomposition so the number of DISTINCT compiled
-      # scan lengths stays O(log k) (those compiles are minutes)
-      if use_fused:
-        chunk = hi - pos
-      else:
-        chunk = 1 << ((hi - pos).bit_length() - 1)
-      if stream_steps is not None:
-        chunk = min(chunk, stream_steps)
-      key = (id(raw_step), upd_niters, chunk)
-      if key not in runners:
-        if dp_mesh is not None:
-          if code_sharded:
-            if group_assignments is not None:
-              gmax = max(len(g) for g in group_assignments)
-              cs_stop_count = (training_batches.shape[1]
-                               * len(group_assignments) * gmax)
-            else:
-              cs_stop_count = (training_batches.shape[1]
-                               * dictionary.shape[0])
-            runners[key] = _code_shard_segment_runner(
-                dp_mesh, cs_size, cs_data_size,
-                (inference_alg[9:] if group_assignments is not None
-                 else inference_alg), update_alg, upd_niters,
-                bool(all_params.get("nonnegative_only", False)),
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                group_arrays=cs_group_arrays,
-                alignment_penalty=cs_penalty,
-                mxu=str(all_params.get("train_precision", "highest")),
-                early_eps=early_eps, stop_count=cs_stop_count)
-            dp_fused_now = False
-          elif dp_rdma:
-            from vtc_tpu.parallel.mesh import dp_axes
-            runners[key] = _dp_rdma_segment_runner(
-                dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
-                update_alg, upd_niters,
-                bool(all_params.get("nonnegative_only", False)),
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                mxu=str(all_params.get("train_precision", "highest")),
-                early_eps=early_eps)
-            dp_fused_now = False
-          elif dp_rdma_group:
-            from vtc_tpu.parallel.mesh import dp_axes
-            runners[key] = _dp_rdma_group_segment_runner(
-                dp_mesh, dp_axes(dp_mesh)[0], dp_size,
-                inference_alg[9:], update_alg, upd_niters,
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                group_assignments,
-                alignment_penalty=float(
-                    all_params.get("subspace_alignment_penalty", 0.0)),
-                mxu=str(all_params.get("train_precision", "highest")),
-                early_eps=early_eps)
-            dp_fused_now = False
-          elif dp_rdma_conv and _conv_rdma_ok(upd_niters):
-            from vtc_tpu.parallel.mesh import dp_axes
-            runners[key] = _dp_rdma_conv_segment_runner(
-                dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
-                update_alg, upd_niters,
-                bool(all_params.get("nonnegative_only", False)),
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                kernel_stride, padding,
-                mxu=str(all_params.get("train_precision", "highest")))
-            dp_fused_now = False
-          elif dp_fused and mode == "convolutional" and upd_niters > 1:
-            # multi-iteration conv DP updates psum gram-form stats:
-            # needs a block-factorizable mask
-            from vtc_tpu.ops.pallas_conv_train import (
-                gram_stats_supported)
-            dp_fused_now = gram_stats_supported(
-                training_batches.shape[1:], dictionary.shape,
-                kernel_stride, padding)
-          else:
-            dp_fused_now = dp_fused
-          if dp_fused_now:
-            from vtc_tpu.parallel.mesh import dp_axes
-            axes = dp_axes(dp_mesh)
-            size = 1
-            for a in axes:
-              size *= dp_mesh.shape[a]
-            common = dict(
-                nonneg=bool(all_params.get("nonnegative_only", False)),
-                hard_threshold=bool(all_params.get("hard_threshold",
-                                                   False)),
-                renormalize=bool(all_params.get(
-                    "renormalize_dictionary", True)),
-                axis_names=axes,
-                # 2 refresh iters is exact-seed-safe: this trainer
-                # always seeds via seed_eigvec and re-seeds after
-                # dictionary jumps (see _fused_segment_runner)
-                power_iters=2,
-                # training-speed tiers compose with DP: the per-shard
-                # solve runs the tier, the psum'd stats stay f32
-                mxu=str(all_params.get("train_precision", "highest")))
-            if mode == "convolutional":
-              from vtc_tpu.parallel.data_parallel import (
-                  build_dp_conv_fused_local_step)
-              local = build_dp_conv_fused_local_step(
-                  size, inference_alg, update_alg,
-                  kernel_stride=kernel_stride, padding=padding,
-                  upd_num_iters=upd_niters, **common)
-            elif group_assignments is not None:
-              from vtc_tpu.parallel.data_parallel import (
-                  build_dp_group_fused_local_step)
-              group_common = dict(common)
-              group_common.pop("nonneg")  # no nonneg in the group prox
-              local = build_dp_group_fused_local_step(
-                  size, inference_alg, update_alg,
-                  group_assignments=group_assignments,
-                  alignment_penalty=float(all_params.get(
-                      "subspace_alignment_penalty", 0.0)),
-                  upd_num_iters=upd_niters, **group_common)
-            else:
-              from vtc_tpu.parallel.data_parallel import (
-                  build_dp_fused_local_step)
-              local = build_dp_fused_local_step(
-                  size, inference_alg, update_alg,
-                  upd_num_iters=upd_niters, **common)
-            runners[key] = _dp_fused_segment_runner(
-                local, dp_mesh, mode == "convolutional")
-          elif not (dp_rdma or dp_rdma_group or code_sharded):
-            runners[key] = _dp_segment_runner(
-                make_dp_local(upd_niters), dp_mesh,
-                mode == "convolutional")
-            cold_dp_runner_keys.add(key)
-        elif use_fused:
-          if mode == "convolutional":
-            runners[key] = _fused_conv_segment_runner(
-                inference_alg, update_alg, upd_niters,
-                bool(all_params.get("nonnegative_only", False)),
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                kernel_stride, padding,
-                mxu=str(all_params.get("train_precision", "highest")))
-          elif group_assignments is not None:
-            runners[key] = _fused_group_segment_runner(
-                inference_alg[9:], update_alg, upd_niters,
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                group_assignments,
-                alignment_penalty=float(
-                    all_params.get("subspace_alignment_penalty", 0.0)),
-                mxu=str(all_params.get("train_precision", "highest")),
-                early_eps=early_eps)
-          else:
-            runners[key] = _fused_segment_runner(
-                inference_alg, update_alg, upd_niters,
-                bool(all_params.get("nonnegative_only", False)),
-                bool(all_params.get("hard_threshold", False)),
-                bool(all_params.get("renormalize_dictionary", True)),
-                mxu=str(all_params.get("train_precision", "highest")),
-                early_eps=early_eps)
+  try:
+    for seg_start, seg_end in zip(boundaries[:-1], boundaries[1:]):
+      handle_events(seg_start)
+      if shuffle_each_epoch and seg_start % k == 0 and seg_start < (
+          total_iters):
+        shuffle_key, sub = jax.random.split(shuffle_key)
+        if stream_steps is not None:
+          # host-side sample-level permutation (the device shuffle would
+          # require the epoch resident in HBM, defeating the streaming)
+          perm = np.asarray(jax.random.permutation(sub, k * b_per))
+          flat = training_batches.reshape((k * b_per,)
+                                          + training_batches.shape[2:])
+          training_batches = flat[perm].reshape(training_batches.shape)
+          prefetched.clear()
         else:
-          runners[key] = _segment_runner(raw_step, upd_niters,
-                                         warm_power, lip_matrix)
-      staged = _stage(pos, chunk)
-      dictionary, hessian, eigvec = runners[key](
-          dictionary, hessian, eigvec, staged,
-          jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
-      if key in cold_dp_runner_keys:
-        segment_ran_cold_dp = True
-      del staged
-      pos += chunk
-      if stream_steps is not None and pos < hi:
-        # the runner call above is asynchronous: issue the next chunk's
-        # host->device transfer now so it overlaps the compute
-        nxt = min((hi - pos) if use_fused
-                  else 1 << ((hi - pos).bit_length() - 1), stream_steps)
-        if stream_trace is not None:
-          stream_trace.append(("prefetch", pos))
-        prefetched[(pos, nxt)] = _put_async(
-            training_batches[pos:pos + nxt])
-    if segment_ran_cold_dp and warm_power:
-      # the cold runner trained the dictionary without refreshing the
-      # warm eigenvector; force an exact re-seed before the next
-      # fused segment (power_iters=2 there assumes an exact seed)
-      eigvec = None
-  handle_events(total_iters)  # trailing checkpoint/vis events
-  if stream_pool is not None:
-    stream_pool.shutdown(wait=True)
+          training_batches = _reshuffle(training_batches, sub)
+      if seg_end == seg_start:
+        continue
+      epoch = seg_start // k
+      lo, hi = seg_start - epoch * k, seg_end - epoch * k
+      assert 0 <= lo < hi <= k, "segments never straddle epochs"
+      previous_dictionary = dictionary
+      # decompose the segment into power-of-two chunks so the number of
+      # DISTINCT compiled scan lengths is O(log k) for the whole run
+      # (arbitrary segment lengths would each compile their own program,
+      # which is expensive on runtimes with slow remote compilation)
+      if eigvec is None:
+        eigvec = seed_eigvec(dictionary) if warm_power else jnp.zeros(1)
+      use_fused = dp_mesh is None and fused_eligible(upd_niters)
+      segment_ran_cold_dp = False
+      pos = lo
+      while pos < hi:
+        # whole-segment Pallas runners launch the EXACT segment length
+        # (their compiles are seconds, and every launch through this
+        # runtime's relay costs ~0.3 s); the XLA scan runners keep the
+        # power-of-two decomposition so the number of DISTINCT compiled
+        # scan lengths stays O(log k) (those compiles are minutes)
+        if use_fused:
+          chunk = hi - pos
+        else:
+          chunk = 1 << ((hi - pos).bit_length() - 1)
+        if stream_steps is not None:
+          chunk = min(chunk, stream_steps)
+        key = (id(raw_step), upd_niters, chunk)
+        if key not in runners:
+          if dp_mesh is not None:
+            if code_sharded:
+              if group_assignments is not None:
+                gmax = max(len(g) for g in group_assignments)
+                cs_stop_count = (training_batches.shape[1]
+                                 * len(group_assignments) * gmax)
+              else:
+                cs_stop_count = (training_batches.shape[1]
+                                 * dictionary.shape[0])
+              runners[key] = _code_shard_segment_runner(
+                  dp_mesh, cs_size, cs_data_size,
+                  (inference_alg[9:] if group_assignments is not None
+                   else inference_alg), update_alg, upd_niters,
+                  bool(all_params.get("nonnegative_only", False)),
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  group_arrays=cs_group_arrays,
+                  alignment_penalty=cs_penalty,
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps, stop_count=cs_stop_count)
+              dp_fused_now = False
+            elif dp_rdma:
+              from vtc_tpu.parallel.mesh import dp_axes
+              runners[key] = _dp_rdma_segment_runner(
+                  dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
+                  update_alg, upd_niters,
+                  bool(all_params.get("nonnegative_only", False)),
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+              dp_fused_now = False
+            elif dp_rdma_group:
+              from vtc_tpu.parallel.mesh import dp_axes
+              runners[key] = _dp_rdma_group_segment_runner(
+                  dp_mesh, dp_axes(dp_mesh)[0], dp_size,
+                  inference_alg[9:], update_alg, upd_niters,
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  group_assignments,
+                  alignment_penalty=float(
+                      all_params.get("subspace_alignment_penalty", 0.0)),
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+              dp_fused_now = False
+            elif dp_rdma_conv and _conv_rdma_ok(upd_niters):
+              from vtc_tpu.parallel.mesh import dp_axes
+              runners[key] = _dp_rdma_conv_segment_runner(
+                  dp_mesh, dp_axes(dp_mesh)[0], dp_size, inference_alg,
+                  update_alg, upd_niters,
+                  bool(all_params.get("nonnegative_only", False)),
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  kernel_stride, padding,
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+              dp_fused_now = False
+            elif dp_fused and mode == "convolutional" and upd_niters > 1:
+              # multi-iteration conv DP updates psum gram-form stats:
+              # needs a block-factorizable mask
+              from vtc_tpu.ops.pallas_conv_train import (
+                  gram_stats_supported)
+              dp_fused_now = gram_stats_supported(
+                  training_batches.shape[1:], dictionary.shape,
+                  kernel_stride, padding)
+            else:
+              dp_fused_now = dp_fused
+            if dp_fused_now:
+              from vtc_tpu.parallel.mesh import dp_axes
+              axes = dp_axes(dp_mesh)
+              size = 1
+              for a in axes:
+                size *= dp_mesh.shape[a]
+              common = dict(
+                  nonneg=bool(all_params.get("nonnegative_only", False)),
+                  hard_threshold=bool(all_params.get("hard_threshold",
+                                                     False)),
+                  renormalize=bool(all_params.get(
+                      "renormalize_dictionary", True)),
+                  axis_names=axes,
+                  # 2 refresh iters is exact-seed-safe: this trainer
+                  # always seeds via seed_eigvec and re-seeds after
+                  # dictionary jumps (see _fused_segment_runner)
+                  power_iters=2,
+                  # training-speed tiers compose with DP: the per-shard
+                  # solve runs the tier, the psum'd stats stay f32
+                  mxu=str(all_params.get("train_precision", "highest")))
+              if mode == "convolutional":
+                from vtc_tpu.parallel.data_parallel import (
+                    build_dp_conv_fused_local_step)
+                local = build_dp_conv_fused_local_step(
+                    size, inference_alg, update_alg,
+                    kernel_stride=kernel_stride, padding=padding,
+                    upd_num_iters=upd_niters, **common)
+              elif group_assignments is not None:
+                from vtc_tpu.parallel.data_parallel import (
+                    build_dp_group_fused_local_step)
+                group_common = dict(common)
+                group_common.pop("nonneg")  # no nonneg in the group prox
+                local = build_dp_group_fused_local_step(
+                    size, inference_alg, update_alg,
+                    group_assignments=group_assignments,
+                    alignment_penalty=float(all_params.get(
+                        "subspace_alignment_penalty", 0.0)),
+                    upd_num_iters=upd_niters, **group_common)
+              else:
+                from vtc_tpu.parallel.data_parallel import (
+                    build_dp_fused_local_step)
+                local = build_dp_fused_local_step(
+                    size, inference_alg, update_alg,
+                    upd_num_iters=upd_niters, **common)
+              runners[key] = _dp_fused_segment_runner(
+                  local, dp_mesh, mode == "convolutional")
+            elif not (dp_rdma or dp_rdma_group or code_sharded):
+              runners[key] = _dp_segment_runner(
+                  make_dp_local(upd_niters), dp_mesh,
+                  mode == "convolutional")
+              cold_dp_runner_keys.add(key)
+          elif use_fused:
+            if mode == "convolutional":
+              runners[key] = _fused_conv_segment_runner(
+                  inference_alg, update_alg, upd_niters,
+                  bool(all_params.get("nonnegative_only", False)),
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  kernel_stride, padding,
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+            elif group_assignments is not None:
+              runners[key] = _fused_group_segment_runner(
+                  inference_alg[9:], update_alg, upd_niters,
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  group_assignments,
+                  alignment_penalty=float(
+                      all_params.get("subspace_alignment_penalty", 0.0)),
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+            else:
+              runners[key] = _fused_segment_runner(
+                  inference_alg, update_alg, upd_niters,
+                  bool(all_params.get("nonnegative_only", False)),
+                  bool(all_params.get("hard_threshold", False)),
+                  bool(all_params.get("renormalize_dictionary", True)),
+                  mxu=str(all_params.get("train_precision", "highest")),
+                  early_eps=early_eps)
+          else:
+            runners[key] = _segment_runner(raw_step, upd_niters,
+                                           warm_power, lip_matrix)
+        staged = _stage(pos, chunk)
+        dictionary, hessian, eigvec = runners[key](
+            dictionary, hessian, eigvec, staged,
+            jnp.float32(sw), jnp.int32(n_it), jnp.float32(upd_step))
+        if key in cold_dp_runner_keys:
+          segment_ran_cold_dp = True
+        del staged
+        pos += chunk
+        if stream_steps is not None and pos < hi:
+          # the runner call above is asynchronous: issue the next chunk's
+          # host->device transfer now so it overlaps the compute
+          nxt = min((hi - pos) if use_fused
+                    else 1 << ((hi - pos).bit_length() - 1), stream_steps)
+          if stream_trace is not None:
+            stream_trace.append(("prefetch", pos))
+          prefetched[(pos, nxt)] = _put_async(
+              training_batches[pos:pos + nxt])
+      if segment_ran_cold_dp and warm_power:
+        # the cold runner trained the dictionary without refreshing the
+        # warm eigenvector; force an exact re-seed before the next
+        # fused segment (power_iters=2 there assumes an exact seed)
+        eigvec = None
+    handle_events(total_iters)  # trailing checkpoint/vis events
+  finally:
+    if stream_pool is not None:
+      # shut the prefetch worker down on every exit path: an
+      # exception in the segment loop must not leak the worker
+      # thread or its in-flight device_put futures
+      stream_pool.shutdown(wait=True)
   if tb_writer is not None:
     tb_writer.flush()
   print("scanned training done in {:.2f}s ({} iterations)".format(
