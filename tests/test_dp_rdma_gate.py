@@ -1,8 +1,11 @@
-"""The whole-segment RDMA kernels' comm scratch grows LINEARLY in the
-axis size (2 phase-buffers x P slots -- BENCH_NOTES UPDATE 34): the
-VMEM gate must trip at large P / large payloads and the trainer must
-then route to the per-step fused-DP path (one XLA psum per step) with
-identical semantics."""
+"""The whole-segment RDMA kernels' comm-scratch VMEM gates.  Round 5
+decouples the fc stats exchange from P for power-of-2 axis sizes: the
+butterfly all-reduce keeps 1 + 2 log2(P) slots resident (vs the
+all-to-all's 2 P), so the fc DP path now admits pod-scale P at the
+flagship geometry (BENCH_NOTES UPDATE 39).  Non-power-of-2 sizes keep
+the all-to-all's linear growth, and oversized configs must still route
+to the per-step fused-DP path (one XLA psum per step) with identical
+semantics."""
 import numpy as np
 import pytest
 
@@ -14,16 +17,22 @@ from vtc_tpu.ops.pallas_dp_train import fused_dp_segment_supported
 from vtc_tpu.ops.pallas_group_dp_train import fused_group_dp_segment_supported
 
 
-def test_dp_rdma_vmem_gate_linear_in_p():
+def test_dp_rdma_vmem_gate():
   b, s, n = 32, 512, 256
   # fits at small P ...
   assert fused_dp_segment_supported(b, s, n, 2)
   assert fused_dp_segment_supported(b, s, n, 4)
-  # ... and the linear comm-slot growth trips the gate as P rises
-  # (2 phases x P slots x (s+8)(s+n) f32 ~= 3.2 MB per device here)
-  assert not fused_dp_segment_supported(b, s, n, 8)
-  assert not fused_dp_segment_supported(b, s, n, 64)
-  # larger payloads trip at smaller P
+  # ... and power-of-2 P now rides the O(log P) butterfly: the sizes
+  # that tripped the all-to-all gate (P=8 did, round 4) are admitted
+  # all the way to pod scale
+  assert fused_dp_segment_supported(b, s, n, 8)
+  assert fused_dp_segment_supported(b, s, n, 16)
+  assert fused_dp_segment_supported(b, s, n, 64)
+  # the log growth still meets the budget eventually
+  assert not fused_dp_segment_supported(b, s, n, 256)
+  # non-power-of-2 sizes keep the all-to-all's 2 P slots -> linear trip
+  assert not fused_dp_segment_supported(b, s, n, 12)
+  # larger payloads trip at smaller P even on the butterfly
   assert not fused_dp_segment_supported(b, 1024, n, 4)
 
 
@@ -50,7 +59,10 @@ def test_oversized_rdma_routes_to_per_step_psum(rng):
   from vtc_tpu.ops.pallas_train_step import fused_solve_stats_supported
   from vtc_tpu.training import compiled_epoch
 
-  k, b, s, n, p = 2, 16, 768, 256, 4
+  # s=1024: the per-shard solve fits but even the butterfly comm
+  # scratch exceeds the DP budget at this payload size (round 5: s=768
+  # no longer qualifies -- the O(log P) scheme admits it)
+  k, b, s, n, p = 2, 16, 1024, 256, 4
   # the routing premise: per-shard solve fits, RDMA comm does not
   assert fused_solve_stats_supported(b // p, s, n)
   assert not fused_dp_segment_supported(b // p, s, n, p)

@@ -149,3 +149,28 @@ def test_scanned_trainer_rdma_auto_select(rng):
       batches, batches[:1], d0.copy(),
       dict(params, data_parallel=parallel.make_mesh(data=4))))
   np.testing.assert_allclose(dp, single, atol=2e-5)
+
+
+def test_dp_segment_non_pow2_all_to_all(rng):
+  """Non-power-of-2 axis sizes keep the all-to-all fixed-order slot
+  sum (the butterfly needs P = 2^k): == single-chip at P=3, bitwise
+  identical across chips."""
+  k, b_shard, s, n, p = 2, 8, 32, 48, 3
+  mesh = Mesh(np.asarray(jax.devices()[:p]).reshape(p, 1),
+              ("data", "code"))
+  d0, h0, v0, x = _data(rng, k, p * b_shard, s, n)
+  sw, n_it, upd_step = jnp.float32(0.1), jnp.int32(6), jnp.float32(0.05)
+  d_dp, h_dp, _, _ = _run_dp(
+      mesh, p, d0, h0, v0, x, sw, n_it, upd_step,
+      update_alg="sc_cheap_quadratic_descent", upd_num_iters=1)
+  d_dp = np.asarray(d_dp)
+  for dev in range(1, p):
+    assert np.array_equal(d_dp[dev], d_dp[0])
+  d_ref, h_ref, _, _ = fused_train_segment_pallas(
+      d0, h0, v0, x, sw, n_it, upd_step,
+      update_alg="sc_cheap_quadratic_descent", upd_num_iters=1,
+      power_iters=2, interpret=True)
+  np.testing.assert_allclose(d_dp[0], np.asarray(d_ref),
+                             rtol=2e-5, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(h_dp), np.asarray(h_ref),
+                             rtol=2e-5, atol=2e-6)

@@ -96,3 +96,84 @@ def comm_scratch_shapes(num_devices, slot_shape, dtype=jnp.float32):
       pltpu.SemaphoreType.DMA((2, max(num_devices - 1, 1))),
       pltpu.SemaphoreType.DMA((2, num_devices)),
   ]
+
+
+# ---------------------------------------------------------------------
+# Butterfly (recursive-doubling) all-reduce: comm scratch O(log P), not
+# O(P) -- the all-to-all scheme's 2 P slots cap the whole-segment DP
+# kernels at P <= 6 for the flagship fc geometry (BENCH_NOTES UPDATE
+# 34 / tests/test_dp_rdma_gate.py), exactly where a real pod runs.
+#
+# log2(P) rounds; in round t every chip exchanges its partial with
+# partner my_idx XOR 2^t and adds the received partial.  Determinism:
+# after round t-1 every chip in each 2^t index block holds an
+# IDENTICAL partial (induction), and round t has every chip of a
+# 2^(t+1) block compute partial_A + partial_B from identical operand
+# bits -- IEEE addition is COMMUTATIVE (only associativity fails), so
+# a + b and b + a agree bitwise and the whole mesh ends with identical
+# bits.  The association ORDER is the fixed index-block tree, so the
+# result is deterministic call to call (it differs from the
+# all-to-all's linear slot sum only by rounding -- a different but
+# equally fixed association).
+#
+# Race safety: within one call each recv slot (1 + phase*L + t) is
+# written exactly ONCE (by the round-t partner), so intra-call skew
+# cannot race.  Across calls the butterfly is a global sync point (the
+# round-L partial depends transitively on every chip's contribution),
+# so call c+1's writes trail every chip's call-c reads by at most one
+# call -- the recv slots are phase-double-buffered exactly like the
+# all-to-all scheme.  The single staging slot 0 is only read by the
+# local send DMA (wait_send precedes its next write; no phase needed).
+# ---------------------------------------------------------------------
+
+
+def _butterfly_rounds(num_devices):
+  l = int(num_devices).bit_length() - 1
+  assert (1 << l) == int(num_devices), "butterfly needs a power of 2"
+  return l
+
+
+def butterfly_comm_shapes(num_devices, slot_shape, dtype=jnp.float32):
+  """(comm, send_sem, recv_sem) scratch specs for
+  staged_butterfly_allreduce: slot 0 staging + 2 phases x log2(P) recv
+  slots."""
+  l = _butterfly_rounds(num_devices)
+  return [
+      pltpu.VMEM((1 + 2 * l,) + tuple(slot_shape), dtype),
+      pltpu.SemaphoreType.DMA((2, l)),
+      pltpu.SemaphoreType.DMA((2, l)),
+  ]
+
+
+def butterfly_stage_ref(comm):
+  """The ref the caller stages its payload sections into (slot 0)."""
+  return comm.at[0]
+
+
+def staged_butterfly_allreduce(comm, send_sem, recv_sem, *, phase,
+                               my_idx, num_devices, device_for=None):
+  """All-reduce the payload the caller staged into slot 0 of ``comm``
+  (shapes from butterfly_comm_shapes).  Callers alternate ``phase``
+  per exchange in program order, exactly as for slot_allreduce.
+  Returns the global sum -- bitwise identical on every chip."""
+  if device_for is None:
+    device_for = lambda pos: pos
+  l = _butterfly_rounds(num_devices)
+  assert l >= 1, "num_devices == 1 has nothing to reduce"
+  for t in range(l):
+    partner = jax.lax.bitwise_xor(my_idx, 1 << t)
+    recv_slot = 1 + t  # phase offset applied via dynamic index below
+    rdma = pltpu.make_async_remote_copy(
+        src_ref=comm.at[0],
+        dst_ref=comm.at[recv_slot + phase * l],
+        send_sem=send_sem.at[phase, t],
+        recv_sem=recv_sem.at[phase, t],
+        device_id=device_for(partner),
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    rdma.start()
+    rdma.wait_send()
+    rdma.wait_recv()
+    if t < l - 1:
+      comm[0] = comm[0] + comm[recv_slot + phase * l]
+  return comm[0] + comm[1 + (l - 1) + phase * l]

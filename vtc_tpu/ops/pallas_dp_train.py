@@ -16,16 +16,20 @@ async remote DMAs:
     gram/power refresh + VMEM-resident FISTA solve of the LOCAL shard
       (identical math to ops/pallas_train_step._make_kernel)
     local stats C = codes^T codes, B = codes^T X, hessian stat
-    all-to-all RDMA: each chip writes its packed (C|B|stat) slot into
-      comm[phase, my_idx] on every peer (phase = step % 2 double
+    in-kernel all-reduce of the packed (C|B|stat) payload ->
+      global stats, IDENTICAL bitwise on every chip (unlike a ring
+      all-reduce, whose per-chip accumulation order differs), so the
+      replicated dictionary / Hessian EMA / eigenvector never drift
+      apart across the mesh.  Power-of-2 axis sizes take the BUTTERFLY
+      scheme (log2(P) pairwise exchange+add rounds, O(log P) comm
+      VMEM -- admits pod-scale P; see ops/pallas_collective for the
+      determinism and race-safety arguments); other sizes keep the
+      all-to-all (each chip writes its slot into comm[phase, my_idx]
+      on every peer, fixed-order slot sum; phase = step % 2 double
       buffering -- step t+2's writes can't land before step t's reads
       finish, because a chip only reaches step t+2 after receiving
       every peer's step-t+1 slot, which peers send only after reading
       all of step t)
-    fixed-order sum over slots 0..P-1 -> global stats, IDENTICAL
-      bitwise on every chip (unlike a ring all-reduce, whose per-chip
-      accumulation order differs), so the replicated dictionary /
-      Hessian EMA / eigenvector never drift apart across the mesh
     Hessian EMA + `upd_num_iters` dictionary descent iterations from
       the global gram-form stats: grad at any D' is exactly
       (C D' - B) / global_b -- the same update the single-chip tiled
@@ -55,8 +59,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
-                                           slot_allreduce, slot_exchange)
+from vtc_tpu.ops.pallas_collective import (butterfly_comm_shapes,
+                                           comm_scratch_shapes,
+                                           slot_allreduce, slot_exchange,
+                                           staged_butterfly_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_VMEM_BUDGET_BYTES, _dot,
@@ -76,6 +82,22 @@ def _pack_dims(s_pad, n_pad):
   return s_pad + _SUBLANES, s_pad + n_pad
 
 
+def _is_pow2(p):
+  return p >= 2 and (p & (p - 1)) == 0
+
+
+def _comm_slots(num_devices):
+  """Resident comm slots for the stats all-reduce: the butterfly
+  scheme (power-of-2 P) needs 1 staging + 2 phases x log2(P) recv
+  slots -- O(log P), which is what lets the whole-segment DP path
+  admit pod-scale P (the all-to-all's 2 P slots capped it at P <= 6
+  for the flagship geometry, BENCH_NOTES UPDATE 38)."""
+  p = int(num_devices)
+  if _is_pow2(p):
+    return 1 + 2 * (p.bit_length() - 1)
+  return 2 * p  # all-to-all double-buffered slots (non-pow2 fallback)
+
+
 def _dp_vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, num_devices):
   rows, cols = _pack_dims(s_pad, n_pad)
   buffers = (
@@ -87,7 +109,7 @@ def _dp_vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, num_devices):
       + b_pad * s_pad          # codes out block
       + b_pad * n_pad          # update residual
       + s_pad * s_pad + s_pad * n_pad   # summed global C, B
-      + 2 * num_devices * rows * cols)  # comm (double-buffered slots)
+      + _comm_slots(num_devices) * rows * cols)  # comm scratch
   return 4 * buffers
 
 
@@ -110,11 +132,15 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
+  # at axis size 1 stop_reduce short-circuits and never touches the
+  # comm family, so the slots/semaphores/phase counter are only
+  # allocated when they can be used (matches pallas_group_dp_train)
+  has_stop_comm = early_eps is not None and num_devices > 1
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out, comm, send_sem, recv_sem,
              *stop_refs):
-    if early_eps is not None:
+    if has_stop_comm:
       scomm, ssend, srecv, sphase = stop_refs
     step = pl.program_id(0)
 
@@ -123,7 +149,7 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
       d_out[:] = d_ref[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
-      if early_eps is not None:
+      if has_stop_comm:
         sphase[0] = 0
 
     num_iters = niter_ref[0]
@@ -227,16 +253,30 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     if num_devices > 1:
       phase = jax.lax.rem(step, 2)
       my_idx = jax.lax.axis_index(axis_name)
-      # stage my packed slot region-wise, all-to-all it, then sum the
-      # slots in FIXED index order (bitwise identical on every chip)
-      comm[phase, my_idx, 0:s_pad, 0:s_pad] = cmat
-      comm[phase, my_idx, 0:s_pad, s_pad:s_pad + n_pad] = bmat
-      comm[phase, my_idx, s_pad:s_pad + 1, 0:s_pad] = stat
-      slot_exchange(comm, send_sem, recv_sem, phase=phase,
-                    my_idx=my_idx, num_devices=num_devices)
-      total = comm[phase, 0]
-      for slot in range(1, num_devices):
-        total = total + comm[phase, slot]
+      if _is_pow2(num_devices):
+        # butterfly all-reduce: stage the packed payload into slot 0,
+        # log2(P) pairwise exchange+add rounds -- O(log P) comm VMEM,
+        # bitwise identical on every chip (fixed index-block
+        # association tree + IEEE-commutative pair sums; see
+        # ops/pallas_collective)
+        comm[0, 0:s_pad, 0:s_pad] = cmat
+        comm[0, 0:s_pad, s_pad:s_pad + n_pad] = bmat
+        comm[0, s_pad:s_pad + 1, 0:s_pad] = stat
+        total = staged_butterfly_allreduce(
+            comm, send_sem, recv_sem, phase=phase, my_idx=my_idx,
+            num_devices=num_devices)
+      else:
+        # non-power-of-2 fallback: stage my packed slot region-wise,
+        # all-to-all it, then sum the slots in FIXED index order
+        # (bitwise identical on every chip)
+        comm[phase, my_idx, 0:s_pad, 0:s_pad] = cmat
+        comm[phase, my_idx, 0:s_pad, s_pad:s_pad + n_pad] = bmat
+        comm[phase, my_idx, s_pad:s_pad + 1, 0:s_pad] = stat
+        slot_exchange(comm, send_sem, recv_sem, phase=phase,
+                      my_idx=my_idx, num_devices=num_devices)
+        total = comm[phase, 0]
+        for slot in range(1, num_devices):
+          total = total + comm[phase, slot]
       cmat = total[0:s_pad, 0:s_pad]
       bmat = total[0:s_pad, s_pad:s_pad + n_pad]
       stat = total[s_pad:s_pad + 1, 0:s_pad]
@@ -344,11 +384,15 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=(comm_scratch_shapes(num_devices, (rows, cols))
+      scratch_shapes=((butterfly_comm_shapes(num_devices, (rows, cols))
+                       if _is_pow2(num_devices)
+                       else comm_scratch_shapes(num_devices,
+                                                (rows, cols)))
                       + (comm_scratch_shapes(num_devices,
                                              (_SUBLANES, _LANES))
                          + [pltpu.SMEM((1,), jnp.int32)]
-                         if early_stopping_epsilon is not None
+                         if (early_stopping_epsilon is not None
+                             and num_devices > 1)
                          else [])))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel, grid_spec=grid_spec,
