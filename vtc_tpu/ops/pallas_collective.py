@@ -127,10 +127,42 @@ def comm_scratch_shapes(num_devices, slot_shape, dtype=jnp.float32):
 # ---------------------------------------------------------------------
 
 
+def is_pow2(p):
+  """Power-of-2 axis sizes ride the butterfly; others the all-to-all."""
+  p = int(p)
+  return p >= 2 and (p & (p - 1)) == 0
+
+
 def _butterfly_rounds(num_devices):
   l = int(num_devices).bit_length() - 1
   assert (1 << l) == int(num_devices), "butterfly needs a power of 2"
   return l
+
+
+def allreduce_comm_shapes(num_devices, slot_shape, dtype=jnp.float32):
+  """Scratch specs for value_allreduce: butterfly shapes for
+  power-of-2 axis sizes (O(log P) slots), all-to-all otherwise."""
+  if is_pow2(num_devices):
+    return butterfly_comm_shapes(num_devices, slot_shape, dtype)
+  return comm_scratch_shapes(num_devices, slot_shape, dtype)
+
+
+def value_allreduce(comm, send_sem, recv_sem, payload, *, phase,
+                    my_idx, num_devices, device_for=None):
+  """Deterministic all-reduce of a full-slot VALUE payload,
+  dispatching butterfly (power-of-2 P) vs the all-to-all fixed-order
+  slot sum.  Scratch from allreduce_comm_shapes; num_devices == 1
+  short-circuits."""
+  if num_devices == 1:
+    return payload
+  if is_pow2(num_devices):
+    comm[0] = payload
+    return staged_butterfly_allreduce(
+        comm, send_sem, recv_sem, phase=phase, my_idx=my_idx,
+        num_devices=num_devices, device_for=device_for)
+  return slot_allreduce(comm, send_sem, recv_sem, payload, phase=phase,
+                        my_idx=my_idx, num_devices=num_devices,
+                        device_for=device_for)
 
 
 def butterfly_comm_shapes(num_devices, slot_shape, dtype=jnp.float32):

@@ -44,11 +44,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
+from vtc_tpu.ops.pallas_collective import (butterfly_comm_shapes,
+                                           comm_scratch_shapes,
                                            slot_allreduce,
-                                           slot_exchange)
+                                           slot_exchange,
+                                           staged_butterfly_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
+from vtc_tpu.ops.pallas_dp_train import _comm_slots, _is_pow2
 from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT,
                                             _block_mask_canvas,
                                             _geometry, _pack_weights,
@@ -107,7 +110,7 @@ def fused_conv_dp_segment_supported(img_shard_shape, dict_shape,
       tuple(tuple(int(x) for x in p) for p in padding)):
     return False
   rows, cols, _, _ = _slot_layout(geo, gram)
-  comm = 4 * 2 * int(num_devices) * rows * cols
+  comm = 4 * _comm_slots(num_devices) * rows * cols
   if early_stopping_epsilon is not None and int(num_devices) > 1:
     comm += 4 * 2 * int(num_devices) * _SUBLANES * _LANES
   # the solve working set must still fit with the comm slots resident
@@ -214,17 +217,30 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
     if num_devices > 1:
       phase = jax.lax.rem(step, 2)
       my_idx = jax.lax.axis_index(axis_name)
-      if gram_update:
-        comm[phase, my_idx, 0:r * s, :] = cm
-        comm[phase, my_idx, off_bx:off_bx + cpx, :] = bx
+      if _is_pow2(num_devices):
+        # O(log P) butterfly all-reduce (see ops/pallas_collective and
+        # ops/pallas_dp_train -- staging in slot 0)
+        if gram_update:
+          comm[0, 0:r * s, :] = cm
+          comm[0, off_bx:off_bx + cpx, :] = bx
+        else:
+          comm[0, 0:cpx, :] = gsum
+        comm[0, off_stat:off_stat + 1, 0:s] = stat
+        total = staged_butterfly_allreduce(
+            comm, send_sem, recv_sem, phase=phase, my_idx=my_idx,
+            num_devices=num_devices)
       else:
-        comm[phase, my_idx, 0:cpx, :] = gsum
-      comm[phase, my_idx, off_stat:off_stat + 1, 0:s] = stat
-      slot_exchange(comm, send_sem, recv_sem, phase=phase,
-                    my_idx=my_idx, num_devices=num_devices)
-      total = comm[phase, 0]
-      for slot in range(1, num_devices):
-        total = total + comm[phase, slot]
+        if gram_update:
+          comm[phase, my_idx, 0:r * s, :] = cm
+          comm[phase, my_idx, off_bx:off_bx + cpx, :] = bx
+        else:
+          comm[phase, my_idx, 0:cpx, :] = gsum
+        comm[phase, my_idx, off_stat:off_stat + 1, 0:s] = stat
+        slot_exchange(comm, send_sem, recv_sem, phase=phase,
+                      my_idx=my_idx, num_devices=num_devices)
+        total = comm[phase, 0]
+        for slot in range(1, num_devices):
+          total = total + comm[phase, slot]
       if gram_update:
         cm = total[0:r * s, :]
         bx = total[off_bx:off_bx + cpx, :]
@@ -389,7 +405,9 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
           ],
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
-          ] + (comm_scratch_shapes(num_devices, (rows, cols))
+          ] + ((butterfly_comm_shapes(num_devices, (rows, cols))
+                if _is_pow2(num_devices)
+                else comm_scratch_shapes(num_devices, (rows, cols)))
                if num_devices > 1 else [])
             + (comm_scratch_shapes(num_devices, (_SUBLANES, _LANES))
                + [pltpu.SMEM((1,), jnp.int32)]

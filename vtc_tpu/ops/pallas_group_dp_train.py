@@ -43,8 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
-                                           slot_allreduce, slot_exchange)
+from vtc_tpu.ops.pallas_collective import (butterfly_comm_shapes,
+                                           comm_scratch_shapes,
+                                           slot_allreduce, slot_exchange,
+                                           staged_butterfly_allreduce)
+from vtc_tpu.ops.pallas_dp_train import _is_pow2
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _dot_b, _dot_t,
@@ -81,8 +84,9 @@ def fused_group_dp_segment_supported(batch_shard_size, code_size,
   base = _group_vmem_bytes(
       b_pad, s_pad, n_pad, round_up(gm, _LANES),
       round_up(num_groups, _LANES), gm > input_size)
+  from vtc_tpu.ops.pallas_dp_train import _comm_slots
   comm = 4 * (s_pad * s_pad + s_pad * n_pad          # summed C, B
-              + 2 * int(num_devices) * rows * cols)  # comm slots
+              + _comm_slots(num_devices) * rows * cols)  # comm slots
   return base + comm <= _GDP_VMEM_BUDGET_BYTES
 
 
@@ -218,14 +222,24 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
       comm, send_sem, recv_sem = comm_refs
       phase = jax.lax.rem(step, 2)
       my_idx = jax.lax.axis_index(axis_name)
-      comm[phase, my_idx, 0:s_pad, 0:s_pad] = cmat
-      comm[phase, my_idx, 0:s_pad, s_pad:s_pad + n_pad] = bmat
-      comm[phase, my_idx, s_pad:s_pad + 1, 0:s_pad] = stat
-      slot_exchange(comm, send_sem, recv_sem, phase=phase,
-                    my_idx=my_idx, num_devices=num_devices)
-      total = comm[phase, 0]
-      for slot in range(1, num_devices):
-        total = total + comm[phase, slot]
+      if _is_pow2(num_devices):
+        # O(log P) butterfly all-reduce (see ops/pallas_collective and
+        # ops/pallas_dp_train -- same staging layout, slot 0)
+        comm[0, 0:s_pad, 0:s_pad] = cmat
+        comm[0, 0:s_pad, s_pad:s_pad + n_pad] = bmat
+        comm[0, s_pad:s_pad + 1, 0:s_pad] = stat
+        total = staged_butterfly_allreduce(
+            comm, send_sem, recv_sem, phase=phase, my_idx=my_idx,
+            num_devices=num_devices)
+      else:
+        comm[phase, my_idx, 0:s_pad, 0:s_pad] = cmat
+        comm[phase, my_idx, 0:s_pad, s_pad:s_pad + n_pad] = bmat
+        comm[phase, my_idx, s_pad:s_pad + 1, 0:s_pad] = stat
+        slot_exchange(comm, send_sem, recv_sem, phase=phase,
+                      my_idx=my_idx, num_devices=num_devices)
+        total = comm[phase, 0]
+        for slot in range(1, num_devices):
+          total = total + comm[phase, slot]
       cmat = total[0:s_pad, 0:s_pad]
       bmat = total[0:s_pad, s_pad:s_pad + n_pad]
       stat = total[s_pad:s_pad + 1, 0:s_pad]
@@ -384,7 +398,10 @@ def fused_group_dp_train_segment_pallas(
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=((comm_scratch_shapes(num_devices, (rows, cols))
+      scratch_shapes=(((butterfly_comm_shapes(num_devices, (rows, cols))
+                        if _is_pow2(num_devices)
+                        else comm_scratch_shapes(num_devices,
+                                                 (rows, cols)))
                        if num_devices > 1 else [])
                       + (comm_scratch_shapes(num_devices,
                                              (_SUBLANES, _LANES))

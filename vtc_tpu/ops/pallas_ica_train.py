@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
-                                           slot_allreduce)
+from vtc_tpu.ops.pallas_collective import (allreduce_comm_shapes,
+                                           value_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _tdot, _dot_b,
@@ -163,7 +163,7 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None,
       # fixed-order slot sum -> bitwise-identical global stat on every
       # chip, so the replicated dictionary never drifts across the mesh
       comm, send_sem, recv_sem = comm_refs
-      stat = slot_allreduce(
+      stat = value_allreduce(
           comm, send_sem, recv_sem, stat, phase=jax.lax.rem(step, 2),
           my_idx=jax.lax.axis_index(axis_name),
           num_devices=num_devices)
@@ -330,13 +330,14 @@ def fused_ica_train_segment_pallas(dictionary, inverse_estimate,
 
 def fused_ica_dp_segment_supported(n, batch_shard_size, num_devices):
   """True when the whole-segment DP ICA kernel covers this per-shard
-  geometry: the single-chip state must fit plus the 2 x P x (n, n)
-  double-buffered comm slots."""
+  geometry: the single-chip state must fit plus the (n, n) comm slots
+  (butterfly O(log P) for power-of-2 P, all-to-all 2 P otherwise)."""
   if not fused_ica_segment_supported(n, batch_shard_size):
     return False
   b_pad = round_up(batch_shard_size, _SUBLANES)
+  from vtc_tpu.ops.pallas_dp_train import _comm_slots
   vmem = (7 * n * n + 2 * b_pad * n
-          + 2 * int(num_devices) * n * n) * 4
+          + _comm_slots(num_devices) * n * n) * 4
   return vmem <= _DP_VMEM_BUDGET_BYTES
 
 
@@ -394,7 +395,7 @@ def fused_ica_dp_train_segment_pallas(dictionary, inverse_estimate,
               pl.BlockSpec((n, n), const),
               pl.BlockSpec((1, 1), const),
           ],
-          scratch_shapes=(comm_scratch_shapes(num_devices, (n, n))
+          scratch_shapes=(allreduce_comm_shapes(num_devices, (n, n))
                           if num_devices > 1 else [])),
       out_shape=[
           jax.ShapeDtypeStruct((n, n), jnp.float32),
