@@ -131,7 +131,15 @@ def subspace_step_flops(b, s=S, n=N, num_groups=64, max_gs=4,
   """Matmul FLOPs of one subspace train step (packed one-matmul design,
   ops/pallas_train_step.py group kernel): grouped-dictionary build and
   code unpack as 0/1 matmuls, grouped Gram, per-iteration z@G plus the
-  two skinny group-norm matmuls, and the update."""
+  two skinny group-norm matmuls, and the update.
+
+  FIXED WORK MODEL: this counts the matmul formulation's work even
+  where the round-5 kernel executes it differently (the lane-rotate
+  prox does the group-norm term on the VPU; the identity-gsel path
+  skips the build/unpack matmuls entirely -- BENCH_NOTES UPDATEs
+  40/42).  Keeping the model fixed preserves r01-r05 roofline
+  comparability: the % tracks effective algorithm throughput, like
+  reporting attention FLOPs for a fused-attention kernel."""
   gm = num_groups * max_gs
   g = num_groups
   return (2 * gm * s * n           # grouped dictionary build (gsel @ D)

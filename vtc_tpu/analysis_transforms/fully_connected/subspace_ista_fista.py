@@ -189,6 +189,7 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
         init_flat = pack_codes(
             jnp.asarray(initial_codes, jnp.float32), gather_inds,
             valid_mask).reshape(images.shape[0], g_ * m_)
+      from vtc_tpu.ops.pallas_train_step import roll_prox_window
       flat_grouped = group_fista_solve_pallas(
           images, grouped_dict, expand, sparsity_weight, num_iters,
           stepsize, initial_grouped=init_flat, variant=variant,
@@ -197,7 +198,8 @@ def run(images, dictionary, group_assignments, sparsity_weight, num_iters,
           mxu_precision=mxu_precision,
           early_stopping_epsilon=(
               None if early_stopping_epsilon is None
-              else float(early_stopping_epsilon)))
+              else float(early_stopping_epsilon)),
+          roll_window=roll_prox_window(group_assignments))
       if not ret_summed_gduplicates:
         return flat_grouped, grouped_dict
       grouped = flat_grouped.reshape(

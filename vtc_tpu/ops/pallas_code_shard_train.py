@@ -77,7 +77,8 @@ from vtc_tpu.ops.pallas_collective import (comm_scratch_shapes,
                                            slot_allreduce)
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
-from vtc_tpu.ops.pallas_train_step import (_dot, _dot_t, _make_prox_dots,
+from vtc_tpu.ops.pallas_train_step import (_dot, _dot_t,
+                                           _make_group_prox, _pin_hbm,
                                            _tdot)
 
 _CS_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
@@ -127,6 +128,7 @@ def _make_tier_dots(mxu):
 
 def _cs_vmem_bytes(b_pad, sl_pad, n_pad, num_devices, data_devices=1,
                    gl_pad=0, use_reg=False):
+  # pinned-operand accounting: pallas_train_step._vmem_bytes NOTE
   buffers = (
       2 * sl_pad * n_pad       # dictionary shard in + out
       + 2 * b_pad * n_pad      # X double buffer
@@ -202,15 +204,41 @@ def code_shard_group_arrays(group_assignments, code_size, num_devices):
   return expand, comem
 
 
+def roll_window_from_expand_arrays(expand_all):
+  """Static lane-rotate window for the code-shard group prox, or None.
+
+  Valid only when EVERY shard's (s_l, g_max) membership block is the
+  uniform contiguous pattern expand[j, j // M] == 1 -- i.e. the groups
+  tile the original code axis as equal-size M-aligned blocks (M a
+  power of two).  Unlike the packed-GM kernels (roll_prox_window),
+  this kernel shards the ORIGINAL code axis, where group members may
+  be arbitrary rows; the rotate tree is wrong there, so anything but
+  the exact block pattern keeps the membership matmuls."""
+  e = np.asarray(expand_all)
+  if e.ndim != 3:
+    return None
+  _, sl, g = e.shape
+  if g == 0 or sl % g:
+    return None
+  m = sl // g
+  if m & (m - 1):
+    return None
+  want = np.zeros((sl, g), e.dtype)
+  for j in range(sl):
+    want[j, j // m] = 1.0
+  return m if all(np.array_equal(e[p], want) for p in range(e.shape[0])) \
+      else None
+
+
 def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
                     upd_num_iters, power_iters, lowest_code_val,
                     code_axis_name, code_size, data_axis_name, data_size,
                     code_stride, data_stride, use_groups, use_reg,
-                    mxu="highest", early_eps=None):
+                    mxu="highest", early_eps=None, roll_m=None):
   use_fista = variant == "fista"
   tdot_, tdot_t = _make_tier_dots(mxu)
   if use_groups:
-    prox_dot, prox_dot_t = _make_prox_dots(mxu)
+    bind_prox = _make_group_prox(mxu, hard, roll_m)
   has_data = data_size > 1
   # data-axis exchanges per step (static): one per update iteration
   # plus the Hessian stat
@@ -224,6 +252,10 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     comem_ref = it.pop(0) if use_reg else None
     x_ref, d_out, h_out, v_out, codes_out = it[:5]
     scratch = it[5:]
+    d_pin = scratch.pop(0)
+    expand_pin = scratch.pop(0) if use_groups else None
+    comem_pin = scratch.pop(0) if use_reg else None
+    pin_sems = scratch.pop(0)
     rcomm, rsend, rrecv, vcomm, vsend, vrecv = scratch[:6]
     scratch = scratch[6:]
     if has_data:
@@ -250,7 +282,15 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
+      # segment-constant operands ride pl.ANY (see
+      # pallas_train_step._pin_hbm): one DMA each at step 0 instead of
+      # a per-cell pipeline re-fetch
+      _pin_hbm(d_ref, d_pin, pin_sems.at[0])
+      d_out[:] = d_pin[:]
+      if use_groups:
+        _pin_hbm(expand_ref, expand_pin, pin_sems.at[1])
+      if use_reg:
+        _pin_hbm(comem_ref, comem_pin, pin_sems.at[2])
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
       rphase[0] = 0
@@ -292,19 +332,15 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
     lam_eta = sw * eta
 
     if use_groups:
-      expand = expand_ref[:]                      # (sl_pad, gl_pad)
-
-      def threshold(x):
-        # group-norm shrinkage over SHARD-LOCAL groups (reference
-        # subspace_ista_fista.py:149-156; zero-norm guard included)
-        sums = prox_dot(x * x, expand)            # (b_pad, gl_pad)
-        norms = jnp.sqrt(sums)
-        safe = jnp.where(norms == 0.0, 1.0, norms)
-        if hard:
-          scale = jnp.where(norms < lam_eta, 0.0, 1.0)
-        else:
-          scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-        return x * prox_dot_t(scale, expand)
+      expand = expand_pin[:]                      # (sl_pad, gl_pad)
+      # group-norm shrinkage over SHARD-LOCAL groups (reference
+      # subspace_ista_fista.py:149-156; zero-norm guard included).
+      # roll_m is only set when the caller verified the groups tile the
+      # ORIGINAL code axis as contiguous M-aligned blocks (this kernel
+      # shards the original axis, not the packed GM layout) -- see
+      # roll_window_from_expand_arrays.
+      threshold = bind_prox(expand, lam_eta,
+                            (images.shape[0], d_shard.shape[0]))
     else:
       def threshold(x):
         if hard:
@@ -424,7 +460,7 @@ def _make_cs_kernel(variant, nonneg, hard, uses_hessian, renormalize,
         # keeps every within-group pair shard-local, so no comm
         penalty = scalars_ref[3]
         cos = _dot_t(d, d)                        # (sl_pad, sl_pad)
-        smat = comem_ref[:] * jnp.sign(cos)
+        smat = comem_pin[:] * jnp.sign(cos)
         reg = (_dot(smat, d)
                - jnp.sum(smat * cos, axis=1, keepdims=True) * d)
         grad = grad + penalty * reg
@@ -453,7 +489,8 @@ def fused_code_sharded_train_segment_pallas(
     variant="fista", update_alg="sc_cheap_quadratic_descent",
     upd_num_iters=1, nonneg=False, hard=False, renormalize=True,
     power_iters=12, lowest_code_val=0.001, interpret=False,
-    mxu="highest", early_stopping_epsilon=None, stop_count=None):
+    mxu="highest", early_stopping_epsilon=None, stop_count=None,
+    roll_window=None):
   """Run `batches.shape[0]` code-sharded train steps in ONE kernel
   launch per chip.  Call inside a shard_map over ``axis_name`` (plus
   optionally ``data_axis_name``); ``dict_shard`` is this chip's (s_l, n)
@@ -511,11 +548,11 @@ def fused_code_sharded_train_segment_pallas(
     gl = expand_local.shape[1]
     extra_in.append(jnp.pad(jnp.asarray(expand_local, jnp.float32),
                             ((0, sl_pad - sl), (0, gl_pad - gl))))
-    extra_specs.append(pl.BlockSpec((sl_pad, gl_pad), const))
+    extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
   if use_reg:
     extra_in.append(jnp.pad(jnp.asarray(comem_local, jnp.float32),
                             ((0, sl_pad - sl), (0, sl_pad - sl))))
-    extra_specs.append(pl.BlockSpec((sl_pad, sl_pad), const))
+    extra_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
   # early-stop mean denominator: the REAL global element count
   # (fc: global_b * s_total; groups: the caller passes the grouped
@@ -536,13 +573,20 @@ def fused_code_sharded_train_segment_pallas(
       int(code_stride), int(data_stride), use_groups, use_reg,
       mxu=str(mxu),
       early_eps=(None if early_stopping_epsilon is None
-                 else float(early_stopping_epsilon)))
+                 else float(early_stopping_epsilon)),
+      roll_m=roll_window)
   cost = pl.CostEstimate(
       flops=2 * k * (40 * b_pad * sl_pad * n_pad),
       bytes_accessed=4 * k * (b_pad * n_pad + b_pad * sl_pad),
       transcendentals=0)
-  scratch = (comm_scratch_shapes(num_devices, (b_pad, n_pad))
-             + comm_scratch_shapes(num_devices, (_SUBLANES, n_pad)))
+  scratch = [pltpu.VMEM((sl_pad, n_pad), jnp.float32)]  # d pin
+  if use_groups:
+    scratch += [pltpu.VMEM((sl_pad, gl_pad), jnp.float32)]
+  if use_reg:
+    scratch += [pltpu.VMEM((sl_pad, sl_pad), jnp.float32)]
+  scratch += [pltpu.SemaphoreType.DMA((3,))]
+  scratch += (comm_scratch_shapes(num_devices, (b_pad, n_pad))
+              + comm_scratch_shapes(num_devices, (_SUBLANES, n_pad)))
   if data_size > 1:
     scratch += comm_scratch_shapes(data_size, (sl_pad, n_pad))
   if early_stopping_epsilon is not None and num_devices > 1:
@@ -556,7 +600,7 @@ def fused_code_sharded_train_segment_pallas(
       num_scalar_prefetch=2,
       grid=(k,),
       in_specs=[
-          pl.BlockSpec((sl_pad, n_pad), const),
+          pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
           pl.BlockSpec((1, sl_pad), const),
           pl.BlockSpec((1, n_pad), const),
       ] + extra_specs + [

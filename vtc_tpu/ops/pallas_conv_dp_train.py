@@ -52,6 +52,7 @@ from vtc_tpu.ops.pallas_collective import (butterfly_comm_shapes,
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_dp_train import _comm_slots, _is_pow2
+from vtc_tpu.ops.pallas_train_step import _pin_hbm
 from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT,
                                             _block_mask_canvas,
                                             _geometry, _pack_weights,
@@ -141,23 +142,37 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
   # reduce short-circuits to the local sum.
   has_stop_comm = early_eps is not None and num_devices > 1
 
-  def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
-             sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref, *rest):
+  def kernel(niter_ref, scalars_ref, dstk_hbm, h_ref, v_ref, p_hbm,
+             sel_hbm, selt_hbm, mblk_hbm, zmask_hbm, xcv_ref, *rest):
     if has_supp:
-      supp_ref, rest = rest[0], rest[1:]
+      supp_hbm, rest = rest[0], rest[1:]
     if has_stop_comm:
       scomm, ssend, srecv, sphase = rest[-4:]
       rest = rest[:-4]
     if num_devices > 1:
       (d_out, h_out, v_out, codes_out, stack,
-       comm, send_sem, recv_sem) = rest
+       *pins, comm, send_sem, recv_sem) = rest
     else:
-      d_out, h_out, v_out, codes_out, stack = rest
+      d_out, h_out, v_out, codes_out, stack, *pins = rest
+    (p_ref, sel_ref, selt_ref, mblk_pin, zmask_pin,
+     *pin_rest) = pins
+    supp_ref = pin_rest[0] if has_supp else None
+    d_pin, pin_sems = pin_rest[-2], pin_rest[-1]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = dstk_ref[:]
+      # segment-constant operands ride pl.ANY and pin into VMEM once
+      # (pallas_train_step._pin_hbm) -- mblk is the big one
+      _pin_hbm(dstk_hbm, d_pin, pin_sems.at[0])
+      d_out[:] = d_pin[:]
+      _pin_hbm(p_hbm, p_ref, pin_sems.at[1])
+      _pin_hbm(sel_hbm, sel_ref, pin_sems.at[2])
+      _pin_hbm(selt_hbm, selt_ref, pin_sems.at[3])
+      _pin_hbm(mblk_hbm, mblk_pin, pin_sems.at[4])
+      _pin_hbm(zmask_hbm, zmask_pin, pin_sems.at[5])
+      if has_supp:
+        _pin_hbm(supp_hbm, supp_ref, pin_sems.at[6])
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
       if has_stop_comm:
@@ -190,8 +205,8 @@ def _make_conv_dp_kernel(variant, nonneg, hard, uses_hessian,
       stop_reduce = None
 
     xcv = xcv_ref[0]
-    mblk = mblk_ref[:]
-    zmask = zmask_ref[:]
+    mblk = mblk_pin[:]
+    zmask = zmask_pin[:]
     codes = solve_tile(
         dstk, dallv, xcv, mblk, zmask, eta, sw * eta, num_iters, stack,
         inv_count=None if early_eps is None else scalars_ref[3],
@@ -387,16 +402,17 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
           num_scalar_prefetch=2,
           grid=(k,),
           in_specs=[
-              bcast(dstk0.shape),
+              pl.BlockSpec(memory_space=pl.ANY),  # dstk (pinned)
               bcast((1, s)),
               bcast((1, s)),
-              bcast(pmats.shape),
-              bcast(sel.shape),
-              bcast(selt.shape),
-              bcast((cpx, tl)),
-              bcast((1, tl)),
+              pl.BlockSpec(memory_space=pl.ANY),  # pmats (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # sel (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # selT (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # mblk (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # zmask (pinned)
               pl.BlockSpec((1, cpx, tl), lambda i, *_: (i, 0, 0)),
-          ] + ([bcast(dstk0.shape)] if has_supp else []),
+          ] + ([pl.BlockSpec(memory_space=pl.ANY)]
+               if has_supp else []),
           out_specs=[
               bcast(dstk0.shape),
               bcast((1, s)),
@@ -405,6 +421,15 @@ def _fused_conv_dp_impl(dictionary, hessian, eigvec, batches,
           ],
           scratch_shapes=[
               pltpu.VMEM((geo["r"] * max(s, cpx), tl), jnp.float32),
+              pltpu.VMEM(pmats.shape, jnp.float32),     # pmats pin
+              pltpu.VMEM(sel.shape, jnp.float32),       # sel pin
+              pltpu.VMEM(selt.shape, jnp.float32),      # selT pin
+              pltpu.VMEM((cpx, tl), jnp.float32),       # mblk pin
+              pltpu.VMEM((1, tl), jnp.float32),         # zmask pin
+          ] + ([pltpu.VMEM(dstk0.shape, jnp.float32)]
+               if has_supp else []) + [
+              pltpu.VMEM(dstk0.shape, jnp.float32),     # d pin landing
+              pltpu.SemaphoreType.DMA((7,)),
           ] + ((butterfly_comm_shapes(num_devices, (rows, cols))
                 if _is_pow2(num_devices)
                 else comm_scratch_shapes(num_devices, (rows, cols)))

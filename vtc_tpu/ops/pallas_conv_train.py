@@ -62,6 +62,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vtc_tpu.ops.pallas_train_step import _pin_hbm
 from vtc_tpu.ops.pallas_common import (make_threshold,
                                        pick_divisor_batch_tile)
 from vtc_tpu.ops.pallas_conv_direct import (_VMEM_LIMIT, _blockify,
@@ -386,8 +387,8 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
   solve_tile = _make_tile_solver(variant, nonneg, hard, geo, tl,
                                  mxu=mxu, early_eps=early_eps)
 
-  def kernel(niter_ref, scalars_ref, dstk_ref, h_ref, v_ref, p_ref,
-             sel_ref, selt_ref, mblk_ref, zmask_ref, xcv_ref,
+  def kernel(niter_ref, scalars_ref, dstk_hbm, h_ref, v_ref, p_hbm,
+             sel_hbm, selt_hbm, mblk_hbm, zmask_hbm, xcv_ref,
              *rest):
     # zero-extended kernels (kernel % stride != 0, see
     # pallas_conv_direct._geometry) append a 0/1 support mask in dstk
@@ -395,9 +396,12 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
     # support every iteration so the zero-extension taps stay zero
     # across the whole VMEM-resident segment
     if has_supp:
-      supp_ref, rest = rest[0], rest[1:]
+      supp_hbm, rest = rest[0], rest[1:]
     (d_out, h_out, v_out, codes_out,
-     stack, gradacc, statacc, eta_ref, cmacc) = rest
+     stack, gradacc, statacc, eta_ref, cmacc,
+     p_ref, sel_ref, selt_ref, mblk_pin, zmask_pin, *pin_rest) = rest
+    supp_ref = pin_rest[0] if has_supp else None
+    d_pin, pin_sems = pin_rest[-2], pin_rest[-1]
     step = pl.program_id(0)
     tile = pl.program_id(1) if multi else None
 
@@ -405,7 +409,19 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
 
     @pl.when(first)
     def _():
-      d_out[:] = dstk_ref[:]
+      # all segment-constant operands ride pl.ANY and pin into VMEM
+      # scratch ONCE (see pallas_train_step._pin_hbm) -- notably mblk,
+      # the pre-tiled mask block, which is by far the largest operand
+      # and was re-fetched (and double-buffered) every grid cell
+      _pin_hbm(dstk_hbm, d_pin, pin_sems.at[0])
+      d_out[:] = d_pin[:]
+      _pin_hbm(p_hbm, p_ref, pin_sems.at[1])
+      _pin_hbm(sel_hbm, sel_ref, pin_sems.at[2])
+      _pin_hbm(selt_hbm, selt_ref, pin_sems.at[3])
+      _pin_hbm(mblk_hbm, mblk_pin, pin_sems.at[4])
+      _pin_hbm(zmask_hbm, zmask_pin, pin_sems.at[5])
+      if has_supp:
+        _pin_hbm(supp_hbm, supp_ref, pin_sems.at[6])
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
 
@@ -432,8 +448,8 @@ def _make_segment_kernel(variant, nonneg, hard, uses_hessian,
 
     eta = eta_ref[0]
     xcv = xcv_ref[0]
-    mblk = mblk_ref[:]    # pre-tiled (cpx, tl) on the host side
-    zmask = zmask_ref[:]  # pre-tiled (1, tl)
+    mblk = mblk_pin[:]    # pre-tiled (cpx, tl) on the host side
+    zmask = zmask_pin[:]  # pre-tiled (1, tl)
     codes = solve_tile(
         dstk, dallv, xcv, mblk, zmask, eta, sw * eta, num_iters, stack,
         inv_count=None if early_eps is None else scalars_ref[3])
@@ -679,16 +695,17 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
           num_scalar_prefetch=2,
           grid=grid,
           in_specs=[
-              bcast(dstk0.shape),          # dstk
+              pl.BlockSpec(memory_space=pl.ANY),  # dstk (pinned)
               bcast((1, s)),               # hessian
               bcast((1, s)),               # eigvec
-              bcast(pmats.shape),          # placement matrices
-              bcast(sel.shape),            # sel
-              bcast(selt.shape),           # selT
-              bcast((cpx, tl)),            # mblk (pre-tiled)
-              bcast((1, tl)),              # zmask (pre-tiled)
+              pl.BlockSpec(memory_space=pl.ANY),  # pmats (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # sel (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # selT (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # mblk (pinned)
+              pl.BlockSpec(memory_space=pl.ANY),  # zmask (pinned)
               xcv_spec,
-          ] + ([bcast(dstk0.shape)] if has_supp else []),  # supp mask
+          ] + ([pl.BlockSpec(memory_space=pl.ANY)]
+               if has_supp else []),       # supp mask (pinned)
           out_specs=[
               bcast(dstk0.shape),
               bcast((1, s)),
@@ -703,6 +720,15 @@ def _fused_conv_impl(dictionary, hessian, eigvec, batches,
               pltpu.VMEM(                               # C_m accumulator
                   (geo["r"] * s, geo["r"] * s) if gram_update
                   else (1, 1), jnp.float32),
+              pltpu.VMEM(pmats.shape, jnp.float32),     # pmats pin
+              pltpu.VMEM(sel.shape, jnp.float32),       # sel pin
+              pltpu.VMEM(selt.shape, jnp.float32),      # selT pin
+              pltpu.VMEM((cpx, tl), jnp.float32),       # mblk pin
+              pltpu.VMEM((1, tl), jnp.float32),         # zmask pin
+          ] + ([pltpu.VMEM(dstk0.shape, jnp.float32)]
+               if has_supp else []) + [
+              pltpu.VMEM(dstk0.shape, jnp.float32),     # d pin landing
+              pltpu.SemaphoreType.DMA((7,)),
           ]),
       out_shape=[
           jax.ShapeDtypeStruct(dstk0.shape, jnp.float32),

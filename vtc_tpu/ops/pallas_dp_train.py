@@ -67,7 +67,7 @@ from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_VMEM_BUDGET_BYTES, _dot,
                                            _dot_t, _dot_t_b, _make_iter_dot,
-                                           _tdot)
+                                           _pin_hbm, _tdot)
 
 # comm slots + the fixed kernel state must fit comfortably under the
 # raised 64 MB scoped-VMEM limit; same ~2x self-budget convention as
@@ -100,8 +100,9 @@ def _comm_slots(num_devices):
 
 def _dp_vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, num_devices):
   rows, cols = _pack_dims(s_pad, n_pad)
+  # pinned-operand accounting: pallas_train_step._vmem_bytes NOTE
   buffers = (
-      2 * s_pad * n_pad        # dictionary in + out (state)
+      2 * s_pad * n_pad        # dictionary in + out
       + s_pad * s_pad          # gram
       + (n_pad * n_pad if use_n_gram else 0)
       + 2 * b_pad * n_pad      # X double buffer
@@ -138,15 +139,19 @@ def _make_dp_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   has_stop_comm = early_eps is not None and num_devices > 1
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
-             d_out, h_out, v_out, codes_out, comm, send_sem, recv_sem,
-             *stop_refs):
+             d_out, h_out, v_out, codes_out, d_pin, d_sem, comm,
+             send_sem, recv_sem, *stop_refs):
     if has_stop_comm:
       scomm, ssend, srecv, sphase = stop_refs
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
+      # d rides pl.ANY (segment-constant; pallas_train_step._pin_hbm):
+      # DMA into scratch once, VPU copy into the carry output block --
+      # the pipeline otherwise re-fetches the block EVERY cell
+      _pin_hbm(d_ref, d_pin, d_sem)
+      d_out[:] = d_pin[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
       if has_stop_comm:
@@ -373,7 +378,7 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
       num_scalar_prefetch=2,
       grid=(k,),
       in_specs=[
-          pl.BlockSpec((s_pad, n_pad), const),
+          pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
           pl.BlockSpec((1, s_pad), const),
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
@@ -384,10 +389,12 @@ def fused_dp_train_segment_pallas(dictionary, hessian, eigvec, batches,
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=((butterfly_comm_shapes(num_devices, (rows, cols))
-                       if _is_pow2(num_devices)
-                       else comm_scratch_shapes(num_devices,
-                                                (rows, cols)))
+      scratch_shapes=([pltpu.VMEM((s_pad, n_pad), jnp.float32),
+                       pltpu.SemaphoreType.DMA(())]
+                      + (butterfly_comm_shapes(num_devices, (rows, cols))
+                         if _is_pow2(num_devices)
+                         else comm_scratch_shapes(num_devices,
+                                                  (rows, cols)))
                       + (comm_scratch_shapes(num_devices,
                                              (_SUBLANES, _LANES))
                          + [pltpu.SMEM((1,), jnp.int32)]

@@ -51,11 +51,12 @@ from vtc_tpu.ops.pallas_dp_train import _is_pow2
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _dot_b, _dot_t,
-                                           _dot_t_b, _make_iter_dot,
-                                           _make_prox_dots, _tdot,
-                                           _group_vmem_bytes,
+                                           _dot_t_b, _make_group_prox,
+                                           _make_iter_dot, _pin_hbm,
+                                           _tdot, _group_vmem_bytes,
                                            group_expand_matrix,
-                                           group_selection_matrix)
+                                           group_selection_matrix,
+                                           roll_prox_window)
 
 _GDP_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 _GDP_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
@@ -94,17 +95,32 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
                           upd_num_iters, power_iters, use_n_gram,
                           lowest_code_val, use_reg, axis_name,
                           num_devices, s_pad, n_pad, mxu="highest",
-                          early_eps=None):
+                          early_eps=None, roll_m=None,
+                          gsel_identity=False):
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
-  prox_dot, prox_dot_t = _make_prox_dots(mxu)
+  bind_prox = _make_group_prox(mxu, hard, roll_m)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
   has_stop_comm = early_eps is not None and num_devices > 1
+  use_gsel = not gsel_identity
+  use_expand = roll_m is None
 
-  def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
-              expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
-              codes_out, *comm_refs):
+  def _kernel(*refs):
+    it = iter(refs)
+    niter_ref, scalars_ref, d_ref, h_ref, v_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    gsel_hbm = next(it) if use_gsel else None
+    expand_hbm = next(it) if use_expand else None
+    comem_hbm = next(it) if use_reg else None
+    x_ref, d_out, h_out, v_out, codes_out = (
+        next(it), next(it), next(it), next(it), next(it))
+    d_pin = next(it)
+    gsel_vmem = next(it) if use_gsel else None
+    expand_vmem = next(it) if use_expand else None
+    comem_vmem = next(it) if use_reg else None
+    sems = next(it)
+    comm_refs = tuple(it)
     if has_stop_comm:
       scomm, ssend, srecv, sphase = comm_refs[-4:]
       comm_refs = comm_refs[:-4]
@@ -112,7 +128,17 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
+      # segment-constant operands ride pl.ANY (see
+      # pallas_train_step._pin_hbm): DMA into scratch once; d then
+      # copies into its carry output block
+      _pin_hbm(d_ref, d_pin, sems.at[0])
+      d_out[:] = d_pin[:]
+      if use_gsel:
+        _pin_hbm(gsel_hbm, gsel_vmem, sems.at[1])
+      if use_expand:
+        _pin_hbm(expand_hbm, expand_vmem, sems.at[2])
+      if use_reg:
+        _pin_hbm(comem_hbm, comem_vmem, sems.at[3])
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
       if has_stop_comm:
@@ -124,10 +150,11 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
     inv_global_b = scalars_ref[2]
 
     dictionary = d_out[:]
-    gsel = gsel_ref[:]
-    expand = expand_ref[:]
+    gsel = gsel_vmem[:] if use_gsel else None
+    expand = expand_vmem[:] if use_expand else None
     images = x_ref[0]
-    grouped = _dot(gsel, dictionary)              # (GM_pad, n_pad)
+    grouped = (_dot(gsel, dictionary) if use_gsel
+               else dictionary)                   # (GM_pad, n_pad)
     gram = _dot_t(grouped, grouped)               # (GM_pad, GM_pad)
     power_gram = _tdot(grouped, grouped) if use_n_gram else gram
 
@@ -144,16 +171,7 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
     lam_eta = sw * eta
 
     corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
-
-    def prox(x):
-      sums = prox_dot(x * x, expand)              # (b_pad, G_pad)
-      norms = jnp.sqrt(sums)
-      safe = jnp.where(norms == 0.0, 1.0, norms)
-      if hard:
-        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
-      else:
-        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * prox_dot_t(scale, expand)
+    prox = bind_prox(expand, lam_eta, corr.shape)
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
@@ -209,7 +227,8 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
           stop_cond, stop_body,
           (jnp.int32(0), init, init, init, jnp.float32(1.0),
            jnp.bool_(False)))
-    codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes = (dot_(grouped_codes, gsel) if use_gsel
+             else grouped_codes)                  # (b_pad, s_pad) summed
     codes_out[:] = codes
 
     # local gram-form stats (HIGHEST in every tier: they feed the
@@ -257,7 +276,7 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
         # dictionary-only, so no communication
         penalty = scalars_ref[3]
         cos = _dot_t(d, d)
-        smat = comem_ref[:] * jnp.sign(cos)
+        smat = comem_vmem[:] * jnp.sign(cos)
         reg = (_dot(smat, d)
                - jnp.sum(smat * cos, axis=1, keepdims=True) * d)
         grad = grad + penalty * reg
@@ -275,14 +294,7 @@ def _make_group_dp_kernel(variant, hard, uses_hessian, renormalize,
   if use_reg:
     return _kernel
 
-  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
-             expand_ref, x_ref, d_out, h_out, v_out, codes_out,
-             *comm_refs):
-    return _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref,
-                   gsel_ref, expand_ref, None, x_ref, d_out, h_out,
-                   v_out, codes_out, *comm_refs)
-
-  return kernel
+  return _kernel
 
 
 def fused_group_dp_train_segment_pallas(
@@ -364,13 +376,32 @@ def fused_group_dp_train_segment_pallas(
     comem_in = jnp.pad(jnp.asarray(comem),
                        ((0, s_pad - s), (0, s_pad - s)))
 
+  roll_m = roll_prox_window(groups)
+  gsel_identity = bool(gm == s and np.array_equal(gsel, np.eye(s)))
   kernel = _make_group_dp_kernel(
       variant, bool(hard), uses_hessian, bool(renormalize),
       int(upd_num_iters), int(power_iters), use_n_gram,
       float(lowest_code_val), use_reg, axis_name, num_devices, s_pad,
       n_pad, mxu=str(mxu),
       early_eps=(None if early_stopping_epsilon is None
-                 else float(early_stopping_epsilon)))
+                 else float(early_stopping_epsilon)),
+      roll_m=roll_m, gsel_identity=gsel_identity)
+  use_gsel = not gsel_identity
+  use_expand = roll_m is None
+  any_spec = pl.BlockSpec(memory_space=pl.ANY)
+  pin_specs, pin_args, pin_scratch = [], [], []
+  if use_gsel:
+    pin_specs.append(any_spec)
+    pin_args.append(gsel_in)
+    pin_scratch.append(pltpu.VMEM((gm_pad, s_pad), jnp.float32))
+  if use_expand:
+    pin_specs.append(any_spec)
+    pin_args.append(expand_in)
+    pin_scratch.append(pltpu.VMEM((gm_pad, g_pad), jnp.float32))
+  if use_reg:
+    pin_specs.append(any_spec)
+    pin_args.append(comem_in)
+    pin_scratch.append(pltpu.VMEM((s_pad, s_pad), jnp.float32))
   rows, cols = _pack_dims(s_pad, n_pad)
   const = lambda i, *_: (0, 0)
   cost = pl.CostEstimate(
@@ -384,12 +415,10 @@ def fused_group_dp_train_segment_pallas(
       num_scalar_prefetch=2,
       grid=(k,),
       in_specs=[
-          pl.BlockSpec((s_pad, n_pad), const),
+          any_spec,  # d: pinned at step 0
           pl.BlockSpec((1, s_pad), const),
           pl.BlockSpec((1, dim_pad), const),
-          pl.BlockSpec((gm_pad, s_pad), const),
-          pl.BlockSpec((gm_pad, g_pad), const),
-      ] + ([pl.BlockSpec((s_pad, s_pad), const)] if use_reg else []) + [
+      ] + pin_specs + [
           pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
       ],
       out_specs=[
@@ -398,11 +427,14 @@ def fused_group_dp_train_segment_pallas(
           pl.BlockSpec((1, dim_pad), const),
           pl.BlockSpec((b_pad, s_pad), const),
       ],
-      scratch_shapes=(((butterfly_comm_shapes(num_devices, (rows, cols))
-                        if _is_pow2(num_devices)
-                        else comm_scratch_shapes(num_devices,
-                                                 (rows, cols)))
-                       if num_devices > 1 else [])
+      scratch_shapes=([pltpu.VMEM((s_pad, n_pad), jnp.float32)]
+                      + pin_scratch
+                      + [pltpu.SemaphoreType.DMA((4,))]
+                      + ((butterfly_comm_shapes(num_devices, (rows, cols))
+                          if _is_pow2(num_devices)
+                          else comm_scratch_shapes(num_devices,
+                                                   (rows, cols)))
+                         if num_devices > 1 else [])
                       + (comm_scratch_shapes(num_devices,
                                              (_SUBLANES, _LANES))
                          + [pltpu.SMEM((1,), jnp.int32)]
@@ -420,6 +452,5 @@ def fused_group_dp_train_segment_pallas(
       cost_estimate=cost,
       compiler_params=None if interpret else pltpu.CompilerParams(
           vmem_limit_bytes=_GDP_VMEM_LIMIT_BYTES),
-  )(niter, scalars, d_in, h_in, v_in, gsel_in, expand_in,
-    *((comem_in,) if use_reg else ()), x_in)
+  )(niter, scalars, d_in, h_in, v_in, *pin_args, x_in)
   return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])

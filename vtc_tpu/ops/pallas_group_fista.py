@@ -48,18 +48,21 @@ from vtc_tpu.ops.pallas_common import LANES as _LANES, round_up
 from vtc_tpu.ops.precision import matmul_precision
 
 
-def _make_kernel(variant, hard, mxu="highest", early_eps=None):
+def _make_kernel(variant, hard, mxu="highest", early_eps=None,
+                 roll_m=None):
   use_fista = variant == "fista"
   # inference MXU tier for the iteration AND prox matmuls (same scheme
   # as ops/pallas_train_step): in 'bf16x3' the prox 3-pass collapses
   # to 2 against the exact-in-bf16 0/1 membership operand (see
   # _make_prox_dots -- squared-norm sums and the broadcast gather have
-  # no cancellation, so the prox tier rides the iteration tier)
-  from vtc_tpu.ops.pallas_train_step import (_make_iter_dot,
-                                             _make_prox_dots)
+  # no cancellation, so the prox tier rides the iteration tier).
+  # With roll_m (power-of-2 packed window) the prox runs as lane
+  # rotations instead -- _make_group_prox.
+  from vtc_tpu.ops.pallas_train_step import (_make_group_prox,
+                                             _make_iter_dot)
   tier = {"default": "bf16"}.get(mxu, mxu)
   prep_gram, iter_dot = _make_iter_dot(tier)
-  prox_dot, prox_dot_t = _make_prox_dots(tier)
+  bind_prox = _make_group_prox(tier, hard, roll_m)
 
   def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
              init_ref, out_ref):
@@ -71,16 +74,7 @@ def _make_kernel(variant, hard, mxu="highest", early_eps=None):
     expand = expand_ref[:]  # (GMp, Gp) 0/1 membership
     corr = corr_ref[:]
     init = init_ref[:]
-
-    def prox(x):
-      sums = prox_dot(x * x, expand)       # (tile, Gp) squared norms
-      norms = jnp.sqrt(sums)
-      safe = jnp.where(norms == 0.0, 1.0, norms)
-      if hard:
-        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
-      else:
-        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * prox_dot_t(scale, expand)   # scale @ expand.T
+    prox = bind_prox(expand, lam_eta, corr.shape)
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
@@ -156,13 +150,15 @@ def group_early_stop_tile_fits(batch_size, gm, g):
 @functools.partial(
     jax.jit,
     static_argnames=("variant", "hard", "batch_tile", "interpret",
-                     "mxu_precision", "early_stopping_epsilon"))
+                     "mxu_precision", "early_stopping_epsilon",
+                     "roll_window"))
 def group_fista_solve_pallas(images, grouped_dictionary, expand,
                              sparsity_weight, num_iters, stepsize, *,
                              initial_grouped=None, variant="fista",
                              hard=False, batch_tile=256,
                              interpret=False, mxu_precision="highest",
-                             early_stopping_epsilon=None):
+                             early_stopping_epsilon=None,
+                             roll_window=None):
   """Solve the packed group-LASSO codes with the fused kernel.
 
   Args:
@@ -181,6 +177,9 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
       mean |delta| / stepsize over the (b, G, M) tensor drops below it
       (reference stop rule).  Requires the whole batch in ONE tile
       (callers check group_early_stop_tile_fits first).
+    roll_window: static; pass pallas_train_step.roll_prox_window(...)
+      when the packed layout is the standard contiguous one -- the
+      group prox then runs as lane rotations, no membership matmuls.
 
   Returns:
     (b, G*M) flattened grouped codes (caller scatters duplicates back
@@ -221,7 +220,8 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
   kernel = _make_kernel(variant, hard, mxu=mxu_precision,
                         early_eps=(None
                                    if early_stopping_epsilon is None
-                                   else float(early_stopping_epsilon)))
+                                   else float(early_stopping_epsilon)),
+                        roll_m=roll_window)
   out = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -44,7 +44,8 @@ from vtc_tpu.ops.pallas_collective import (allreduce_comm_shapes,
 from vtc_tpu.ops.pallas_common import (LANES as _LANES,
                                        SUBLANES as _SUBLANES, round_up)
 from vtc_tpu.ops.pallas_train_step import (_dot, _tdot, _dot_b,
-                                           _split_hi_lo, _split3)
+                                           _pin_hbm, _split_hi_lo,
+                                           _split3)
 
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 # the DP segment variant carries 2 x P x (n, n) comm slots on top of
@@ -90,7 +91,9 @@ def fused_ica_segment_supported(n, batch_size):
   if n % _LANES != 0 or n % _SUBLANES != 0:
     return False
   b_pad = round_up(batch_size, _SUBLANES)
-  # D, X, eye/stat/temps (~5 n^2 transients) + batch + codes
+  # D, X, eye/stat/temps (~5 n^2 transients) + batch + codes; the
+  # (2, n, n) pin landing replaces the two double-buffered pipeline
+  # inputs it supersedes (pallas_train_step._vmem_bytes NOTE)
   vmem = (7 * n * n + 2 * b_pad * n) * 4
   return vmem <= _VMEM_BUDGET_BYTES
 
@@ -109,13 +112,19 @@ def _make_ica_kernel(refine_iters, upd_num_iters, mxu, boost_tol=None,
   ns_dot = _make_ns_dot(mxu)
 
   def kernel(scalars_ref, d_ref, xi_ref, x_ref, d_out, xi_out, res_out,
-             *comm_refs):
+             pin_vmem, pin_sems, *comm_refs):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
-      xi_out[:] = xi_ref[:]
+      # d and xi ride pl.ANY (segment-constant inputs; see
+      # pallas_train_step._pin_hbm) -- one DMA each into VMEM scratch
+      # at step 0 (instead of a per-cell pipeline fetch), then a VPU
+      # copy into the carry output blocks
+      _pin_hbm(d_ref, pin_vmem.at[0], pin_sems.at[0])
+      _pin_hbm(xi_ref, pin_vmem.at[1], pin_sems.at[1])
+      d_out[:] = pin_vmem[0]
+      xi_out[:] = pin_vmem[1]
 
     @pl.when(step == 0)
     def _():
@@ -305,15 +314,17 @@ def fused_ica_train_segment_pallas(dictionary, inverse_estimate,
           num_scalar_prefetch=1,
           grid=(k,),
           in_specs=[
-              pl.BlockSpec((n, n), const),
-              pl.BlockSpec((n, n), const),
+              pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
+              pl.BlockSpec(memory_space=pl.ANY),  # xi: pinned at step 0
               pl.BlockSpec((1, b_pad, n), lambda i, *_: (i, 0, 0)),
           ],
           out_specs=[
               pl.BlockSpec((n, n), const),
               pl.BlockSpec((n, n), const),
               pl.BlockSpec((1, 1), const),
-          ]),
+          ],
+          scratch_shapes=[pltpu.VMEM((2, n, n), jnp.float32),
+                          pltpu.SemaphoreType.DMA((2,))]),
       out_shape=[
           jax.ShapeDtypeStruct((n, n), jnp.float32),
           jax.ShapeDtypeStruct((n, n), jnp.float32),
@@ -386,8 +397,8 @@ def fused_ica_dp_train_segment_pallas(dictionary, inverse_estimate,
           num_scalar_prefetch=1,
           grid=(k,),
           in_specs=[
-              pl.BlockSpec((n, n), const),
-              pl.BlockSpec((n, n), const),
+              pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
+              pl.BlockSpec(memory_space=pl.ANY),  # xi: pinned at step 0
               pl.BlockSpec((1, b_pad, n), lambda i, *_: (i, 0, 0)),
           ],
           out_specs=[
@@ -395,8 +406,10 @@ def fused_ica_dp_train_segment_pallas(dictionary, inverse_estimate,
               pl.BlockSpec((n, n), const),
               pl.BlockSpec((1, 1), const),
           ],
-          scratch_shapes=(allreduce_comm_shapes(num_devices, (n, n))
-                          if num_devices > 1 else [])),
+          scratch_shapes=([pltpu.VMEM((2, n, n), jnp.float32),
+                           pltpu.SemaphoreType.DMA((2,))]
+                          + (allreduce_comm_shapes(num_devices, (n, n))
+                             if num_devices > 1 else []))),
       out_shape=[
           jax.ShapeDtypeStruct((n, n), jnp.float32),
           jax.ShapeDtypeStruct((n, n), jnp.float32),

@@ -208,9 +208,120 @@ def _make_prox_dots(mxu):
   return pdot_hi, pdot_t_hi
 
 
+def _pin_hbm(src_ref, dst_ref, sem):
+  """One-time DMA of a segment-constant operand from HBM into VMEM.
+
+  Mosaic's automatic pipeline re-fetches EVERY input block at EVERY
+  grid cell, even when its index map is constant -- measured at
+  ~10.6 us per MB per cell on this runtime (BENCH_NOTES UPDATE 42).
+  Segment-constant operands (initial dictionary, group selection /
+  membership matrices, co-membership counts) therefore enter with
+  ``pl.BlockSpec(memory_space=pl.ANY)`` -- no per-cell auto-copy --
+  and the kernel pins them into a VMEM scratch (or a carry output
+  block) exactly once at grid step 0 with this helper."""
+  dma = pltpu.make_async_copy(src_ref, dst_ref, sem)
+  dma.start()
+  dma.wait()
+
+
+def roll_prox_window(group_assignments):
+  """Packed-slot window M for the lane-rotate group prox, or None.
+
+  The packed grouped layout puts group g in slots [g*M, (g+1)*M)
+  (M = max group size, short groups zero-padded -- reference
+  subspace_ista_fista.py:94-100), so the group-norm reduction is a
+  segmented sum over M-aligned lane windows.  When M is a power of two
+  that sum (and the per-group scale broadcast back to the slots) runs
+  as log2(M) lane-rotate+add rounds each -- exact f32 adds, ZERO MXU
+  passes -- instead of the two 3-pass-split membership matmuls
+  (BENCH_NOTES UPDATE 40).  Non-power-of-2 windows keep the matmul
+  path (a power-of-2 rotate tree would sum across group boundaries).
+  VTC_DISABLE_ROLL_PROX=1 forces the matmul path (A/B measurement
+  escape hatch; checked at trace time only)."""
+  import os
+  if os.environ.get("VTC_DISABLE_ROLL_PROX"):
+    return None
+  m = max(len(g) for g in group_assignments)
+  return m if (m & (m - 1)) == 0 else None
+
+
+def _make_group_prox(mxu, hard, roll_m=None):
+  """bind(expand, lam_eta, shape) -> prox(x): the group-norm shrinkage
+  operator (reference subspace_ista_fista.py:149-156, zero-norm guard
+  included) on the packed (rows, GM_pad) code block.
+
+  With ``roll_m`` set (see roll_prox_window) the squared-norm segmented
+  sum runs as log2(M) rotate-left+add rounds (the group's sum lands on
+  its start lane) and the scale broadcast as log2(M) rotate-right+add
+  rounds of the start-masked scale -- both exact f32 VPU work replacing
+  6 half-width MXU passes per iteration at HIGHEST.  Padded lanes
+  (>= gm) see garbage window sums, but their iterates are exact zeros
+  (zero gram columns / corr), so x * scale keeps them zero.  The matmul
+  path otherwise (``expand`` is the (GM_pad, G_pad) 0/1 membership
+  operand, _make_prox_dots tiers).
+
+  Call bind ONCE before the solver loop: the roll path builds its
+  loop-invariant group-start lane mask there."""
+  if roll_m is not None:
+    shifts = []
+    sh = 1
+    while sh < roll_m:
+      shifts.append(sh)
+      sh *= 2
+
+    def bind(expand, lam_eta, shape):
+      del expand
+      width = shape[-1]
+      lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+      is_start = (lane & (roll_m - 1)) == 0
+
+      def prox(x):
+        s = x * x
+        for sh_ in shifts:  # rotate-left: window sum onto start lanes
+          s = s + pltpu.roll(s, width - sh_, 1)
+        s = jnp.where(is_start, s, 1.0)
+        norms = jnp.sqrt(s)
+        if hard:
+          scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+        else:
+          safe = jnp.where(norms == 0.0, 1.0, norms)
+          scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+        scale = jnp.where(is_start, scale, 0.0)
+        for sh_ in shifts:  # rotate-right: start scale to all M slots
+          scale = scale + pltpu.roll(scale, sh_, 1)
+        return x * scale
+
+      return prox
+
+    return bind
+
+  prox_dot, prox_dot_t = _make_prox_dots(mxu)
+
+  def bind(expand, lam_eta, shape):
+    del shape
+
+    def prox(x):
+      sums = prox_dot(x * x, expand)
+      norms = jnp.sqrt(sums)
+      safe = jnp.where(norms == 0.0, 1.0, norms)
+      if hard:
+        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+      else:
+        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+      return x * prox_dot_t(scale, expand)
+
+    return prox
+
+  return bind
+
+
 def _vmem_bytes(b_pad, s_pad, n_pad, use_n_gram, multi_tile=False):
+  # NOTE on the pinned operands (_pin_hbm): the d pin landing adds one
+  # s x n buffer, but the pl.ANY input it replaces was DOUBLE-buffered
+  # by the pipeline (2x, never counted here) -- net VMEM went DOWN, so
+  # the historical 2x dictionary accounting stays conservative.
   buffers = (
-      2 * s_pad * n_pad        # dictionary in + out (state)
+      2 * s_pad * n_pad        # dictionary in + out (pin: see NOTE)
       + s_pad * s_pad          # gram
       + (n_pad * n_pad if use_n_gram else 0)
       + 2 * b_pad * n_pad      # X double buffer
@@ -293,12 +404,17 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
-             d_out, h_out, v_out, codes_out):
+             d_out, h_out, v_out, codes_out, d_pin, d_sem):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
+      # d rides pl.ANY (segment-constant; see _pin_hbm) -- one DMA
+      # into VMEM scratch (the distributed-interpret mode cannot
+      # target pipelined output refs), then one VPU copy into the
+      # carry output block
+      _pin_hbm(d_ref, d_pin, d_sem)
+      d_out[:] = d_pin[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
 
@@ -416,7 +532,7 @@ def _make_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 def _make_group_kernel(variant, hard, uses_hessian, renormalize,
                        upd_num_iters, power_iters, use_n_gram,
                        lowest_code_val, use_reg=False, mxu="highest",
-                       early_eps=None):
+                       early_eps=None, roll_m=None, gsel_identity=False):
   """Subspace (group-sparse) whole-segment kernel.  Same state-in-VMEM
   design as _make_kernel; the group structure enters as two static 0/1
   matrices so every ragged operation is an MXU matmul:
@@ -447,21 +563,53 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
   drop to single-pass bf16 too.  The grouped build, grouped Gram,
   power refresh, the UPDATE matmuls (converged residuals sink below
   bf16 noise -- see _make_kernel), and the sign-sensitive regularizer
-  Gram always stay HIGHEST."""
+  Gram always stay HIGHEST.
+  ``roll_m``: power-of-2 packed-group window -> the prox runs as lane
+  rotations instead of membership matmuls (_make_group_prox).
+  ``gsel_identity``: static; when the groups tile range(s) in order
+  (the grouped dictionary is exactly D), the build and unpack matmuls
+  are skipped (bitwise-identical at HIGHEST: I @ D is exact; in the
+  'bf16' tier the identity path SKIPS the unpack's bf16 rounding, i.e.
+  it is slightly MORE accurate than the matmul form).
+  Segment-constant operands (d, gsel, expand, comem) ride pl.ANY and
+  are pinned into VMEM once at step 0 (_pin_hbm) instead of being
+  re-fetched by the pipeline every cell."""
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
-  prox_dot, prox_dot_t = _make_prox_dots(mxu)
+  bind_prox = _make_group_prox(mxu, hard, roll_m)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
+  use_gsel = not gsel_identity
+  use_expand = roll_m is None
 
-  def _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
-              expand_ref, comem_ref, x_ref, d_out, h_out, v_out,
-              codes_out):
+  def _kernel(*refs):
+    it = iter(refs)
+    niter_ref, scalars_ref, d_ref, h_ref, v_ref = (
+        next(it), next(it), next(it), next(it), next(it))
+    gsel_hbm = next(it) if use_gsel else None
+    expand_hbm = next(it) if use_expand else None
+    comem_hbm = next(it) if use_reg else None
+    x_ref, d_out, h_out, v_out, codes_out = (
+        next(it), next(it), next(it), next(it), next(it))
+    d_pin = next(it)
+    gsel_vmem = next(it) if use_gsel else None
+    expand_vmem = next(it) if use_expand else None
+    comem_vmem = next(it) if use_reg else None
+    sems = next(it)
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
-      d_out[:] = d_ref[:]
+      # DMA into scratch, VPU copy into the carry block (the
+      # distributed-interpret mode cannot DMA into output refs)
+      _pin_hbm(d_ref, d_pin, sems.at[0])
+      d_out[:] = d_pin[:]
+      if use_gsel:
+        _pin_hbm(gsel_hbm, gsel_vmem, sems.at[1])
+      if use_expand:
+        _pin_hbm(expand_hbm, expand_vmem, sems.at[2])
+      if use_reg:
+        _pin_hbm(comem_hbm, comem_vmem, sems.at[3])
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
 
@@ -471,10 +619,11 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     inv_b = scalars_ref[2]
 
     dictionary = d_out[:]
-    gsel = gsel_ref[:]
-    expand = expand_ref[:]
+    gsel = gsel_vmem[:] if use_gsel else None
+    expand = expand_vmem[:] if use_expand else None
     images = x_ref[0]
-    grouped = _dot(gsel, dictionary)              # (GM_pad, n_pad)
+    grouped = (_dot(gsel, dictionary) if use_gsel
+               else dictionary)                   # (GM_pad, n_pad)
     gram = _dot_t(grouped, grouped)               # (GM_pad, GM_pad)
     power_gram = _tdot(grouped, grouped) if use_n_gram else gram
 
@@ -491,16 +640,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     lam_eta = sw * eta
 
     corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
-
-    def prox(x):
-      sums = prox_dot(x * x, expand)              # (b_pad, G_pad)
-      norms = jnp.sqrt(sums)
-      safe = jnp.where(norms == 0.0, 1.0, norms)
-      if hard:
-        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
-      else:
-        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * prox_dot_t(scale, expand)        # scale @ expand.T
+    prox = bind_prox(expand, lam_eta, corr.shape)
 
     neg_eta_gram = prep_gram(-eta * gram)  # tier prep once, not per iter
     corr_eta = eta * corr
@@ -541,7 +681,8 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
           stop_cond, stop_body,
           (jnp.int32(0), init, init, init, jnp.float32(1.0),
            jnp.bool_(False)))
-    codes = dot_(grouped_codes, gsel)             # (b_pad, s_pad) summed
+    codes = (dot_(grouped_codes, gsel) if use_gsel
+             else grouped_codes)       # (b_pad, s_pad) summed
     codes_out[:] = codes
 
     if uses_hessian:
@@ -559,7 +700,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
         # Zero-padded rows have zero cosines -> sign 0 -> no effect.
         penalty = scalars_ref[3]
         cmat = _dot_t(d, d)
-        smat = comem_ref[:] * jnp.sign(cmat)
+        smat = comem_vmem[:] * jnp.sign(cmat)
         reg = (_dot(smat, d)
                - jnp.sum(smat * cmat, axis=1, keepdims=True) * d)
         grad = grad + penalty * reg
@@ -574,16 +715,7 @@ def _make_group_kernel(variant, hard, uses_hessian, renormalize,
     d_out[:] = jax.lax.fori_loop(0, upd_num_iters, update_body,
                                  dictionary)
 
-  if use_reg:
-    return _kernel
-
-  def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, gsel_ref,
-             expand_ref, x_ref, d_out, h_out, v_out, codes_out):
-    return _kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref,
-                   gsel_ref, expand_ref, None, x_ref, d_out, h_out,
-                   v_out, codes_out)
-
-  return kernel
+  return _kernel
 
 
 def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
@@ -611,13 +743,16 @@ def _make_tiled_kernel(variant, nonneg, hard, uses_hessian, renormalize,
 
   def kernel(niter_ref, scalars_ref, d_ref, h_ref, v_ref, x_ref,
              d_out, h_out, v_out, codes_out,
-             cacc, bacc, statacc, eta_ref):
+             cacc, bacc, statacc, eta_ref, d_pin, d_sem):
     step = pl.program_id(0)
     tile = pl.program_id(1)
 
     @pl.when((step == 0) & (tile == 0))
     def _():
-      d_out[:] = d_ref[:]
+      # d rides pl.ANY (segment-constant; see _pin_hbm): DMA into
+      # scratch, VPU copy into the carry output block
+      _pin_hbm(d_ref, d_pin, d_sem)
+      d_out[:] = d_pin[:]
       h_out[:] = h_ref[:]
       v_out[:] = v_ref[:]
 
@@ -866,7 +1001,8 @@ def fused_solve_stats_pallas(dictionary, eigvec, batch, sparsity_weight,
 
 
 def _make_group_solve_stats_kernel(variant, hard, power_iters,
-                                   use_n_gram, mxu="highest"):
+                                   use_n_gram, mxu="highest",
+                                   roll_m=None):
   """Group-sparse counterpart of _make_solve_stats_kernel: warm
   Lipschitz refresh on the grouped Gram + the whole VMEM-resident
   group FISTA solve + this shard's gram-form update statistics
@@ -877,10 +1013,11 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
   so it needs no cross-chip reduction and runs in the epilogue too.
   ``mxu``: same solve-tier / stats-HIGHEST tiering as
   _make_solve_stats_kernel (prox matmuls ride the iteration tier via
-  _make_prox_dots, as in _make_group_kernel)."""
+  _make_prox_dots, as in _make_group_kernel; the lane-rotate prox
+  rides ``roll_m`` as there too)."""
   use_fista = variant == "fista"
   prep_gram, iter_dot = _make_iter_dot(mxu)
-  prox_dot, prox_dot_t = _make_prox_dots(mxu)
+  bind_prox = _make_group_prox(mxu, hard, roll_m)
   dot_ = _dot_b if mxu == "bf16" else _dot
   dot_t_ = _dot_t_b if mxu == "bf16" else _dot_t
 
@@ -910,16 +1047,7 @@ def _make_group_solve_stats_kernel(variant, hard, power_iters,
     lam_eta = sw * eta
 
     corr = dot_t_(images, grouped)                # (b_pad, GM_pad)
-
-    def prox(x):
-      sums = prox_dot(x * x, expand)
-      norms = jnp.sqrt(sums)
-      safe = jnp.where(norms == 0.0, 1.0, norms)
-      if hard:
-        scale = jnp.where(norms < lam_eta, 0.0, 1.0)
-      else:
-        scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
-      return x * prox_dot_t(scale, expand)
+    prox = bind_prox(expand, lam_eta, corr.shape)
 
     neg_eta_gram = prep_gram(-eta * gram)
     corr_eta = eta * corr
@@ -1035,7 +1163,7 @@ def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
 
   kernel = _make_group_solve_stats_kernel(
       variant, bool(hard), int(power_iters), use_n_gram,
-      mxu=str(mxu))
+      mxu=str(mxu), roll_m=roll_prox_window(group_assignments))
   const = lambda *_: (0, 0)
   out = pl.pallas_call(
       kernel,
@@ -1075,6 +1203,8 @@ def _fused_group_solve_stats_impl(dictionary, eigvec, batch,
 
 
 def _group_vmem_bytes(b_pad, s_pad, n_pad, gm_pad, g_pad, use_n_gram):
+  # pinned-operand accounting: see the _vmem_bytes NOTE (the pins
+  # replace double-buffered pipeline inputs; net VMEM shrinks)
   buffers = (
       2 * s_pad * n_pad                 # dictionary in + out
       + gm_pad * n_pad                  # grouped dictionary
@@ -1231,27 +1361,47 @@ def _fused_group_impl(dictionary, hessian, eigvec,
     comem_in = jnp.pad(jnp.asarray(comem),
                        ((0, s_pad - s), (0, s_pad - s)))
 
+  roll_m = roll_prox_window(group_assignments)
+  # the grouped dictionary is exactly D when the groups tile range(s)
+  # in order (no duplicates / padding): skip the build+unpack matmuls
+  gsel_identity = bool(gm == s and np.array_equal(gsel, np.eye(s)))
   kernel = _make_group_kernel(variant, hard, uses_hessian, renormalize,
                               int(upd_num_iters), int(power_iters),
                               use_n_gram, float(lowest_code_val),
                               use_reg=use_reg, mxu=str(mxu),
                               early_eps=(
                                   None if early_stopping_epsilon is None
-                                  else float(early_stopping_epsilon)))
+                                  else float(early_stopping_epsilon)),
+                              roll_m=roll_m,
+                              gsel_identity=gsel_identity)
+  use_gsel = not gsel_identity
+  use_expand = roll_m is None
   const = lambda i, *_: (0, 0)
+  # segment-constant operands ride pl.ANY + a step-0 pin (_pin_hbm)
+  any_spec = pl.BlockSpec(memory_space=pl.ANY)
+  pin_specs, pin_args, pin_scratch = [], [], []
+  if use_gsel:
+    pin_specs.append(any_spec)
+    pin_args.append(gsel_in)
+    pin_scratch.append(pltpu.VMEM((gm_pad, s_pad), jnp.float32))
+  if use_expand:
+    pin_specs.append(any_spec)
+    pin_args.append(expand_in)
+    pin_scratch.append(pltpu.VMEM((gm_pad, g_pad), jnp.float32))
+  if use_reg:
+    pin_specs.append(any_spec)
+    pin_args.append(comem_in)
+    pin_scratch.append(pltpu.VMEM((s_pad, s_pad), jnp.float32))
   d_new, h_new, v_new, codes = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=2,
           grid=(k,),
           in_specs=[
-              pl.BlockSpec((s_pad, n_pad), const),
+              any_spec,  # d: pinned into the carry output at step 0
               pl.BlockSpec((1, s_pad), const),
               pl.BlockSpec((1, dim_pad), const),
-              pl.BlockSpec((gm_pad, s_pad), const),
-              pl.BlockSpec((gm_pad, g_pad), const),
-          ] + ([pl.BlockSpec((s_pad, s_pad), const)] if use_reg
-               else []) + [
+          ] + pin_specs + [
               pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
           ],
           out_specs=[
@@ -1259,7 +1409,10 @@ def _fused_group_impl(dictionary, hessian, eigvec,
               pl.BlockSpec((1, s_pad), const),
               pl.BlockSpec((1, dim_pad), const),
               pl.BlockSpec((b_pad, s_pad), const),
-          ]),
+          ],
+          scratch_shapes=([pltpu.VMEM((s_pad, n_pad), jnp.float32)]
+                          + pin_scratch
+                          + [pltpu.SemaphoreType.DMA((4,))])),
       out_shape=[
           jax.ShapeDtypeStruct((s_pad, n_pad), jnp.float32),
           jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
@@ -1269,8 +1422,7 @@ def _fused_group_impl(dictionary, hessian, eigvec,
       interpret=interpret,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=32 * 1024 * 1024) if not interpret else None,
-  )(niter, scalars, d_in, h_in, v_in, gsel_in, expand_in,
-    *((comem_in,) if use_reg else ()), x_in)
+  )(niter, scalars, d_in, h_in, v_in, *pin_args, x_in)
   return (d_new[:s, :n], h_new[0, :s], v_new[0, :dim], codes[:b, :s])
 
 
@@ -1377,7 +1529,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
         num_scalar_prefetch=2,
         grid=(k, num_tiles),
         in_specs=[
-            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
             pl.BlockSpec((1, s_pad), const),
             pl.BlockSpec((1, dim_pad), const),
             pl.BlockSpec((1, tile, n_pad), lambda i, t, *_: (i, t, 0)),
@@ -1393,6 +1545,8 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
             pltpu.VMEM((s_pad, n_pad), jnp.float32),  # B = sum codes^T X
             pltpu.VMEM((1, s_pad), jnp.float32),      # stat accumulator
             pltpu.SMEM((1,), jnp.float32),            # eta for the step
+            pltpu.VMEM((s_pad, n_pad), jnp.float32),  # d pin landing
+            pltpu.SemaphoreType.DMA(()),              # d pin
         ])
   else:
     kernel = _make_kernel(variant, nonneg, hard, uses_hessian,
@@ -1408,7 +1562,7 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
         num_scalar_prefetch=2,
         grid=(k,),
         in_specs=[
-            pl.BlockSpec((s_pad, n_pad), const),
+            pl.BlockSpec(memory_space=pl.ANY),  # d: pinned at step 0
             pl.BlockSpec((1, s_pad), const),
             pl.BlockSpec((1, dim_pad), const),
             pl.BlockSpec((1, b_pad, n_pad), lambda i, *_: (i, 0, 0)),
@@ -1418,7 +1572,9 @@ def fused_train_segment_pallas(dictionary, hessian, eigvec, batches,
             pl.BlockSpec((1, s_pad), const),
             pl.BlockSpec((1, dim_pad), const),
             pl.BlockSpec((b_pad, s_pad), const),
-        ])
+        ],
+        scratch_shapes=[pltpu.VMEM((s_pad, n_pad), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())])
 
   # the default scoped-vmem limit is 16MB; 32MB is validated on v5e and
   # the tile picker's 12MB self-budget (a ~2x underestimate of the

@@ -347,7 +347,13 @@ def _code_shard_segment_runner(mesh, cs_size, data_size, variant,
     strides[a] = acc
     acc *= mesh.shape[a]
   expand_all = comem_all = None
+  cs_roll_window = None
   if group_arrays is not None:
+    from vtc_tpu.ops.pallas_code_shard_train import (
+        roll_window_from_expand_arrays)
+    # static check on the host-side membership blocks: contiguous
+    # M-aligned block groups take the lane-rotate prox in-kernel
+    cs_roll_window = roll_window_from_expand_arrays(group_arrays[0])
     expand_all = jnp.asarray(group_arrays[0])
     if alignment_penalty != 0.0:
       comem_all = jnp.asarray(group_arrays[1])
@@ -374,7 +380,7 @@ def _code_shard_segment_runner(mesh, cs_size, data_size, variant,
             power_iters=2,
             interpret=jax.default_backend() != "tpu", mxu=mxu,
             early_stopping_epsilon=early_eps, stop_count=stop_count,
-            **kw))
+            roll_window=cs_roll_window, **kw))
     return d_shard, h_shard, eigvec
 
   rep = P()
