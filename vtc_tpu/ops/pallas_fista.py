@@ -57,12 +57,21 @@ def _make_kernel(variant, nonneg, hard, use_bf16, mxu_precision,
   prep_gram, iter_dot = _make_iter_dot(tier)
 
   def kernel(niter_ref, scalars_ref, gram_ref, corr_ref, init_ref,
-             out_ref):
+             out_ref, gram_pin, gram_sem):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
     inv_count = scalars_ref[2]  # 1 / (b * s), real (unpadded) sizes
-    gram = gram_ref[:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+      # the Gram is solve-constant: pin it once (tile-grid solves
+      # otherwise re-fetch it per batch tile -- see
+      # pallas_train_step._pin_hbm)
+      from vtc_tpu.ops.pallas_train_step import _pin_hbm
+      _pin_hbm(gram_ref, gram_pin, gram_sem)
+
+    gram = gram_pin[:]
     corr = corr_ref[:]
     init = init_ref[:]
 
@@ -214,11 +223,13 @@ def fista_solve_pallas(images, dictionary, sparsity_weight, num_iters,
           num_scalar_prefetch=2,
           grid=grid,
           in_specs=[
-              pl.BlockSpec((s_pad, s_pad), lambda i, *_: (0, 0)),
+              pl.BlockSpec(memory_space=pl.ANY),  # gram: pinned
               pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
               pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
           ],
           out_specs=pl.BlockSpec((batch_tile, s_pad), lambda i, *_: (i, 0)),
+          scratch_shapes=[pltpu.VMEM((s_pad, s_pad), jnp.float32),
+                          pltpu.SemaphoreType.DMA(())],
       ),
       out_shape=jax.ShapeDtypeStruct((b_pad, s_pad), jnp.float32),
       interpret=interpret,

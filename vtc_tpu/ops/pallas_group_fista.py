@@ -4,8 +4,11 @@ Same VMEM-resident design as ops/pallas_fista.py, applied to the packed
 group formulation (see analysis_transforms/fully_connected/
 subspace_ista_fista.py): state is the flattened grouped code tensor
 (b, G*M), the gradient is one (tile, GM) x (GM, GM) MXU matmul against
-the grouped-dictionary Gram, and the group-norm shrinkage is computed
-with two skinny 0/1-matrix matmuls instead of an M-minor-axis reduction
+the grouped-dictionary Gram, and the group-norm shrinkage runs as the
+lane-rotate segmented prox when the packed window M is a power of two
+(pallas_train_step._make_group_prox / roll_prox_window -- exact f32
+rotate+add rounds, zero MXU passes; BENCH_NOTES UPDATE 40), else as
+two skinny 0/1-matrix matmuls instead of an M-minor-axis reduction
 (TPU lane layouts make reductions over a length-4 minor axis far worse
 than an extra MXU pass):
 
@@ -65,13 +68,23 @@ def _make_kernel(variant, hard, mxu="highest", early_eps=None,
   bind_prox = _make_group_prox(tier, hard, roll_m)
 
   def kernel(niter_ref, scalars_ref, gram_ref, expand_ref, corr_ref,
-             init_ref, out_ref):
+             init_ref, out_ref, gram_pin, expand_pin, pin_sems):
     num_iters = niter_ref[0]
     eta = scalars_ref[0]
     lam_eta = scalars_ref[1]
     inv_count = scalars_ref[2]  # 1 / (b * G * M), real (unpadded) sizes
-    gram = gram_ref[:]
-    expand = expand_ref[:]  # (GMp, Gp) 0/1 membership
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+      # solve-constant operands pinned once (tile-grid solves
+      # otherwise re-fetch them per batch tile -- _pin_hbm)
+      from vtc_tpu.ops.pallas_train_step import _pin_hbm
+      _pin_hbm(gram_ref, gram_pin, pin_sems.at[0])
+      if roll_m is None:
+        _pin_hbm(expand_ref, expand_pin, pin_sems.at[1])
+
+    gram = gram_pin[:]
+    expand = expand_pin[:] if roll_m is None else None
     corr = corr_ref[:]
     init = init_ref[:]
     prox = bind_prox(expand, lam_eta, corr.shape)
@@ -228,13 +241,17 @@ def group_fista_solve_pallas(images, grouped_dictionary, expand,
           num_scalar_prefetch=2,
           grid=(b_pad // batch_tile,),
           in_specs=[
-              pl.BlockSpec((gm_pad, gm_pad), lambda i, *_: (0, 0)),
-              pl.BlockSpec((gm_pad, g_pad), lambda i, *_: (0, 0)),
+              pl.BlockSpec(memory_space=pl.ANY),  # gram: pinned
+              pl.BlockSpec(memory_space=pl.ANY),  # expand: pinned
               pl.BlockSpec((batch_tile, gm_pad), lambda i, *_: (i, 0)),
               pl.BlockSpec((batch_tile, gm_pad), lambda i, *_: (i, 0)),
           ],
           out_specs=pl.BlockSpec((batch_tile, gm_pad),
                                  lambda i, *_: (i, 0)),
+          scratch_shapes=[
+              pltpu.VMEM((gm_pad, gm_pad), jnp.float32),
+              pltpu.VMEM((gm_pad, g_pad), jnp.float32),
+              pltpu.SemaphoreType.DMA((2,))],
       ),
       out_shape=jax.ShapeDtypeStruct((b_pad, gm_pad), jnp.float32),
       interpret=interpret,
