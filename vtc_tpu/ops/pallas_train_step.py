@@ -279,13 +279,20 @@ def _make_group_prox(mxu, hard, roll_m=None):
         s = x * x
         for sh_ in shifts:  # rotate-left: window sum onto start lanes
           s = s + pltpu.roll(s, width - sh_, 1)
-        s = jnp.where(is_start, s, 1.0)
-        norms = jnp.sqrt(s)
         if hard:
-          scale = jnp.where(norms < lam_eta, 0.0, 1.0)
+          scale = jnp.where(jnp.sqrt(s) < lam_eta, 0.0, 1.0)
         else:
-          safe = jnp.where(norms == 0.0, 1.0, norms)
-          scale = jnp.maximum(1.0 - lam_eta / safe, 0.0)
+          # soft path trimmed to 4 VPU ops: max() replaces the
+          # reference's norm==0 guard (any finite scale works at a
+          # zero-norm group -- x is 0 there -- but inf/NaN must not
+          # arise), rsqrt replaces sqrt+divide (ulp-level vs the
+          # composed form), and non-start lanes skip the pre-select:
+          # their garbage window sums produce a finite garbage scale
+          # that the start-mask select below REPLACES (no arithmetic
+          # touches it).
+          scale = jnp.maximum(
+              1.0 - lam_eta * jax.lax.rsqrt(jnp.maximum(s, 1e-30)),
+              0.0)
         scale = jnp.where(is_start, scale, 0.0)
         for sh_ in shifts:  # rotate-right: start scale to all M slots
           scale = scale + pltpu.roll(scale, sh_, 1)
